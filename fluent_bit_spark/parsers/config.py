@@ -1,0 +1,155 @@
+"""[PARSER] config-file front-end.
+
+Parses fluent-bit parser definitions (the format of
+/root/reference/conf/parsers.conf) into ParserSpec values that the
+compiler (parsers/compile.py) turns into columnar extraction plans.
+
+Reference reader: flb_parser_conf_file / flb_parser_create
+(/root/reference/src/flb_parser.c). Supported keys: Name, Format
+(regex|json|ltsv|logfmt), Regex, Time_Key, Time_Format, Time_Keep,
+Time_Offset, Types (k:int k2:float ...), Decode_Field / Decode_Field_As.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class DecoderRule:
+    """One Decode_Field(_As) directive (src/flb_parser_decoder.c:632-725).
+
+    mode 'as' replaces the field value in place; mode 'field' decodes
+    and merges extracted keys alongside (DEC_AS vs DEC_DEFAULT,
+    include/fluent-bit/flb_parser_decoder.h:28-35).
+    """
+
+    mode: str  # "as" | "field"
+    decoder: str  # json | escaped | escaped_utf8 | mysql_quoted
+    key: str
+    action: str = "try_next"  # try_next | do_next (rule chaining)
+
+
+@dataclass
+class ParserSpec:
+    name: str
+    format: str  # regex | json | ltsv | logfmt
+    regex: str | None = None
+    time_key: str | None = None
+    time_format: str | None = None
+    time_keep: bool = False
+    time_offset: int = 0
+    time_strict: bool = True
+    types: dict[str, str] = field(default_factory=dict)
+    decoders: list[DecoderRule] = field(default_factory=list)
+
+    def named_groups(self) -> list[str]:
+        """Capture-field names in pattern order (regex format only)."""
+        if not self.regex:
+            return []
+        return [m.group(1) for m in re.finditer(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>", self.regex)]
+
+
+_TYPE_ALIASES = {
+    "integer": "integer",
+    "int": "integer",
+    "float": "float",
+    "bool": "bool",
+    "boolean": "bool",
+    "string": "string",
+    "hex": "hex",
+}
+
+
+def _parse_types(value: str) -> dict[str, str]:
+    """``Types code:integer size:integer`` (flb_parser.c:1280-1350)."""
+    out: dict[str, str] = {}
+    for tok in value.split():
+        if ":" not in tok:
+            continue
+        k, t = tok.split(":", 1)
+        t = _TYPE_ALIASES.get(t.strip().lower())
+        if t:
+            out[k.strip()] = t
+    return out
+
+
+def _strip_regex_slashes(rx: str) -> str:
+    """Fluent-bit accepts /.../-delimited regexes (syslog-rfc3164 uses them)."""
+    rx = rx.strip()
+    if len(rx) >= 2 and rx.startswith("/") and rx.endswith("/"):
+        return rx[1:-1]
+    return rx
+
+
+def parse_parsers_conf(text: str) -> dict[str, ParserSpec]:
+    """Parse the ini-ish fluent-bit parsers file into specs by name."""
+    specs: dict[str, ParserSpec] = {}
+    cur: dict[str, str] | None = None
+    decoders: list[DecoderRule] = []
+
+    def flush() -> None:
+        nonlocal cur, decoders
+        if cur is None:
+            return
+        name = cur.get("name")
+        fmt = cur.get("format", "").lower()
+        if name and fmt:
+            specs[name] = ParserSpec(
+                name=name,
+                format=fmt,
+                regex=_strip_regex_slashes(cur["regex"]) if "regex" in cur else None,
+                time_key=cur.get("time_key"),
+                time_format=cur.get("time_format"),
+                time_keep=cur.get("time_keep", "").lower() == "on",
+                time_offset=_parse_offset(cur.get("time_offset", "0")),
+                time_strict=cur.get("time_strict", "on").lower() != "off",
+                types=_parse_types(cur.get("types", "")),
+                decoders=list(decoders),
+            )
+        cur = None
+        decoders = []
+
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line.upper() == "[PARSER]":
+            flush()
+            cur = {}
+            continue
+        if line.startswith("[") or cur is None:
+            flush()
+            continue
+        m = re.match(r"(\S+)\s+(.*)$", line)
+        if not m:
+            continue
+        key, value = m.group(1).lower(), m.group(2).strip()
+        if key in ("decode_field", "decode_field_as"):
+            toks = value.split()
+            if len(toks) >= 2:
+                decoders.append(
+                    DecoderRule(
+                        mode="as" if key.endswith("_as") else "field",
+                        decoder=toks[0].lower(),
+                        key=toks[1],
+                        action=(toks[2].lower() if len(toks) > 2 else "try_next"),
+                    )
+                )
+        else:
+            cur[key] = value
+    flush()
+    return specs
+
+
+def _parse_offset(v: str) -> int:
+    """Time_Offset like +0200 / -07:30 -> seconds."""
+    v = v.strip()
+    m = re.fullmatch(r"([+-]?)(\d{1,2}):?(\d{2})?", v)
+    if not m:
+        return 0
+    sign = -1 if m.group(1) == "-" else 1
+    hours = int(m.group(2))
+    mins = int(m.group(3) or 0)
+    return sign * (hours * 3600 + mins * 60)
