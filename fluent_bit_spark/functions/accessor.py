@@ -100,6 +100,16 @@ def ra_translate_col(
     return F.concat(*parts)
 
 
+def ra_col_safe(df: DataFrame, path: str, tag_col: str = "tag") -> Column:
+    """ra_col, but a path whose base key is absent from the schema
+    resolves to null instead of failing analysis — the reference's
+    record accessor simply finds nothing for a missing key."""
+    name = path.strip().lstrip("$").split("[")[0]
+    if not path.strip().startswith("$TAG") and name not in df.columns:
+        return F.lit(None).cast("string")
+    return ra_col(path, tag_col)
+
+
 def ra_exists(df: DataFrame, path: str) -> Column:
     """``@record.contains(key)`` semantics: key presence.
 

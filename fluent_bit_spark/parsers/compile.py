@@ -242,16 +242,16 @@ def logfmt_map_col(source: Column, no_bare_keys: bool = False) -> Column:
 def typecast_col(col: Column, ftype: str) -> Column:
     """flb_parser_typecast semantics (src/flb_parser.c:1280-1350)."""
     if ftype == "integer":
-        return col.cast("long")
+        return col.try_cast("long")
     if ftype == "float":
-        return col.cast("double")
+        return col.try_cast("double")
     if ftype == "bool":
         low = F.lower(col)
         return F.when(low.startswith("t"), F.lit(True)).when(
             low.startswith("f"), F.lit(False)
         )
     if ftype == "hex":
-        return F.conv(col, 16, 10).cast("long")
+        return F.conv(col, 16, 10).try_cast("long")
     return col.cast("string")
 
 
