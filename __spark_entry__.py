@@ -1,38 +1,740 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from
+SURVEY.md §2 (or the training-data extension set) through the
+fluent_bit_spark library; ``oracle_sql()`` holds the exact DuckDB
+equivalent. All floating aggregates are rounded on BOTH sides; all
+hash/minhash/simhash primitives come from textprep.portable which has
+bit-identical renderings in the two dialects.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.enrich import lookup_join
+from fluent_bit_spark.functions.globmatch import tag_match_col
+from fluent_bit_spark.functions.timeparse import time_parse_col
+from fluent_bit_spark.operators.content_modifier import content_modifier
+from fluent_bit_spark.operators.grep import GrepRule, grep
+from fluent_bit_spark.operators.modify import ModifyRule, modify
+from fluent_bit_spark.operators.nest import lift, nest
+from fluent_bit_spark.operators.record_modifier import record_modifier
+from fluent_bit_spark.operators.throttle import throttle
+from fluent_bit_spark.pipeline import build_pipeline
+from fluent_bit_spark.router import RewriteTagRule, Route, apply_rewrite_tag, fan_out_exploded
+from fluent_bit_spark.sp.translate import run_query
+from fluent_bit_spark.textprep import portable as P
+from fluent_bit_spark.textprep.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_col,
+)
+from fluent_bit_spark.textprep.multimodal import binary_meta, extract_features, sample_frames
+from fluent_bit_spark.textprep.simsearch import cosine_topk, lsh_topk
+from fluent_bit_spark.textprep.textstats import (
+    LANG_PROFILES,
+    STOPWORDS,
+    fingerprint_col,
+    lang_id_col,
+    quality_cols,
+    token_count_cols,
+)
+
+DIM = 64  # embeddings vector width
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # read parquet timestamps as instants (LTZ) so epoch casts/windows
+    # line up with the DuckDB oracle's naive-as-UTC timestamps
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ------------------------------------------------------------------ entry
+
+def _pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive the north-rule ingest shape (url, warc_ts, html, text,
+    lang) deterministically from the documents table."""
+    return docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".com/"), F.col("doc_id")).alias("url"),
+        (F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_dt_interval(secs=F.col("doc_id"))).alias("warc_ts"),
+        F.col("text").cast("binary").alias("html"),
+        F.col("text").alias("text"),
+        F.col("lang").alias("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship parse→enrich→route→aggregate pipeline on sf0.001."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    result = build_pipeline(_pages_from_documents(docs))
+    return result.aggregates
+
+
+# ---------------------------------------------------------------- queries
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    result = build_pipeline(_pages_from_documents(docs))
+    return result.aggregates.select(
+        "sink",
+        F.col("window_start").cast("long").alias("window_start"),
+        "records",
+        "bytes",
+        "parse_failures",
+    )
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    enriched = lookup_join(
+        orders, cust, key="o_custkey", lookup_key="c_custkey",
+        add_fields={"c_nationkey": "c_nationkey"},
+    )
+    enriched = lookup_join(
+        enriched, nation, key="c_nationkey", lookup_key="n_nationkey",
+        add_fields={"nation_name": "n_name"},
+    )
+    return enriched.groupBy("nation_name").agg(
+        F.count(F.lit(1)).alias("orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def q_grep_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    rules = [GrepRule("regex", "$text", "table"), GrepRule("exclude", "$lang", "^de$")]
+    return grep(docs, rules, logical_op="and").select("doc_id", "lang")
+
+
+def q_grep_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    rules = [GrepRule("exclude", "$source", "src1$"), GrepRule("regex", "$text", "scan")]
+    return grep(docs, rules, logical_op="legacy").select("doc_id", "source")
+
+
+def q_modify_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = modify(
+        docs,
+        [
+            ModifyRule("hard_rename", "source", "origin"),
+            ModifyRule("add", "engine", "fluent-bit-spark"),
+            ModifyRule("remove", "n_chars"),
+        ],
+    )
+    return out.select("doc_id", "origin", "engine")
+
+
+def q_record_modifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = record_modifier(
+        ev,
+        allowlist_keys=["event_id", "event_type"],
+        records={"pipeline": "fbs"},
+    )
+    return out
+
+
+def q_content_modifier_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return content_modifier(docs, "hash", "text")
+
+
+def q_content_modifier_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    out = content_modifier(ev, "extract", "props", pattern=r'"k": (?<kval>\d+)')
+    return out.select("event_id", "kval")
+
+
+def q_nest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    nested = nest(ev, ["user_id", "value"], "payload")
+    return lift(nested, "payload", add_prefix="p_").select("event_id", "p_user_id", "p_value")
+
+
+EVENT_ROUTES = [
+    Route("sink_all", "*"),
+    Route("sink_click", "app.cl*"),
+    Route("sink_err", "*.error"),
+]
+
+
+def q_router_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "tag", F.concat(F.lit("app."), F.col("event_type"))
+    )
+    return fan_out_exploded(ev, EVENT_ROUTES).select("sink", "event_id")
+
+
+def q_rewrite_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "tag", F.concat(F.lit("app."), F.col("event_type"))
+    )
+    rules = [RewriteTagRule("$value", r"^4\d\d(\.\d+)?$", "hot.$TAG[1]", keep=True)]
+    rewritten = apply_rewrite_tag(ev, rules)
+    routed = fan_out_exploded(
+        rewritten, [Route("sink_app", "app.*"), Route("sink_hot", "hot.*")]
+    )
+    return routed.groupBy("sink").agg(F.count(F.lit(1)).alias("records"))
+
+
+def q_glob_route_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "tag", F.concat(F.lit("doc."), F.col("source"), F.lit("."), F.col("lang"))
+    )
+    return docs.filter(tag_match_col("tag", "doc.src1*.e*")).select("doc_id", "tag")
+
+
+def q_sp_select_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sql = (
+        "SELECT event_id AS id, value AS v FROM STREAM:events "
+        "WHERE value >= 50 AND value <= 300;"
+    )
+    return run_query(sql, ev, ts_col="ts")
+
+
+def q_sp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sql = (
+        "SELECT event_type, COUNT(*) AS records, SUM(value) AS sum_value, "
+        "MIN(value) AS min_value, MAX(value) AS max_value, AVG(value) AS avg_value "
+        "FROM STREAM:events GROUP BY event_type;"
+    )
+    out = run_query(sql, ev, ts_col="ts")
+    return out.select(
+        "event_type",
+        "records",
+        F.round("sum_value", 4).alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.round("avg_value", 4).alias("avg_value"),
+    )
+
+
+def q_sp_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sql = (
+        "SELECT event_type, COUNT(*) AS records, SUM(value) AS sum_value "
+        "FROM STREAM:events WINDOW TUMBLING (60 SECOND) "
+        "WHERE value >= 10 GROUP BY event_type;"
+    )
+    out = run_query(sql, ev, ts_col="ts")
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start"),
+        "event_type",
+        "records",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_sp_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sql = (
+        "SELECT event_type, COUNT(*) AS records FROM STREAM:events "
+        "WINDOW HOPPING (120 SECOND, ADVANCE BY 60 SECOND) GROUP BY event_type;"
+    )
+    out = run_query(sql, ev, ts_col="ts")
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start"),
+        "event_type",
+        "records",
+    )
+
+
+def q_sp_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sql = (
+        "SELECT event_type, TIMESERIES_FORECAST(value, 600) AS forecast "
+        "FROM STREAM:events GROUP BY event_type;"
+    )
+    out = run_query(sql, ev, ts_col="ts")
+    return out.select("event_type", F.round("forecast", 2).alias("forecast"))
+
+
+def q_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = throttle(
+        ev, ts_col="ts", limit=5, window_duration="1 minute",
+        key_cols=["event_type"], order_col="event_id",
+    )
+    return out.select("event_id")
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = P.spark_h32("cast(doc_id as string)")
+    return docs.filter(F.expr(f"{h} % 100 < 10")).select("doc_id")
+
+
+def q_json_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_sum"), F.count(F.lit(1)).alias("records"))
+    )
+
+
+def q_flowcounter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("tag"),
+            F.window("ts", "1 minute")["start"].cast("long").alias("window_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("records"),
+            F.sum(F.length("props")).alias("bytes"),
+        )
+    )
+
+
+def q_time_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    formatted = F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss")
+    parsed = time_parse_col(formatted, "%d/%b/%Y:%H:%M:%S")
+    return ev.select("event_id", parsed.cast("long").alias("epoch"))
+
+
+# ---- training-data ops ----
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_col(_t(spark, sf_dir, "documents")).select("doc_id", "simhash")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint_col(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count_cols(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_cols(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars", "n_tokens", "avg_token_len", "stopword_ratio", "alpha_ratio"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id_col(_t(spark, sf_dir, "documents")).select("doc_id", "pred_lang")
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    data = emb.filter(F.col("vec_id") >= 10)
+    return cosine_topk(data, queries, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    data = emb.filter(F.col("vec_id") >= 10)
+    return lsh_topk(data, queries, k=5, n_planes=6)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return binary_meta(docs, "payload").select(
+        "doc_id", "media_bytes", "media_magic", "media_type"
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").cast("binary").alias("payload")
+    )
+    return extract_features(docs).select("id", "n_bytes", "width", "height")
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").cast("binary").alias("payload")
+    )
+    return sample_frames(docs, every_n_bytes=256, max_frames=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pipeline_e2e": q_pipeline_e2e,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "enrich_broadcast": q_enrich_broadcast,
+        "grep_and": q_grep_and,
+        "grep_legacy": q_grep_legacy,
+        "modify_rules": q_modify_rules,
+        "record_modifier": q_record_modifier,
+        "content_modifier_hash": q_content_modifier_hash,
+        "content_modifier_extract": q_content_modifier_extract,
+        "nest_lift": q_nest_lift,
+        "router_fanout": q_router_fanout,
+        "rewrite_tag": q_rewrite_tag,
+        "glob_route_match": q_glob_route_match,
+        "sp_select_where": q_sp_select_where,
+        "sp_aggregate": q_sp_aggregate,
+        "sp_tumbling": q_sp_tumbling,
+        "sp_hopping": q_sp_hopping,
+        "sp_forecast": q_sp_forecast,
+        "throttle": q_throttle,
+        "sample_hash": q_sample_hash,
+        "json_props_sum": q_json_props_sum,
+        "flowcounter": q_flowcounter,
+        "time_parse": q_time_parse,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "fingerprint": q_fingerprint,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------ oracle SQL
+
+def _duck_dot(a: str, b: str, dim: int = DIM) -> str:
+    prods = (
+        f"list_transform(generate_series(1,{dim}),"
+        f" i -> cast({a}[i] as double) * cast({b}[i] as double))"
+    )
+    return f"list_reduce(list_prepend(cast(0 as double), {prods}), (acc, z) -> acc + z)"
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return f"({_duck_dot(a, b)}) / sqrt(({_duck_dot(a, a)}) * ({_duck_dot(b, b)}))"
+
+
+def _duck_topk_sql(bucketed: bool) -> str:
+    """Shared top-k oracle; bucketed=True adds the LSH bucket equi-join."""
+    from fluent_bit_spark.textprep.simsearch import hyperplanes
+
+    if bucketed:
+        planes = hyperplanes(DIM, 6)
+        vals = ",".join(
+            "({}, [{}])".format(pi, ",".join(f"cast({x!r} as double)" for x in row))
+            for pi, row in enumerate(planes)
+        )
+        bucket_cte = (
+            f"planes(pi, pv) AS (FROM (VALUES {vals}) t(pi, pv)), "
+            "buckets AS (SELECT e.vec_id, e.embedding, "
+            f"cast(sum(CASE WHEN ({_duck_dot('e.embedding', 'p.pv')}) >= 0 "
+            "THEN power(2, p.pi) ELSE 0 END) as int) AS bucket "
+            "FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, e.embedding), "
+            "q AS (SELECT vec_id, embedding, bucket FROM buckets WHERE vec_id < 10), "
+            "d AS (SELECT vec_id, embedding, bucket FROM buckets WHERE vec_id >= 10), "
+            "scored AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, "
+            f"round({_duck_cos('q.embedding', 'd.embedding')}, 6) AS cos "
+            "FROM q JOIN d ON q.bucket = d.bucket)"
+        )
+        return (
+            "WITH " + bucket_cte + " SELECT query_id, rank, neighbor_id, cos FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) WHERE rank <= 5"
+        )
+    return (
+        "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "
+        "d AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10), "
+        "scored AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, "
+        f"round({_duck_cos('q.embedding', 'd.embedding')}, 6) AS cos FROM q CROSS JOIN d) "
+        "SELECT query_id, rank, neighbor_id, cos FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) WHERE rank <= 5"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    h32_doc = "('0x'||substr(md5(cast(doc_id as varchar)),1,8))::bigint"
+    tokens = P.duck_tokens("text")
+    th = P.duck_hash_array(tokens)
+    shingles = P.duck_shingles("text")
+    hs = P.duck_hash_array(shingles)
+    sig = P.duck_minhash_sig("hs")
+    bands = P.duck_band_keys("sig")
+    sw = ",".join(f"'{w}'" for w in STOPWORDS)
+    langs = list(LANG_PROFILES)
+    lang_arr = ",".join(f"'{x}'" for x in langs)
+    lang_scores = ",".join(
+        "len(list_filter(tk, t -> t in ({})))".format(
+            ",".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        )
+        for lang in langs
+    )
+
+    return {
+        "pipeline_e2e": """
+            WITH routed AS (
+              SELECT d.doc_id, d.lang, d.n_chars, s.sink
+              FROM documents d
+              CROSS JOIN unnest(['sink_all','sink_com'] ||
+                (CASE WHEN d.lang = 'en' THEN ['sink_en'] ELSE [] END)) AS s(sink)
+            )
+            SELECT sink,
+                   epoch(TIMESTAMP '2026-01-01 00:00:00')::bigint
+                     + (doc_id // 60) * 60 AS window_start,
+                   count(*)::bigint AS records,
+                   cast(sum(n_chars) as bigint) AS bytes,
+                   0::bigint AS parse_failures
+            FROM routed GROUP BY 1, 2
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*)::bigint AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "enrich_broadcast": """
+            SELECT n.n_name AS nation_name, count(*)::bigint AS orders,
+                   round(sum(o.o_totalprice), 2) AS total_price
+            FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "grep_and": """
+            SELECT doc_id, lang FROM documents
+            WHERE regexp_matches(text, 'table') AND NOT regexp_matches(lang, '^de$')
+        """,
+        "grep_legacy": """
+            SELECT doc_id, source FROM documents
+            WHERE NOT regexp_matches(source, 'src1$') AND regexp_matches(text, 'scan')
+        """,
+        "modify_rules": """
+            SELECT doc_id, source AS origin, 'fluent-bit-spark' AS engine FROM documents
+        """,
+        "record_modifier": """
+            SELECT event_id, event_type, 'fbs' AS pipeline FROM events
+        """,
+        "content_modifier_hash": """
+            SELECT doc_id, sha256(text) AS text FROM documents
+        """,
+        "content_modifier_extract": """
+            SELECT event_id, CASE WHEN regexp_extract(props, '"k": (\\d+)', 1) <> ''
+                   THEN regexp_extract(props, '"k": (\\d+)', 1) END AS kval
+            FROM events
+        """,
+        "nest_lift": """
+            SELECT event_id, user_id AS p_user_id, value AS p_value FROM events
+        """,
+        "router_fanout": """
+            SELECT s.sink, e.event_id
+            FROM events e CROSS JOIN unnest(
+              ['sink_all'] ||
+              (CASE WHEN e.event_type LIKE 'cl%' THEN ['sink_click'] ELSE [] END) ||
+              (CASE WHEN e.event_type = 'error' THEN ['sink_err'] ELSE [] END)
+            ) AS s(sink)
+        """,
+        "rewrite_tag": """
+            SELECT 'sink_app' AS sink, count(*)::bigint AS records FROM events
+            UNION ALL
+            SELECT 'sink_hot', count(*)::bigint FROM events
+            WHERE value >= 400 AND value < 500
+        """,
+        "glob_route_match": """
+            SELECT doc_id, 'doc.' || source || '.' || lang AS tag FROM documents
+            WHERE regexp_matches('doc.' || source || '.' || lang,
+                                 '^doc\\.src1.*\\.e.*$')
+        """,
+        "sp_select_where": """
+            SELECT event_id AS id, value AS v FROM events
+            WHERE value >= 50 AND value <= 300
+        """,
+        "sp_aggregate": """
+            SELECT event_type, count(*)::bigint AS records,
+                   round(sum(value), 4) AS sum_value,
+                   min(value) AS min_value, max(value) AS max_value,
+                   round(sum(value) / count(*), 4) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "sp_tumbling": """
+            SELECT epoch(date_trunc('minute', ts))::bigint AS window_start,
+                   event_type, count(*)::bigint AS records,
+                   round(sum(value), 4) AS sum_value
+            FROM events WHERE value >= 10 GROUP BY 1, 2
+        """,
+        "sp_hopping": """
+            SELECT epoch(date_trunc('minute', ts))::bigint - o.off AS window_start,
+                   event_type, count(*)::bigint AS records
+            FROM events CROSS JOIN unnest([0, 60]) AS o(off)
+            GROUP BY 1, 2
+        """,
+        "sp_forecast": """
+            SELECT event_type,
+                   round(avg(value) - (covar_pop(epoch(ts), value) / var_pop(epoch(ts))) * avg(epoch(ts))
+                         + (covar_pop(epoch(ts), value) / var_pop(epoch(ts))) * (max(epoch(ts)) + 600),
+                         2) AS forecast
+            FROM events GROUP BY event_type
+        """,
+        "throttle": """
+            SELECT event_id FROM (
+              SELECT event_id, row_number() OVER (
+                PARTITION BY event_type, date_trunc('minute', ts)
+                ORDER BY event_id) AS rn
+              FROM events) WHERE rn <= 5
+        """,
+        "sample_hash": f"""
+            SELECT doc_id FROM documents WHERE {h32_doc} % 100 < 10
+        """,
+        "json_props_sum": """
+            SELECT event_type,
+                   cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS k_sum,
+                   count(*)::bigint AS records
+            FROM events GROUP BY event_type
+        """,
+        "flowcounter": """
+            SELECT event_type AS tag,
+                   epoch(date_trunc('minute', ts))::bigint AS window_start,
+                   count(*)::bigint AS records,
+                   cast(sum(len(props)) as bigint) AS bytes
+            FROM events GROUP BY 1, 2
+        """,
+        "time_parse": """
+            SELECT event_id,
+                   epoch(strptime(strftime(ts, '%d/%b/%Y:%H:%M:%S'),
+                                  '%d/%b/%Y:%H:%M:%S'))::bigint AS epoch
+            FROM events WHERE event_id < 2000
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keep_id, count(*)::bigint AS n_dups,
+                   md5(text) AS digest
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH s AS (SELECT doc_id AS id, lang, {hs} AS hs FROM documents)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(len(list_intersect(a.hs, b.hs))::double
+                         / len(list_distinct(list_concat(a.hs, b.hs))), 6) AS jacc
+            FROM s a JOIN s b ON a.id < b.id AND a.lang = b.lang
+            WHERE round(len(list_intersect(a.hs, b.hs))::double
+                        / len(list_distinct(list_concat(a.hs, b.hs))), 6) >= 0.2
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH s AS (SELECT doc_id AS id, {hs} AS hs FROM documents),
+            sigs AS (SELECT id, hs, {sig} AS sig FROM s),
+            bands AS (SELECT id, bi AS band, ({bands})[bi + 1] AS bkey
+                      FROM sigs CROSS JOIN unnest(generate_series(0, {P.N_BANDS - 1})) AS t(bi)),
+            sized AS (SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= 1000),
+            b2 AS (SELECT bands.* FROM bands JOIN sized USING (band, bkey)),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM b2 a JOIN b2 b
+                     ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+            SELECT c.id_a, c.id_b,
+                   round(len(list_intersect(sa.hs, sb.hs))::double
+                         / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jacc
+            FROM cand c JOIN s sa ON c.id_a = sa.id JOIN s sb ON c.id_b = sb.id
+            WHERE round(len(list_intersect(sa.hs, sb.hs))::double
+                        / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) >= 0.2
+        """,
+        "dedup_simhash": f"""
+            WITH t AS (SELECT doc_id, {th} AS th FROM documents)
+            SELECT doc_id, {P.duck_simhash('th')} AS simhash FROM t
+        """,
+        "fingerprint": f"""
+            WITH t AS (SELECT doc_id, {th} AS th FROM documents)
+            SELECT doc_id, {P.duck_fingerprint('th')} AS fingerprint FROM t
+        """,
+        "token_count": f"""
+            SELECT doc_id,
+                   len({tokens})::int AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::int AS bpe_tokens
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH t AS (SELECT doc_id, text, {tokens} AS tk FROM documents)
+            SELECT doc_id,
+                   len(text)::bigint AS n_chars,
+                   len(tk)::bigint AS n_tokens,
+                   round(list_reduce(list_prepend(cast(0 as double),
+                         list_transform(tk, x -> cast(len(x) as double))),
+                         (acc, z) -> acc + z) / greatest(len(tk), 1), 6) AS avg_token_len,
+                   round(len(list_filter(tk, t -> t in ({sw})))::double
+                         / greatest(len(tk), 1), 6) AS stopword_ratio,
+                   round(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double
+                         / greatest(len(text), 1), 6) AS alpha_ratio
+            FROM t
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id, {tokens} AS tk FROM documents),
+            s AS (SELECT doc_id, [{lang_scores}] AS scores FROM t)
+            SELECT doc_id, ([{lang_arr}])[list_position(scores, list_max(scores))] AS pred_lang
+            FROM s
+        """,
+        "ann_cosine_topk": _duck_topk_sql(bucketed=False),
+        "ann_lsh_topk": _duck_topk_sql(bucketed=True),
+        "multimodal_meta": """
+            SELECT doc_id,
+                   octet_length(encode(text))::bigint AS media_bytes,
+                   lower(hex(encode(substr(text, 1, 4)))) AS media_magic,
+                   'unknown' AS media_type
+            FROM documents
+        """,
+        "multimodal_features": """
+            WITH t AS (SELECT doc_id AS id, text,
+                coalesce(list_sum([ascii(substr(text, i, 1))
+                    for i in generate_series(1, least(64, len(text)))]), 0) AS cs
+                FROM documents)
+            SELECT id, len(text)::bigint AS n_bytes,
+                   (16 + cs % 64)::int AS width,
+                   (16 + (cs * 7) % 64)::int AS height
+            FROM t
+        """,
+        "multimodal_frames": """
+            WITH t AS (SELECT doc_id AS id, len(text) AS n,
+                least(8, greatest(1, len(text) // 256)) AS nf FROM documents)
+            SELECT id, i AS frame_idx,
+                   least(256, n - i * 256)::bigint AS frame_bytes
+            FROM t CROSS JOIN unnest(generate_series(0, 7)) AS u(i)
+            WHERE i < nf
+        """,
+    }

@@ -1,0 +1,113 @@
+"""Benchmark harness (driver-run: records BENCH_r{N}.json).
+
+Runs the headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a
+synthetic-pages flagship throughput run (datagen -> full
+parse->enrich->route->aggregate pipeline), and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>,
+     "pipeline_docs_per_sec": ..., "pipeline_mb_per_sec": ...}
+
+Results are forced with a noop-format write (full materialization,
+no driver collect). Env knobs:
+    SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[] parallelism (default all cores)
+    BENCH_PAGES_ROWS     synthetic pipeline rows (default 2_000_000)
+    BENCH_QUERIES        comma list to restrict query set
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pipeline_e2e",
+    "q1_pricing_summary",
+    "enrich_broadcast",
+    "router_fanout",
+    "rewrite_tag",
+    "sp_aggregate",
+    "sp_tumbling",
+    "sp_hopping",
+    "flowcounter",
+    "throttle",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "fingerprint",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "multimodal_features",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from fluent_bit_spark.datagen import generate_pages
+    from fluent_bit_spark.pipeline import build_pipeline
+    from fluent_bit_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="fbs-bench")
+
+    names = HEADLINE
+    if os.environ.get("BENCH_QUERIES"):
+        names = os.environ["BENCH_QUERIES"].split(",")
+    qs = entry.queries()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship synthetic pipeline throughput (parse->route->aggregate)
+    n_rows = int(os.environ.get("BENCH_PAGES_ROWS", "2000000"))
+    pages = generate_pages(spark, n_rows)
+    total_bytes = None
+    t0 = time.perf_counter()
+    result = build_pipeline(pages)
+    force(result.routed.drop("html"))
+    force(result.aggregates)
+    pipeline_sec = time.perf_counter() - t0
+    timings["pipeline_synthetic"] = round(pipeline_sec, 3)
+    # text bytes processed (deterministic datagen; measured once, cheap)
+    total_bytes = (
+        pages.selectExpr("sum(length(text)) b").first()["b"]
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite + synthetic parse->route->aggregate pipeline, wall sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "pipeline_rows": n_rows,
+                "pipeline_docs_per_sec": round(n_rows / pipeline_sec, 1),
+                "pipeline_mb_per_sec": round(total_bytes / 1e6 / pipeline_sec, 2),
+                "cpus": spark.sparkContext.defaultParallelism,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k for a (small, broadcast) query
+  set. The query side crosses every data row once — one scan, no
+  shuffle except the final per-query top-k (a tiny groupBy on
+  query_id). This is the correctness baseline.
+- lsh_buckets / lsh_topk: random-hyperplane LSH — the 100 TB path.
+  Each vector gets a sign-bit bucket; candidates are only same-bucket
+  rows (optionally multi-probe over neighboring buckets), so the scan
+  fans in by ~2^n_planes. Hyperplanes are deterministic (seeded
+  literals) so results are reproducible and oracle-checkable.
+
+Dot products are Catalyst ``zip_with``/``aggregate`` expressions —
+JVM-side, codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.textprep.portable import P53
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double)*cast(y as double)),"
+    " cast(0 as double), (acc, z) -> acc + z)"
+)
+_NORM2 = (
+    "aggregate({v}, cast(0 as double), (acc, x) ->"
+    " acc + cast(x as double)*cast(x as double))"
+)
+
+
+def cosine_expr(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _NORM2.format(v=a)
+    nb = _NORM2.format(v=b)
+    return f"({dot}) / sqrt(({na}) * ({nb}))"
+
+
+def cosine_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, rank, neighbor_id, cos).
+
+    ``queries`` must be small (it is broadcast). Deterministic
+    tie-break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    d = data.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("dv"))
+    scored = d.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(f"round({cosine_expr('qv', 'dv')}, 6)").alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no RNG state: pure
+    function of indices, identical on any cluster / in the oracle)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            x = (p * 7919 + i * 104729 + 12345) % P53
+            row.append(((x % 2000003) / 1000001.5) - 1.0)  # in [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def bucket_expr(vec_col: str, planes: list[list[float]]) -> str:
+    """Sign-bit bucket id from dot products with the hyperplanes."""
+    bits = []
+    for bi, plane in enumerate(planes):
+        arr = "array({})".format(",".join(f"cast({x!r} as double)" for x in plane))
+        dot = _DOT.format(a=vec_col, b=arr)
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << bi} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    dim = len(df.select(vec_col).first()[0])
+    return df.withColumn(out_col, F.expr(bucket_expr(vec_col, hyperplanes(dim, n_planes))))
+
+
+def lsh_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket.
+
+    At scale, bucket the data table ONCE (write partitioned/bucketed
+    by the LSH bucket), then each query probes a single partition —
+    the scan is pruned by ~2^n_planes.
+    """
+    dim = len(data.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    b = bucket_expr(vec_col, planes)
+    d = data.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("dv"),
+        F.expr(b).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.expr(b).alias("bucket"),
+    )
+    scored = d.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.expr(f"round({cosine_expr('qv', 'dv')}, 6)").alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )

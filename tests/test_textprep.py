@@ -1,0 +1,182 @@
+"""Tests for the training-data prep operators (dedup, simsearch,
+textstats, multimodal plumbing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.textprep.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_col,
+)
+from fluent_bit_spark.textprep.multimodal import (
+    binary_meta,
+    extract_features,
+    sample_frames,
+)
+from fluent_bit_spark.textprep.simsearch import cosine_topk, lsh_topk
+from fluent_bit_spark.textprep.textstats import (
+    fingerprint_col,
+    lang_id_col,
+    quality_cols,
+    token_count_cols,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near dup
+        (3, "completely different words here about spark engines", "en"),
+        (4, "der schnelle braune fuchs und der faule hund", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    out = {r["digest"]: r for r in exact_dedup(docs).collect()}
+    assert len(out) == 4  # 5 docs, one exact dup pair
+    dup = [r for r in out.values() if r["n_dups"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 0
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jacc"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs  # unrelated
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+
+
+def test_minhash_lsh_recovers_exact_and_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jacc"]
+        for r in minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs  # near-dup must collide in some band
+    assert (0, 4) not in pairs
+
+
+def test_simhash_near_dup_small_hamming(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_col(docs).collect()}
+    assert sh[0] == sh[1]
+    ham = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham < ham_far
+
+
+def test_fingerprint_deterministic(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint_col(docs).collect()}
+    assert fp[0] == fp[1] != fp[2]
+    fp2 = {r["doc_id"]: r["fingerprint"] for r in fingerprint_col(docs).collect()}
+    assert fp == fp2
+
+
+def test_token_and_quality_stats(docs):
+    row = token_count_cols(docs).filter("doc_id = 0").first()
+    assert row["ws_tokens"] == 9
+    assert row["bpe_tokens"] == 9  # all alpha words
+    q = quality_cols(docs).filter("doc_id = 0").first()
+    assert q["n_tokens"] == 9
+    assert q["stopword_ratio"] > 0  # 'the' twice + 'over'
+    assert 0 < q["alpha_ratio"] < 1
+
+
+def test_lang_id_marker_words(docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in lang_id_col(docs).collect()}
+    assert out[0] == "en"  # 'the' x2
+    assert out[4] == "de"  # 'der' x2
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        base = [math.sin(0.1 * i + j) for j in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    # vec 100 = near-copy of vec 0
+    rows.append((100, [x + 0.001 for x in rows[0][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vectors):
+    queries = vectors.filter("vec_id = 0")
+    data = vectors.filter("vec_id > 0")
+    out = cosine_topk(data, queries, k=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["neighbor_id"] == 100  # the planted near-copy
+    assert out[0]["cos"] > 0.999
+
+
+def test_lsh_topk_finds_planted_neighbor(vectors):
+    queries = vectors.filter("vec_id = 0")
+    data = vectors.filter("vec_id > 0")
+    out = lsh_topk(data, queries, k=3, n_planes=4).collect()
+    assert out and out[0]["neighbor_id"] == 100
+
+
+def test_embedding_neardup_pairs(vectors):
+    pairs = embedding_neardup_pairs(vectors, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100) in got
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    rows = [
+        (0, b"\xff\xd8\xff\xe0" + b"x" * 600),
+        (1, b"\x89PNG\r\n" + b"y" * 100),
+        (2, b"plain text payload"),
+    ]
+    return spark.createDataFrame(rows, "id long, payload binary")
+
+
+def test_binary_meta_sniffs_magic(payloads):
+    out = {r["id"]: r for r in binary_meta(payloads).collect()}
+    assert out[0]["media_type"] == "jpeg"
+    assert out[1]["media_type"] == "png"
+    assert out[2]["media_type"] == "unknown"
+    assert out[0]["media_bytes"] == 604
+    assert out[0]["media_magic"] == "ffd8ffe0"
+
+
+def test_extract_features_stub_plumbing(payloads):
+    out = {r["id"]: r for r in extract_features(payloads).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n_bytes"] == 604
+    assert len(out[0]["feat"]) == 8
+    assert abs(sum(out[0]["feat"]) - 1.0) < 0.01
+    # decode stub must raise without the deterministic fake
+    from fluent_bit_spark.textprep.multimodal import _decode_stub
+
+    with pytest.raises(NotImplementedError):
+        _decode_stub(b"x", deterministic_fake=False)
+
+
+def test_sample_frames_one_to_n(payloads):
+    out = sample_frames(payloads, every_n_bytes=256, max_frames=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    assert len(by_id[0]) == 2  # 604 bytes -> 2 frames of 256
+    assert all(r["frame_bytes"] == 256 for r in by_id[0])
+    assert len(by_id[2]) == 1  # short payload -> single frame
