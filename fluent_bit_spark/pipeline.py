@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from fluent_bit_spark.datagen import format_of
 from fluent_bit_spark.enrich import checklist, lookup_join
 from fluent_bit_spark.functions.timeparse import time_parse_col
-from fluent_bit_spark.parsers.compile import logfmt_map_col, ltsv_map_col
+from fluent_bit_spark.parsers.compile import logfmt_map_fast_col, ltsv_map_col
 from fluent_bit_spark.router import Route, RewriteTagRule, apply_rewrite_tag, fan_out_exploded
 
 APACHE_RX = (
@@ -48,6 +48,31 @@ APACHE_RX = (
 SYSLOG_RX = r"^<(\d+)>([A-Za-z]{3} [ \d]\d \d\d:\d\d:\d\d) ([^ ]*) ([A-Za-z0-9_\/\.\-]*)(?:\[(\d+)\])?(?:[^\:]*\:)? *(.*)$"
 
 
+def multi_extract(col: Column, pat: str, n_groups: int) -> Column:
+    """All capture groups of an anchored pattern in ONE regex pass.
+
+    ``regexp_extract`` per group re-runs the regex once per group; at
+    10^12 rows that multiplies the scan's dominant cost by the group
+    count. Instead: one ``rlike`` guard + one ``regexp_replace``
+    rewriting the whole line to a \\x01-separated group list, then a
+    plain split — 2 regex executions total regardless of group count.
+    Returns null when the pattern doesn't match; unmatched optional
+    groups come back as empty strings (callers null them via _ga).
+    """
+    sep = "\x01"
+    repl = sep.join(f"${i}" for i in range(1, n_groups + 1))
+    # the replace pattern must consume the ENTIRE line so the result
+    # is exactly the group list ('(?s)' eats embedded newlines)
+    full = pat if pat.endswith("$") else "(?s)" + pat + ".*"
+    return F.when(col.rlike(pat), F.split(F.regexp_replace(col, full, repl), sep))
+
+
+def _ga(arr: Column, i: int) -> Column:
+    """Group i (1-based) of a multi_extract array; '' -> null."""
+    v = F.element_at(arr, i)
+    return F.when(v != "", v)
+
+
 def parse_stage(df: DataFrame, text_col: str = "text", ref_year: int = 2026) -> DataFrame:
     """Multi-format parse into one unified schema.
 
@@ -55,7 +80,9 @@ def parse_stage(df: DataFrame, text_col: str = "text", ref_year: int = 2026) -> 
     level, message, event_time, _parse_ok. The reference equivalent is
     filter_parser with N parsers tried per record; here a cheap format
     guard picks the parser per row and only that parser's expressions
-    evaluate (Catalyst If short-circuits per row).
+    evaluate (Catalyst If short-circuits per row). Everything is
+    JVM-side whole-stage codegen: the regex formats use single-pass
+    multi_extract, logfmt uses the vectorized Catalyst fast path.
     """
     t = F.col(text_col)
     df = df.withColumn("fmt", format_of(t))
@@ -65,61 +92,56 @@ def parse_stage(df: DataFrame, text_col: str = "text", ref_year: int = 2026) -> 
     is_l = F.col("fmt") == "ltsv"
     is_f = F.col("fmt") == "logfmt"
 
-    def rx(pat: str, i: int) -> Column:
-        raw = F.regexp_extract(t, pat, i)
-        return F.when(raw != "", raw)
-
     json_map = F.when(is_j, F.from_json(t, "map<string,string>"))
-    # mask non-ltsv rows so split work is skipped
-    df = df.withColumn("_ltsv_in", F.when(is_l, t))
-    ltsv_map = ltsv_map_col("_ltsv_in")
-    logfmt_map = logfmt_map_col(F.when(is_f, t))
-
+    # mask non-matching rows so each format pays only for its own rows
     df = (
-        df.withColumn("_jm", json_map)
-        .withColumn("_lm", ltsv_map)
-        .withColumn("_fm", logfmt_map)
+        df.withColumn("_ltsv_in", F.when(is_l, t))
+        .withColumn("_logfmt_in", F.when(is_f, t))
+        .withColumn("_aa", multi_extract(F.when(is_a, t), APACHE_RX, 7))
+        .withColumn("_sa", multi_extract(F.when(is_s, t), SYSLOG_RX, 6))
+        .withColumn("_jm", json_map)
+        .withColumn("_lm", ltsv_map_col("_ltsv_in"))
+        .withColumn("_fm", logfmt_map_fast_col("_logfmt_in"))
     )
+    aa, sa = F.col("_aa"), F.col("_sa")
     jm, lm, fm = F.col("_jm"), F.col("_lm"), F.col("_fm")
 
     host = (
-        F.when(is_a, rx(APACHE_RX, 1))
-        .when(is_s, rx(SYSLOG_RX, 3))
+        F.when(is_a, _ga(aa, 1))
+        .when(is_s, _ga(sa, 3))
         .when(is_l, F.element_at(lm, "host"))
     )
-    user = F.when(is_a, rx(APACHE_RX, 2))
-    method = F.when(is_a, rx(APACHE_RX, 4))
-    path = F.when(is_a, rx(APACHE_RX, 5)).when(is_l, F.element_at(lm, "path"))
+    user = F.when(is_a, _ga(aa, 2))
+    method = F.when(is_a, _ga(aa, 4))
+    path = F.when(is_a, _ga(aa, 5)).when(is_l, F.element_at(lm, "path"))
     code = (
-        F.when(is_a, rx(APACHE_RX, 6))
+        F.when(is_a, _ga(aa, 6))
         .when(is_l, F.element_at(lm, "status"))
         .when(is_f, F.element_at(fm, "status"))
         .try_cast("int")
     )
     size = (
-        F.when(is_a, rx(APACHE_RX, 7))
+        F.when(is_a, _ga(aa, 7))
         .when(is_l, F.element_at(lm, "size"))
         .when(is_f, F.element_at(fm, "bytes"))
         .try_cast("long")
     )
-    level = F.when(is_f, F.element_at(fm, "level")).when(
-        is_s, rx(SYSLOG_RX, 4)
-    )
+    level = F.when(is_f, F.element_at(fm, "level")).when(is_s, _ga(sa, 4))
     message = (
-        F.when(is_s, rx(SYSLOG_RX, 6))
+        F.when(is_s, _ga(sa, 6))
         .when(is_j, F.element_at(jm, "log"))
         .when(is_f, F.element_at(fm, "msg"))
     )
     event_time = (
-        F.when(is_a, time_parse_col(rx(APACHE_RX, 3), "%d/%b/%Y:%H:%M:%S %z"))
-        .when(is_s, time_parse_col(rx(SYSLOG_RX, 2), "%b %d %H:%M:%S", ref_year=ref_year))
+        F.when(is_a, time_parse_col(_ga(aa, 3), "%d/%b/%Y:%H:%M:%S %z"))
+        .when(is_s, time_parse_col(_ga(sa, 2), "%b %d %H:%M:%S", ref_year=ref_year))
         .when(is_j, time_parse_col(F.element_at(jm, "time"), "%Y-%m-%dT%H:%M:%S.%L"))
         .when(is_l, time_parse_col(F.element_at(lm, "time"), "%Y-%m-%dT%H:%M:%S.%L"))
         .when(is_f, time_parse_col(F.element_at(fm, "ts"), "%Y-%m-%dT%H:%M:%S.%L"))
     )
     parse_ok = (
-        F.when(is_a, rx(APACHE_RX, 1).isNotNull())
-        .when(is_s, rx(SYSLOG_RX, 2).isNotNull())
+        F.when(is_a, aa.isNotNull())
+        .when(is_s, sa.isNotNull())
         .when(is_j, jm.isNotNull())
         .when(is_l, F.coalesce(F.size(lm) > 0, F.lit(False)))
         .otherwise(F.coalesce(F.size(fm) > 0, F.lit(False)))
@@ -136,7 +158,7 @@ def parse_stage(df: DataFrame, text_col: str = "text", ref_year: int = 2026) -> 
         .withColumn("message", message)
         .withColumn("event_time", event_time)
         .withColumn("_parse_ok", F.coalesce(parse_ok, F.lit(False)))
-        .drop("_jm", "_lm", "_fm", "_ltsv_in")
+        .drop("_jm", "_lm", "_fm", "_ltsv_in", "_logfmt_in", "_aa", "_sa")
     )
 
 

@@ -125,14 +125,21 @@ def apply_rewrite_tag(
         keep_original = F.when(fires, F.lit(rule.keep)).otherwise(keep_original)
         fired_any = fired_any | m
 
-    originals = df.withColumn("_keep", keep_original).filter(F.col("_keep")).drop("_keep")
-    rewritten = (
-        df.withColumn("_new_tag", new_tag)
-        .filter(F.col("_new_tag").isNotNull())
-        .withColumn(tag_col, F.col("_new_tag"))
-        .drop("_new_tag")
+    # ONE pass: each row expands to its surviving tag set (original if
+    # kept + rewritten if a rule fired) and explodes. The union-of-two-
+    # branches formulation would evaluate the whole upstream plan twice
+    # (at 10^12 rows: a second full parse of the table); explode keeps
+    # a single scan and the same output multiset.
+    tags = F.when(
+        new_tag.isNotNull() & keep_original, F.array(F.col(tag_col), new_tag)
+    ).when(
+        new_tag.isNotNull(), F.array(new_tag)
+    ).otherwise(F.array(F.col(tag_col)))
+    return (
+        df.withColumn("_tags", tags)
+        .withColumn(tag_col, F.explode(F.col("_tags")))
+        .drop("_tags")
     )
-    return originals.unionByName(rewritten)
 
 
 def _n_groups(pattern: str) -> int:

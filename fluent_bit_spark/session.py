@@ -44,6 +44,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # logfmt/ltsv duplicate keys: last occurrence wins (C dict
+        # overwrite semantics; needed by logfmt_map_fast_col)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # InferFiltersFromGenerate injects Filter(size(tags)>0) below
+        # the fan-out/rewrite explodes; that filter inlines the whole
+        # parse expression tree and re-evaluates it per row (3-6x the
+        # scan cost at 10^12 rows). Generate(outer=false) already
+        # drops empty arrays, so the inferred filter is pure loss here.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
