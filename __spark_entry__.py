@@ -50,10 +50,21 @@ DIM = 64  # embeddings vector width
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver may run these under its own SparkSession, so every
+    # load re-asserts the runtime confs the engine depends on (all are
+    # runtime-settable; session.get_spark sets the same ones)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # read parquet timestamps as instants (LTZ) so epoch casts/windows
     # line up with the DuckDB oracle's naive-as-UTC timestamps
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # logfmt fast path: duplicate keys -> last wins (C dict overwrite)
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    # see session.py: inferred Filter(size(tags)>0) below explodes
+    # re-evaluates the whole parse tree per row
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -398,6 +409,92 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(docs, every_n_bytes=256, max_frames=8)
 
 
+def q_ltm_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.operators.log_to_metrics import counter_metric
+
+    ev = _t(spark, sf_dir, "events")
+    return counter_metric(ev, ["event_type"], match=F.col("value") >= 100)
+
+
+def q_ltm_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.operators.log_to_metrics import gauge_metric
+
+    ev = _t(spark, sf_dir, "events")
+    return gauge_metric(ev, ["event_type"], "value", order_col="event_id")
+
+
+def q_ltm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.operators.log_to_metrics import histogram_metric
+
+    ev = _t(spark, sf_dir, "events")
+    out = histogram_metric(ev, ["event_type"], "value", buckets=[50.0, 100.0, 200.0])
+    return out.select(
+        "event_type", "le", "bucket_count",
+        F.round("metric_sum", 4).alias("metric_sum"), "metric_count",
+    )
+
+
+def q_snapshot_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.operators.snapshot import snapshot_flush
+
+    ev = _t(spark, sf_dir, "events")
+    out = snapshot_flush(
+        ev,
+        F.col("value") >= 480,
+        ts_col="ts",
+        limit=3,
+        partition_cols=["event_type"],
+        id_col="event_id",
+    )
+    return out.select("trigger_id", "event_id", "event_type")
+
+
+def q_udf_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.operators.udf_hook import apply_hook
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 1000)
+        .withColumn("tag", F.concat(F.lit("app."), F.col("event_type")))
+    )
+
+    def fn(tag, ts, record):
+        v = record["value"]
+        if v < 1:
+            return -1, ts, None  # drop tiny values
+        if v < 100:
+            return 0, ts, None  # keep
+        # split large events into two derived records (1->N)
+        return 1, ts, [
+            {"event_id": record["event_id"], "half": 1},
+            {"event_id": record["event_id"], "half": 2},
+        ]
+
+    out = apply_hook(ev, fn, ts_col="ts", record_cols=["event_id", "value"])
+    return out.select(
+        "tag",
+        F.col("ts").cast("long").alias("ts_sec"),
+        F.get_json_object("record", "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object("record", "$.half").cast("int").alias("half"),
+    )
+
+
+def q_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.operators.multiline import multiline_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("file"),
+        F.col("event_id").alias("seq"),
+        F.when(
+            F.col("value") >= 100, F.concat(F.lit("START "), F.col("event_type"))
+        )
+        .otherwise(F.concat(F.lit("  cont "), F.col("event_type")))
+        .alias("line"),
+    )
+    out = multiline_join(ev, ["file"], "seq", "line", r"^START ")
+    return out.select("file", "record_id", "n_lines", "first_seq")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_e2e": q_pipeline_e2e,
@@ -436,6 +533,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        "ltm_counter": q_ltm_counter,
+        "ltm_gauge": q_ltm_gauge,
+        "ltm_histogram": q_ltm_histogram,
+        "snapshot_flush": q_snapshot_flush,
+        "udf_hook": q_udf_hook,
+        "multiline": q_multiline,
     }
 
 
@@ -728,6 +831,65 @@ def oracle_sql() -> dict[str, str]:
                    (16 + cs % 64)::int AS width,
                    (16 + (cs * 7) % 64)::int AS height
             FROM t
+        """,
+        "ltm_counter": """
+            SELECT event_type, count(*)::double AS value
+            FROM events WHERE value >= 100 GROUP BY event_type
+        """,
+        "ltm_gauge": """
+            SELECT event_type, value FROM (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "ltm_histogram": """
+            WITH per AS (
+              SELECT event_type, round(sum(value), 4) AS metric_sum,
+                     count(*)::bigint AS metric_count,
+                     sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END)::bigint AS b0,
+                     sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END)::bigint AS b1,
+                     sum(CASE WHEN value <= 200 THEN 1 ELSE 0 END)::bigint AS b2
+              FROM events GROUP BY event_type)
+            SELECT event_type, u.le,
+                   CASE u.le WHEN '50.0' THEN b0 WHEN '100.0' THEN b1
+                             WHEN '200.0' THEN b2 ELSE metric_count END AS bucket_count,
+                   metric_sum, metric_count
+            FROM per CROSS JOIN unnest(['50.0','100.0','200.0','+Inf']) AS u(le)
+        """,
+        "snapshot_flush": """
+            WITH trig AS (SELECT event_type, event_id AS trigger_id
+                          FROM events WHERE value >= 480)
+            SELECT trigger_id, event_id, event_type FROM (
+              SELECT t.trigger_id, e.event_id, e.event_type,
+                     row_number() OVER (PARTITION BY e.event_type, t.trigger_id
+                                        ORDER BY e.event_id DESC) AS rn
+              FROM events e JOIN trig t
+                ON e.event_type = t.event_type AND e.event_id <= t.trigger_id
+            ) WHERE rn <= 3
+        """,
+        "udf_hook": """
+            WITH base AS (SELECT 'app.' || event_type AS tag,
+                                 floor(epoch(ts))::bigint AS ts_sec, event_id, value
+                          FROM events WHERE event_id < 1000 AND value >= 1)
+            SELECT tag, ts_sec, event_id, NULL::int AS half
+            FROM base WHERE value < 100
+            UNION ALL
+            SELECT tag, ts_sec, event_id, h.half
+            FROM base CROSS JOIN unnest([1, 2]) AS h(half)
+            WHERE value >= 100
+        """,
+        "multiline": """
+            WITH l AS (SELECT user_id % 50 AS file, event_id AS seq,
+                CASE WHEN value >= 100 THEN 'START ' || event_type
+                     ELSE '  cont ' || event_type END AS line FROM events),
+            r AS (SELECT file, seq,
+                sum(CASE WHEN line LIKE 'START %' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY file ORDER BY seq
+                        ROWS UNBOUNDED PRECEDING) AS record_id FROM l)
+            SELECT file, record_id::bigint AS record_id,
+                   count(*)::bigint AS n_lines, min(seq) AS first_seq
+            FROM r GROUP BY file, record_id
         """,
         "multimodal_frames": """
             WITH t AS (SELECT doc_id AS id, len(text) AS n,

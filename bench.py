@@ -85,30 +85,47 @@ def main() -> None:
     # written columnar output — the production shape at 100 TB (never
     # recompute the parse for the rollup)
     n_rows = int(os.environ.get("BENCH_PAGES_ROWS", "2000000"))
+    # BENCH_SINK=parquet (default): full delivery — partitioned sink
+    # write + rollup from the written files (production shape; on one
+    # machine this is DISK-bound, so use it for absolute throughput).
+    # BENCH_SINK=noop: compute-only path (parse->route->aggregate with
+    # no I/O) — use for CPU-scaling comparisons, where per-executor
+    # disks would scale on a real cluster but a laptop's single disk
+    # does not.
+    sink_mode = os.environ.get("BENCH_SINK", "parquet")
     import shutil
     import tempfile
 
-    sink_dir = tempfile.mkdtemp(prefix="fbs_bench_sinks_")
+    # steady-state methodology: run the SAME plan once at small scale
+    # first so codegen compilation + JIT happen outside the timed
+    # region (a long-running cluster job pays these once per executor
+    # lifetime, not per 2M rows)
+    warm = build_pipeline(generate_pages(spark, 100_000))
+    force(warm.routed.drop("html"))
+    force(warm.aggregates)
+
     pages = generate_pages(spark, n_rows)
     t0 = time.perf_counter()
     result = build_pipeline(pages)
-    result.routed.drop("html").write.mode("overwrite").partitionBy("sink").parquet(
-        sink_dir
-    )
-    routed_out = spark.read.parquet(sink_dir)
-    aggs = (
-        routed_out.groupBy(
+    if sink_mode == "noop":
+        force(result.routed.drop("html"))
+        force(result.aggregates)
+    else:
+        sink_dir = tempfile.mkdtemp(prefix="fbs_bench_sinks_")
+        result.routed.drop("html").write.mode("overwrite").partitionBy(
+            "sink"
+        ).parquet(sink_dir)
+        routed_out = spark.read.parquet(sink_dir)
+        aggs = routed_out.groupBy(
             "sink", F.window("warc_ts", "1 minute")["start"].alias("window_start")
-        )
-        .agg(
+        ).agg(
             F.count(F.lit(1)).alias("records"),
             F.sum(F.length("text")).alias("bytes"),
         )
-    )
-    force(aggs)
+        force(aggs)
+        shutil.rmtree(sink_dir, ignore_errors=True)
     pipeline_sec = time.perf_counter() - t0
     timings["pipeline_synthetic"] = round(pipeline_sec, 3)
-    shutil.rmtree(sink_dir, ignore_errors=True)
     # text bytes processed (deterministic datagen; measured once, cheap)
     total_bytes = pages.selectExpr("sum(length(text)) b").first()["b"]
 

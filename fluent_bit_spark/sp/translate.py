@@ -111,9 +111,15 @@ class Translator:
             return F.lit(True)
         if isinstance(node, Logical):
             if node.op == "NOT":
+                # the one spot where SQL three-valued logic diverges
+                # from the reference in a filter: NOT(null-cmp) must
+                # KEEP the row (NOT false = true, flb_sp.c:1031-1033)
                 return ~F.coalesce(self.condition(node.left), F.lit(False))
-            l = F.coalesce(self.condition(node.left), F.lit(False))
-            r = F.coalesce(self.condition(node.right), F.lit(False))
+            # AND/OR need no coalesce in filter context: null operands
+            # drop the row either way, and bare operands keep parquet
+            # predicate pushdown alive through the conjunction
+            l = self.condition(node.left)
+            r = self.condition(node.right)
             return (l & r) if node.op == "AND" else (l | r)
         if isinstance(node, IsNull):
             op = node.operand
@@ -158,9 +164,9 @@ class Translator:
         key_op, lit_op = (node.left, node.right) if lk == "key" else (node.right, node.left)
 
         if lk == "key" and rk == "key":
-            return F.coalesce(apply(lc.try_cast("double"), rc.try_cast("double")), F.lit(False))
+            return apply(lc.try_cast("double"), rc.try_cast("double"))
         if lk != "key" and rk != "key":
-            return F.coalesce(apply(lc, rc), F.lit(False))
+            return apply(lc, rc)
 
         key_col = lc if lk == "key" else rc
         lit_col = rc if lk == "key" else lc
@@ -168,21 +174,26 @@ class Translator:
         if lit_kind == "bool":
             if dtype is not None and not isinstance(dtype, T.BooleanType):
                 return F.lit(False)
-            cmp = apply(key_col, lit_col) if lk == "key" else apply(lit_col, key_col)
-            return F.coalesce(cmp, F.lit(False))
+            return apply(key_col, lit_col) if lk == "key" else apply(lit_col, key_col)
         if lit_kind == "str":
             if dtype is not None and not isinstance(dtype, (T.StringType,)):
                 return F.lit(False)  # number vs string: mismatched -> false
-            cmp = apply(key_col, lit_col) if lk == "key" else apply(lit_col, key_col)
-            return F.coalesce(cmp, F.lit(False))
+            return apply(key_col, lit_col) if lk == "key" else apply(lit_col, key_col)
         # numeric literal (int/float/record_time): numeric strings convert
         if dtype is not None and isinstance(dtype, T.BooleanType):
             return F.lit(False)
-        kc = key_col.try_cast("double")
-        cmp = apply(kc, lit_col.cast("double")) if lk == "key" else apply(
+        # already-numeric columns compare directly: a redundant
+        # try_cast(double) would block parquet predicate pushdown at
+        # the scan (the single biggest lever at 100 TB)
+        if isinstance(dtype, (T.DoubleType, T.FloatType, *_INTEGRAL)):
+            kc = key_col
+        else:
+            kc = key_col.try_cast("double")
+        # bare null comparison == false in a filter; Logical() wraps
+        # operands in coalesce where three-valued logic would differ
+        return apply(kc, lit_col.cast("double")) if lk == "key" else apply(
             lit_col.cast("double"), kc
         )
-        return F.coalesce(cmp, F.lit(False))
 
     # --------------------------------------------------------------- keys
     def _agg_expr(self, key: Key) -> Column:
