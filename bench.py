@@ -55,6 +55,10 @@ def force(df) -> None:
 
 
 def main() -> None:
+    # 32 concurrent tasks are GC-bound in the 8g default heap; size
+    # like a real executor (set before the JVM starts)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+
     import __spark_entry__ as entry
     from pyspark.sql import functions as F
 

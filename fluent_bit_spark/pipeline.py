@@ -245,17 +245,32 @@ def build_pipeline(
     return PipelineResult(routed=routed, aggregates=aggregates, metrics=metrics)
 
 
-def run_to_sinks(result: PipelineResult, out_dir: str) -> dict[str, int]:
-    """Materialize: one-pass partitioned write + aggregate/metrics tables."""
-    result.routed.write.mode("overwrite").partitionBy("sink").parquet(
-        os.path.join(out_dir, "sinks")
+def run_to_sinks(
+    result: PipelineResult, out_dir: str, fmt: str = "parquet"
+) -> dict[str, int]:
+    """Materialize: one-pass partitioned write + aggregate/metrics
+    tables. ``fmt`` is any Spark batch format — locally "parquet";
+    on a cluster with the Iceberg runtime on the classpath, pass
+    "iceberg" (or swap to ``writeTo(table)`` with a catalog) and the
+    plan is unchanged: Iceberg's SparkWrite consumes the same
+    partitioned one-pass write."""
+    (
+        result.routed.write.mode("overwrite")
+        .format(fmt)
+        .partitionBy("sink")
+        .save(os.path.join(out_dir, "sinks"))
     )
-    result.aggregates.write.mode("overwrite").parquet(os.path.join(out_dir, "aggregates"))
-    result.metrics.write.mode("overwrite").parquet(os.path.join(out_dir, "metrics"))
+    result.aggregates.write.mode("overwrite").format(fmt).save(
+        os.path.join(out_dir, "aggregates")
+    )
+    result.metrics.write.mode("overwrite").format(fmt).save(
+        os.path.join(out_dir, "metrics")
+    )
     spark = result.routed.sparkSession
     counts = {
         r["sink"]: r["cnt"]
-        for r in spark.read.parquet(os.path.join(out_dir, "sinks"))
+        for r in spark.read.format(fmt)
+        .load(os.path.join(out_dir, "sinks"))
         .groupBy("sink")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
