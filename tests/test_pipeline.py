@@ -57,6 +57,30 @@ def test_html_embeds_text_bytes(pages):
     assert r["text"] in r["page"]
 
 
+def test_routed_text_byte_identical_per_url(spark, pages):
+    """input_hint per-row invariant: the pipeline must carry ``text``
+    through parse->rewrite->fan-out byte-identical per url (it only
+    ever derives new columns, never rewrites the source bytes)."""
+    from fluent_bit_spark.pipeline import build_pipeline
+
+    routed = build_pipeline(pages).routed
+    mismatches = (
+        routed.alias("r")
+        .join(pages.alias("p"), "url")
+        .filter(F.col("r.text") != F.col("p.text"))
+        .count()
+    )
+    assert mismatches == 0
+    # and html payload bytes survive untouched too
+    mism_html = (
+        routed.alias("r")
+        .join(pages.alias("p"), "url")
+        .filter(F.md5(F.col("r.html")) != F.md5(F.col("p.html")))
+        .count()
+    )
+    assert mism_html == 0
+
+
 def test_parse_stage_all_formats_parse(pages):
     parsed = parse_stage(pages)
     by_fmt = {
