@@ -51,13 +51,21 @@ _MH_B = np.array(P.MINHASH_B, dtype=np.int64)[:, None]
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def _minhash_arrow(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for s in it:
-        out = []
-        for hs in s:
-            h = np.asarray(hs, dtype=np.int64)[None, :]
-            # a*h < 2^60: no int64 overflow, matches SQL semantics
-            sig = ((_MH_A * h + _MH_B) % P.P53).min(axis=1)
-            out.append(sig.tolist())
-        yield pd.Series(out)
+        # whole-batch vectorization: flatten all rows' hash arrays,
+        # one (K, total) universal-hash pass, segment-min per row —
+        # no per-row numpy-call overhead
+        arrs = [np.asarray(hs, dtype=np.int64) for hs in s]
+        lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=len(arrs))
+        if len(arrs) == 0 or lens.sum() == 0:
+            yield pd.Series([[] for _ in arrs])
+            continue
+        flat = np.concatenate(arrs)
+        # a*h < 2^60: no int64 overflow, matches SQL semantics
+        vals = (_MH_A * flat[None, :] + _MH_B) % P.P53
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        mins = np.minimum.reduceat(vals, starts, axis=1)  # (K, nrows)
+        yield pd.Series(list(mins.T.tolist()))
 
 
 _BITS = np.arange(32, dtype=np.int64)[None, :]
@@ -198,25 +206,27 @@ def minhash_lsh_pairs(
         "id",
         F.posexplode(F.expr(P.spark_band_keys("sig"))).alias("band", "bkey"),
     )
-    # skew guard: drop pathological buckets (e.g. empty-text clusters)
-    bucket_sizes = bands.groupBy("band", "bkey").count()
-    bands = (
-        bands.join(
-            F.broadcast(bucket_sizes.filter(F.col("count") > max_bucket)),
-            ["band", "bkey"],
-            "left_anti",
-        )
+    # ONE shuffle: group each bucket, expand pairs from the collected
+    # id list (a self-join would shuffle bands twice and re-shuffle
+    # for the join); the size guard doubles as the skew guard —
+    # pathological buckets (empty-text clusters) are dropped, everything
+    # else expands at most max_bucket^2/2 pairs inside its own task
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.id") < F.col("b.id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x as id_a, y as id_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     # candidate rows are tiny in bytes but expensive to verify (set
