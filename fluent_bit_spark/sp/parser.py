@@ -387,6 +387,11 @@ class _Parser:
         if k == "ident":
             if v.upper() in ("TRUE", "FALSE"):
                 return Operand("bool", v.upper() == "TRUE")
+            if v.upper() == "NULL":
+                # NULL is not a comparison operand in the grammar
+                # (sql.y has no NULL literal; only IS [NOT] NULL) —
+                # sp_invalid_queries.h expects this to error
+                raise ValueError("SP SQL: NULL is not a valid operand")
             return Operand("key", v, self._subkeys())
         raise ValueError(f"SP SQL: operand expected, got {(k, v)}")
 

@@ -252,6 +252,23 @@ class Translator:
 
         has_agg = any(k.aggr for k in cmd.keys)
         if has_agg:
+            # sp_cmd_aggregated_keys validation (flb_sp.c:232-289): an
+            # aggregate query may only select aggregates, scalar
+            # functions and group-by keys; '*' is never allowed
+            gb_names = {g.name for g in cmd.group_by}
+            for k in cmd.keys:
+                if k.aggr or k.time_func or k.record_func:
+                    continue
+                if k.name is None:
+                    raise ValueError(
+                        "aggregate query cannot select '*' (flb_sp.c:232-289)"
+                    )
+                if k.name not in gb_names:
+                    raise ValueError(
+                        f"non-aggregate key {k.name!r} must appear in GROUP BY "
+                        "(flb_sp.c:232-289)"
+                    )
+        if has_agg:
             group_cols: list[Column] = []
             if cmd.window:
                 dur = f"{cmd.window.size_sec} seconds"
