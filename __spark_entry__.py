@@ -479,6 +479,20 @@ def q_udf_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.textprep.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.textprep.dedup import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=6
+    )
+
+
 def q_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_spark.operators.multiline import multiline_join
 
@@ -539,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_flush": q_snapshot_flush,
         "udf_hook": q_udf_hook,
         "multiline": q_multiline,
+        "dedup_embedding_exact": q_dedup_embedding_exact,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
     }
 
 
@@ -591,6 +607,27 @@ def _duck_topk_sql(bucketed: bool) -> str:
         "SELECT query_id, rank, neighbor_id, cos FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query_id "
         "ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) WHERE rank <= 5"
+    )
+
+
+def _duck_embedding_lsh_sql() -> str:
+    from fluent_bit_spark.textprep.simsearch import hyperplanes
+
+    planes = hyperplanes(DIM, 6)
+    vals = ",".join(
+        "({}, [{}])".format(pi, ",".join(f"cast({x!r} as double)" for x in row))
+        for pi, row in enumerate(planes)
+    )
+    return (
+        f"WITH planes(pi, pv) AS (SELECT * FROM (VALUES {vals}) t(pi, pv)), "
+        "buckets AS (SELECT e.vec_id, e.embedding, "
+        f"cast(sum(CASE WHEN ({_duck_dot('e.embedding', 'p.pv')}) >= 0 "
+        "THEN power(2, p.pi) ELSE 0 END) as int) AS bucket "
+        "FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, e.embedding) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"round({_duck_cos('a.embedding', 'b.embedding')}, 6) AS cos "
+        "FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+        f"WHERE round({_duck_cos('a.embedding', 'b.embedding')}, 6) >= 0.3"
     )
 
 
@@ -879,6 +916,13 @@ def oracle_sql() -> dict[str, str]:
             FROM base CROSS JOIN unnest([1, 2]) AS h(half)
             WHERE value >= 100
         """,
+        "dedup_embedding_exact": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_duck_cos('a.embedding', 'b.embedding')}, 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round({_duck_cos('a.embedding', 'b.embedding')}, 6) >= 0.3
+        """,
+        "dedup_embedding_lsh": _duck_embedding_lsh_sql(),
         "multiline": """
             WITH l AS (SELECT user_id % 50 AS file, event_id AS seq,
                 CASE WHEN value >= 100 THEN 'START ' || event_type

@@ -266,6 +266,51 @@ def simhash_col(
     return df.withColumn(out_col, F.expr(P.spark_simhash("_th"))).drop("_th")
 
 
+def embedding_neardup_lsh(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH-bucketed cosine near-dup pairs — the 100 TB path for
+    embedding dedup: random-hyperplane sign buckets (deterministic
+    planes), pairs only within a bucket, exact-cosine verified.
+
+    Recall note: same-bucket requires agreeing on ALL n_planes signs;
+    P(agree) = (1 - theta/pi)^n_planes — for near-dup thresholds
+    (cosine >= ~0.9, theta <= 26deg) that is >= 0.4 per table, and
+    standard practice is multiple independent tables; the exact
+    brute-force form (embedding_neardup_pairs) is the recall oracle.
+    """
+    from fluent_bit_spark.textprep.simsearch import bucket_expr, cosine_expr, hyperplanes
+
+    dim = len(df.select(vec_col).first()[0])
+    b = bucket_expr(vec_col, hyperplanes(dim, n_planes))
+    s = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.expr(b).alias("bucket")
+    )
+    buckets = (
+        s.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "v"))).alias("rows"))
+        .filter(F.size("rows") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(rows, (x, i) -> "
+                "transform(slice(rows, i + 2, size(rows) - i - 1), "
+                "y -> struct(x.id as id_a, y.id as id_b, x.v as va, y.v as vb))))"
+            )
+        ).alias("p")
+    ).select(
+        "p.id_a",
+        "p.id_b",
+        F.expr(f"round({cosine_expr('p.va', 'p.vb')}, 6)").alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= threshold)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float,

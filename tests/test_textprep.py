@@ -180,3 +180,11 @@ def test_sample_frames_one_to_n(payloads):
     assert len(by_id[0]) == 2  # 604 bytes -> 2 frames of 256
     assert all(r["frame_bytes"] == 256 for r in by_id[0])
     assert len(by_id[2]) == 1  # short payload -> single frame
+
+
+def test_embedding_neardup_lsh_finds_planted(vectors):
+    from fluent_bit_spark.textprep.dedup import embedding_neardup_lsh
+
+    pairs = embedding_neardup_lsh(vectors, threshold=0.999, n_planes=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100) in got  # near-identical vectors share every sign bit
