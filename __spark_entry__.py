@@ -231,6 +231,29 @@ def q_sp_select_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_query(sql, ev, ts_col="ts")
 
 
+def q_sp_key_key_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP key-vs-key comparison through the dtype lattice.
+
+    string=string compares with strcmp semantics for every operator and
+    numeric-string vs numeric coerces the string side (flb_sp.c:868-998);
+    previously both sides were blindly cast to double, silently dropping
+    every string=string row.
+    """
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn(
+            "label",
+            F.when(F.col("value") > 200, F.lit("error")).otherwise(F.lit("click")),
+        )
+        .withColumn("vstr", F.floor("value").cast("long").cast("string"))
+    )
+    sql = (
+        "SELECT event_id AS id, event_type AS et FROM STREAM:events "
+        "WHERE event_type = label OR vstr > user_id;"
+    )
+    return run_query(sql, ev, ts_col="ts")
+
+
 def q_sp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     sql = (
@@ -383,7 +406,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     data = emb.filter(F.col("vec_id") >= 10)
-    return lsh_topk(data, queries, k=5, n_planes=6)
+    return lsh_topk(data, queries, k=5, n_planes=6, dim=DIM)
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,7 +512,11 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_spark.textprep.dedup import embedding_neardup_lsh
 
     return embedding_neardup_lsh(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=6
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        n_planes=6,
+        dim=DIM,
+        max_bucket=1000,
     )
 
 
@@ -525,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_tag": q_rewrite_tag,
         "glob_route_match": q_glob_route_match,
         "sp_select_where": q_sp_select_where,
+        "sp_key_key_compare": q_sp_key_key_compare,
         "sp_aggregate": q_sp_aggregate,
         "sp_tumbling": q_sp_tumbling,
         "sp_hopping": q_sp_hopping,
@@ -623,10 +651,14 @@ def _duck_embedding_lsh_sql() -> str:
         "buckets AS (SELECT e.vec_id, e.embedding, "
         f"cast(sum(CASE WHEN ({_duck_dot('e.embedding', 'p.pv')}) >= 0 "
         "THEN power(2, p.pi) ELSE 0 END) as int) AS bucket "
-        "FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, e.embedding) "
+        "FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, e.embedding), "
+        # max_bucket skew guard mirrored from embedding_neardup_lsh
+        "ok AS (SELECT bucket FROM buckets GROUP BY bucket "
+        "HAVING count(*) BETWEEN 2 AND 1000) "
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         f"round({_duck_cos('a.embedding', 'b.embedding')}, 6) AS cos "
         "FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+        "JOIN ok ON ok.bucket = a.bucket "
         f"WHERE round({_duck_cos('a.embedding', 'b.embedding')}, 6) >= 0.3"
     )
 
@@ -729,6 +761,15 @@ def oracle_sql() -> dict[str, str]:
         "sp_select_where": """
             SELECT event_id AS id, value AS v FROM events
             WHERE value >= 50 AND value <= 300
+        """,
+        "sp_key_key_compare": """
+            WITH ev AS (
+              SELECT event_id, event_type, user_id,
+                     CASE WHEN value > 200 THEN 'error' ELSE 'click' END AS label,
+                     CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) AS vstr
+              FROM events)
+            SELECT event_id AS id, event_type AS et FROM ev
+            WHERE event_type = label OR TRY_CAST(vstr AS DOUBLE) > user_id
         """,
         "sp_aggregate": """
             SELECT event_type, count(*)::bigint AS records,

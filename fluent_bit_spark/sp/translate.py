@@ -164,7 +164,31 @@ class Translator:
         key_op, lit_op = (node.left, node.right) if lk == "key" else (node.right, node.left)
 
         if lk == "key" and rk == "key":
-            return apply(lc.try_cast("double"), rc.try_cast("double"))
+            # key-vs-key goes through the same dtype lattice as
+            # key-vs-literal (flb_sp.c:868-998): strings compare with
+            # strcmp for EVERY operator, bools compare natively only
+            # against bools, numerics compare numerically with int->float
+            # promotion, and a numeric-vs-string pair converts the string
+            # side (object_to_number; unconvertible -> null -> false).
+            ldt = self._dtype(node.left.value, node.left.subkeys)
+            rdt = self._dtype(node.right.value, node.right.subkeys)
+
+            def is_num(dt: T.DataType | None) -> bool:
+                return isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType, *_INTEGRAL))
+
+            if isinstance(ldt, T.BooleanType) or isinstance(rdt, T.BooleanType):
+                if isinstance(ldt, T.BooleanType) and isinstance(rdt, T.BooleanType):
+                    return apply(lc, rc)
+                return F.lit(False)  # bool vs anything else: mismatched -> false
+            if isinstance(ldt, T.StringType) and isinstance(rdt, T.StringType):
+                return apply(lc, rc)  # native string compare == strcmp ordering
+            if is_num(ldt) and is_num(rdt):
+                return apply(lc, rc)  # Spark promotes int->float natively
+            # mixed numeric/string (or unknown dtype): numeric-coerce the
+            # non-numeric side; non-numeric strings become null -> false
+            lcn = lc if is_num(ldt) else lc.try_cast("double")
+            rcn = rc if is_num(rdt) else rc.try_cast("double")
+            return apply(lcn, rcn)
         if lk != "key" and rk != "key":
             return apply(lc, rc)
 

@@ -46,26 +46,55 @@ from fluent_bit_spark.textprep import portable as P
 
 _MH_A = np.array(P.MINHASH_A, dtype=np.int64)[:, None]
 _MH_B = np.array(P.MINHASH_B, dtype=np.int64)[:, None]
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
+def _clean_hashes(hs: object) -> np.ndarray:
+    if hs is None:
+        return _EMPTY_I64
+    a = np.asarray(hs)
+    if a.dtype.kind == "f":  # nulls inside the list promote to float/NaN
+        a = a[~np.isnan(a)]
+        return a.astype(np.int64)
+    return a.astype(np.int64, copy=False)
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def _minhash_arrow(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    K = len(P.MINHASH_A)
+    null_sig = [None] * K  # matches the SQL path: array_min(null/[]) -> null
     for s in it:
         # whole-batch vectorization: flatten all rows' hash arrays,
         # one (K, total) universal-hash pass, segment-min per row —
-        # no per-row numpy-call overhead
-        arrs = [np.asarray(hs, dtype=np.int64) for hs in s]
+        # no per-row numpy-call overhead. Null/empty shingle rows get a
+        # null signature up front: np.asarray(None) raises, and a
+        # zero-length segment makes reduceat read the NEXT segment's
+        # value (silently wrong) or IndexError on a trailing empty.
+        # a null TEXT row arrives as hs=[None] (Arrow: float array with
+        # NaN) — drop null elements like Spark's array_min does; all-null
+        # -> zero-length -> null signature. Shingle hashes are < 2^32 so
+        # the float64 round-trip is exact.
+        arrs = [_clean_hashes(hs) for hs in s]
         lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=len(arrs))
         if len(arrs) == 0 or lens.sum() == 0:
-            yield pd.Series([[] for _ in arrs])
+            yield pd.Series([null_sig for _ in arrs])
             continue
         flat = np.concatenate(arrs)
         # a*h < 2^60: no int64 overflow, matches SQL semantics
         vals = (_MH_A * flat[None, :] + _MH_B) % P.P53
-        starts = np.zeros(len(arrs), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        mins = np.minimum.reduceat(vals, starts, axis=1)  # (K, nrows)
-        yield pd.Series(list(mins.T.tolist()))
+        ne_lens = lens[lens > 0]
+        starts = np.zeros(len(ne_lens), dtype=np.int64)
+        np.cumsum(ne_lens[:-1], out=starts[1:])
+        mins = np.minimum.reduceat(vals, starts, axis=1)  # (K, n_nonempty)
+        out: list[list[int] | list[None]] = []
+        j = 0
+        for n in lens:
+            if n:
+                out.append(mins[:, j].tolist())
+                j += 1
+            else:
+                out.append(null_sig)
+        yield pd.Series(out)
 
 
 _BITS = np.arange(32, dtype=np.int64)[None, :]
@@ -269,46 +298,84 @@ def simhash_col(
 def embedding_neardup_lsh(
     df: DataFrame,
     threshold: float,
-    n_planes: int = 6,
+    n_planes: int = 12,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
+    n_tables: int = 1,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """LSH-bucketed cosine near-dup pairs — the 100 TB path for
     embedding dedup: random-hyperplane sign buckets (deterministic
     planes), pairs only within a bucket, exact-cosine verified.
 
-    Recall note: same-bucket requires agreeing on ALL n_planes signs;
-    P(agree) = (1 - theta/pi)^n_planes — for near-dup thresholds
-    (cosine >= ~0.9, theta <= 26deg) that is >= 0.4 per table, and
-    standard practice is multiple independent tables; the exact
-    brute-force form (embedding_neardup_pairs) is the recall oracle.
-    """
-    from fluent_bit_spark.textprep.simsearch import bucket_expr, cosine_expr, hyperplanes
+    Plan shape mirrors minhash_lsh_pairs: (id, vector) persisted once;
+    one shuffle on (table, bucket) carrying ids only (the aggregation
+    row holds at most ``max_bucket`` longs, never vectors); distinct
+    candidate pairs joined back to the vector table for the exact
+    verify. ``max_bucket`` is the skew/OOM guard — a degenerate bucket
+    (e.g. all-zero embeddings) is dropped instead of expanding
+    quadratically inside one task. Pass ``dim`` at scale to avoid the
+    driver-side first() probe.
 
-    dim = len(df.select(vec_col).first()[0])
-    b = bucket_expr(vec_col, hyperplanes(dim, n_planes))
-    s = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.expr(b).alias("bucket")
+    Recall note: same-bucket requires agreeing on ALL n_planes signs;
+    P(agree) = (1 - theta/pi)^n_planes per table. ``n_tables``
+    independent plane sets (disjoint via hyperplanes offset) are
+    OR-combined — recall = 1 - (1 - p)^n_tables — the standard
+    recall/cost dial; the exact brute-force form
+    (embedding_neardup_pairs) is the recall oracle.
+    """
+    from fluent_bit_spark.textprep.simsearch import (
+        _infer_dim,
+        bucket_expr,
+        cosine_expr,
+        hyperplanes,
+    )
+
+    dim = _infer_dim(df, vec_col, dim)
+    s = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).persist()
+    table_buckets = F.array(
+        *[
+            F.expr(bucket_expr("v", hyperplanes(dim, n_planes, offset=t * n_planes)))
+            for t in range(n_tables)
+        ]
+    )
+    bucketed = s.select(
+        "id", F.posexplode(table_buckets).alias("tbl", "bucket")
     )
     buckets = (
-        s.groupBy("bucket")
-        .agg(F.sort_array(F.collect_list(F.struct("id", "v"))).alias("rows"))
-        .filter(F.size("rows") >= 2)
+        bucketed.groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(rows, (x, i) -> "
-                "transform(slice(rows, i + 2, size(rows) - i - 1), "
-                "y -> struct(x.id as id_a, y.id as id_b, x.v as va, y.v as vb))))"
-            )
-        ).alias("p")
-    ).select(
-        "p.id_a",
-        "p.id_b",
-        F.expr(f"round({cosine_expr('p.va', 'p.vb')}, 6)").alias("cos"),
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x as id_a, y as id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
     )
-    return pairs.filter(F.col("cos") >= threshold)
+    # tiny-bytes / heavy-compute stage: spread the exact-cosine verify
+    # explicitly so AQE doesn't coalesce it onto one task
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
+    verified = (
+        cand.join(s.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(s.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(f"round({cosine_expr('sa.v', 'sb.v')}, 6)").alias("cos"),
+        )
+    )
+    return verified.filter(F.col("cos") >= threshold)
 
 
 def embedding_neardup_pairs(

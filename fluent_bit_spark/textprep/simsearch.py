@@ -69,11 +69,13 @@ def cosine_topk(
     )
 
 
-def hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+def hyperplanes(dim: int, n_planes: int, offset: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no RNG state: pure
-    function of indices, identical on any cluster / in the oracle)."""
+    function of indices, identical on any cluster / in the oracle).
+    ``offset`` shifts the plane index so independent LSH tables get
+    disjoint plane sets (table t -> offset=t*n_planes)."""
     planes = []
-    for p in range(n_planes):
+    for p in range(offset, offset + n_planes):
         row = []
         for i in range(dim):
             x = (p * 7919 + i * 104729 + 12345) % P53
@@ -92,13 +94,22 @@ def bucket_expr(vec_col: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+def _infer_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Vector dimensionality. Pass ``dim`` explicitly at scale — the
+    fallback runs a driver-side first() job per call."""
+    if dim is not None:
+        return dim
+    return len(df.select(vec_col).first()[0])
+
+
 def lsh_buckets(
     df: DataFrame,
     n_planes: int = 8,
     vec_col: str = "embedding",
     out_col: str = "bucket",
+    dim: int | None = None,
 ) -> DataFrame:
-    dim = len(df.select(vec_col).first()[0])
+    dim = _infer_dim(df, vec_col, dim)
     return df.withColumn(out_col, F.expr(bucket_expr(vec_col, hyperplanes(dim, n_planes))))
 
 
@@ -109,6 +120,7 @@ def lsh_topk(
     n_planes: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's bucket.
 
@@ -116,7 +128,7 @@ def lsh_topk(
     by the LSH bucket), then each query probes a single partition —
     the scan is pruned by ~2^n_planes.
     """
-    dim = len(data.select(vec_col).first()[0])
+    dim = _infer_dim(data, vec_col, dim)
     planes = hyperplanes(dim, n_planes)
     b = bucket_expr(vec_col, planes)
     d = data.select(

@@ -299,3 +299,38 @@ def test_subkey_condition(spark):
         "SELECT id FROM STREAM:FLB WHERE map['sub1']['sub2'] = 'blue';", df
     )
     assert [r["id"] for r in out.collect()] == [0]
+
+
+# ----- key-vs-key comparisons through the dtype lattice ------------------
+# flb_sp.c:868-998: strings compare with strcmp for every operator, bools
+# only against bools, numeric-vs-string converts the string side.
+
+
+def test_key_key_string_eq(samples):
+    # word3 = word3 holds wherever word3 is a non-null string (ids
+    # 2,3,4,6,8,9); the old double-cast made every row null -> dropped
+    out = q(samples, "SELECT id FROM STREAM:FLB WHERE word3 = word3;")
+    assert sorted(r["id"] for r in out.collect()) == [2, 3, 4, 6, 8, 9]
+
+
+def test_key_key_string_lt(samples):
+    # strcmp ordering: ids 0 (fluent<logging) and 1 (fluentd<rlz)
+    out = q(samples, "SELECT id FROM STREAM:FLB WHERE word1 < word2;")
+    assert sorted(r["id"] for r in out.collect()) == [0, 1]
+
+
+def test_key_key_bool_eq(samples):
+    out = q(samples, "SELECT id FROM STREAM:FLB WHERE bool = bool;")
+    assert out.count() == 11
+
+
+def test_key_key_bool_vs_string_false(samples):
+    # mismatched types -> false, never an error
+    out = q(samples, "SELECT id FROM STREAM:FLB WHERE bool = word1;")
+    assert out.count() == 0
+
+
+def test_key_key_numeric_string_coercion(samples):
+    # bytes is a numeric string; usage is integral: only id=0 (10 == 10)
+    out = q(samples, "SELECT id FROM STREAM:FLB WHERE bytes = usage;")
+    assert [r["id"] for r in out.collect()] == [0]

@@ -188,3 +188,48 @@ def test_embedding_neardup_lsh_finds_planted(vectors):
     pairs = embedding_neardup_lsh(vectors, threshold=0.999, n_planes=4)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 100) in got  # near-identical vectors share every sign bit
+
+
+def test_minhash_null_and_empty_text(spark):
+    # null / empty / whitespace text must yield a null signature (the
+    # SQL path's semantics), not crash the Arrow batch or corrupt
+    # neighboring rows' segment-min
+    rows = [
+        (0, "the quick brown fox jumps over the dog"),
+        (1, None),
+        (2, ""),
+        (3, "the quick brown fox jumps over the dog"),
+        (4, " "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures(df).collect()}
+    assert sigs[0] == sigs[3]  # identical docs unaffected by nulls between
+    assert all(v is None for v in sigs[1])  # null text -> null signature
+    sql_sigs = {
+        r["id"]: r["sig"] for r in minhash_signatures(df, engine="sql").collect()
+    }
+    assert sql_sigs == sigs  # arrow path stays bit-identical to the SQL form
+
+
+def test_embedding_lsh_max_bucket_guard(spark):
+    from fluent_bit_spark.textprep.dedup import embedding_neardup_lsh
+
+    # pathological input: every vector identical -> one bucket holds all
+    # rows; with max_bucket the bucket is dropped (bounded expansion)
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_neardup_lsh(
+        df, threshold=0.9, n_planes=4, dim=4, max_bucket=10
+    )
+    assert out.count() == 0  # oversized bucket dropped, no quadratic blowup
+
+
+def test_embedding_lsh_multi_table_recall(vectors):
+    from fluent_bit_spark.textprep.dedup import embedding_neardup_lsh
+
+    one = embedding_neardup_lsh(vectors, threshold=0.999, n_planes=8, n_tables=1)
+    four = embedding_neardup_lsh(vectors, threshold=0.999, n_planes=8, n_tables=4)
+    got1 = {(r["id_a"], r["id_b"]) for r in one.collect()}
+    got4 = {(r["id_a"], r["id_b"]) for r in four.collect()}
+    assert got1 <= got4  # extra tables only ADD recall
+    assert (0, 100) in got4
