@@ -536,6 +536,80 @@ def q_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("file", "record_id", "n_lines", "first_seq")
 
 
+def q_multiline_java(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in java stacktrace state machine (flb_ml_parser_java.c)
+    over synthesized log lines; the constrained line alphabet (start /
+    at-frame / caused-by / plain) keeps the DFA SQL-expressible for the
+    oracle: a continuation line attaches iff the most recent
+    non-continuation line before it was an exception start."""
+    from fluent_bit_spark.operators.multiline import ml_rules_join
+
+    uid = F.col("user_id").cast("string")
+    m = F.col("event_id") % 10
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("file"),
+        F.col("event_id").alias("seq"),
+        F.when(
+            m <= 2,
+            F.concat(
+                F.lit("Exception in thread main "),
+                F.col("event_type"),
+                F.lit("Exception: code "),
+                uid,
+            ),
+        )
+        .when(
+            m <= 7,
+            F.concat(
+                F.lit("     at com."),
+                F.col("event_type"),
+                F.lit(".Main(App.java:"),
+                uid,
+                F.lit(")"),
+            ),
+        )
+        .when(m == 8, F.concat(F.lit("Caused by: timeout "), uid))
+        .otherwise(F.concat(F.lit("plain "), F.col("event_type"), F.lit(" "), uid))
+        .alias("line"),
+    )
+    out = ml_rules_join(ev, ["file"], "seq", "line", "java")
+    return out.select("file", "record_id", "n_lines", "first_seq", "record")
+
+
+def q_decoder_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoder rule chaining inside a parser spec: json DEC_AS with
+    try_next falls through to an escaped decode on invalid-json rows
+    (flb_parser_decoder.c:392-520 chain semantics)."""
+    from fluent_bit_spark.parsers.compile import apply_parser
+    from fluent_bit_spark.parsers.config import parse_parsers_conf
+
+    conf = (
+        "[PARSER]\n"
+        "    Name chain\n"
+        "    Format regex\n"
+        "    Regex ^(?<etype>\\S+) (?<props>.*)$\n"
+        "    Decode_Field_As json props try_next\n"
+        "    Decode_Field_As escaped props\n"
+    )
+    spec = parse_parsers_conf(conf)["chain"]
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.col("event_type"),
+            F.lit(" "),
+            F.when(F.col("event_id") % 3 == 0, F.lit(r"not-json\t")).otherwise(
+                F.col("props")
+            ),
+        ).alias("text"),
+    )
+    out = apply_parser(ev, "text", spec)
+    return out.select(
+        "event_id",
+        F.col("props").getItem("k").alias("k"),
+        F.col("props_str").alias("props_str"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_e2e": q_pipeline_e2e,
@@ -581,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_flush": q_snapshot_flush,
         "udf_hook": q_udf_hook,
         "multiline": q_multiline,
+        "multiline_java": q_multiline_java,
+        "decoder_chain": q_decoder_chain,
         "dedup_embedding_exact": q_dedup_embedding_exact,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
     }
@@ -975,6 +1051,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT file, record_id::bigint AS record_id,
                    count(*)::bigint AS n_lines, min(seq) AS first_seq
             FROM r GROUP BY file, record_id
+        """,
+        "multiline_java": """
+            WITH l AS (
+              SELECT user_id % 50 AS file, event_id AS seq,
+                     event_id % 10 AS m,
+                     CASE WHEN event_id % 10 <= 2 THEN 'E'
+                          WHEN event_id % 10 <= 7 THEN 'A'
+                          WHEN event_id % 10 = 8 THEN 'C'
+                          ELSE 'S' END AS cls,
+                     CASE WHEN event_id % 10 <= 2 THEN
+                            'Exception in thread main ' || event_type ||
+                            'Exception: code ' || CAST(user_id AS VARCHAR)
+                          WHEN event_id % 10 <= 7 THEN
+                            '     at com.' || event_type || '.Main(App.java:'
+                            || CAST(user_id AS VARCHAR) || ')'
+                          WHEN event_id % 10 = 8 THEN
+                            'Caused by: timeout ' || CAST(user_id AS VARCHAR)
+                          ELSE 'plain ' || event_type || ' '
+                               || CAST(user_id AS VARCHAR) END AS line
+              FROM events),
+            c AS (SELECT *, cls IN ('A', 'C') AS is_cont FROM l),
+            lnc AS (SELECT *,
+                     max(CASE WHEN NOT is_cont THEN seq END)
+                       OVER (PARTITION BY file ORDER BY seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_nc_seq
+                    FROM c),
+            j AS (SELECT a.*, b.cls AS prev_nc_cls
+                  FROM lnc a LEFT JOIN c b
+                    ON a.file = b.file AND a.prev_nc_seq = b.seq),
+            st AS (SELECT *,
+                     CASE WHEN NOT is_cont THEN 1
+                          WHEN prev_nc_cls = 'E' THEN 0
+                          ELSE 1 END AS is_start
+                   FROM j),
+            r AS (SELECT *,
+                    sum(is_start) OVER (PARTITION BY file ORDER BY seq
+                                        ROWS UNBOUNDED PRECEDING) - 1 AS rid
+                  FROM st)
+            SELECT file, rid::bigint AS record_id,
+                   count(*)::bigint AS n_lines, min(seq) AS first_seq,
+                   string_agg(line, chr(10) ORDER BY seq) AS record
+            FROM r GROUP BY file, rid
+        """,
+        "decoder_chain": """
+            SELECT event_id,
+                   CASE WHEN event_id % 3 != 0
+                        THEN json_extract_string(props, '$.k') END AS k,
+                   CASE WHEN event_id % 3 = 0
+                        THEN e'not-json\\t' END AS props_str
+            FROM events
         """,
         "multimodal_frames": """
             WITH t AS (SELECT doc_id AS id, len(text) AS n,

@@ -30,6 +30,16 @@ _ACCESSOR_RE = re.compile(
     r"|\$(\d)"
 )
 _SUB_RE = re.compile(r"\[(?:'([^']*)'|\"([^\"]*)\"|(\d+))\]")
+_ENV_RE = re.compile(r"\$\{([^}]*)\}")
+
+
+def env_translate(template: str) -> str:
+    """``${NAME}`` -> environment value at accessor-creation time
+    (src/flb_record_accessor.c:291-313 via flb_env_var_translate);
+    unset variables render as empty string, like the reference."""
+    import os
+
+    return _ENV_RE.sub(lambda m: os.environ.get(m.group(1), ""), template)
 
 
 def _subscripts(subs: str) -> list[str | int]:
@@ -73,13 +83,17 @@ def ra_translate_col(
     template: str,
     tag_col: str = "tag",
     captures: dict[int, Column] | None = None,
+    translate_env: bool = True,
 ) -> Column:
     """Compile an interpolation template to a Column (flb_ra_translate).
 
     ``captures`` maps ``$0..$9`` refs to Columns (regex match groups of a
     rewrite_tag rule). Null accessor values render as empty string, like
-    the reference, which skips unresolvable accessors.
+    the reference, which skips unresolvable accessors. ``${ENV}`` vars
+    resolve once at compile time (flb_record_accessor.c:291-313).
     """
+    if translate_env:
+        template = env_translate(template)
     parts: list[Column] = []
     pos = 0
     for m in _ACCESSOR_RE.finditer(template):

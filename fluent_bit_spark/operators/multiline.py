@@ -143,3 +143,194 @@ def docker_join(
     )
     out = partial_join(parsed, key_cols + ["stream"], order_col, "_log", F.col("_full"))
     return out.withColumn("log", F.regexp_replace("record", "\n$", "")).drop("record")
+
+
+# ---------------------------------------------------------------------
+# Generic rule-table state machine + built-in language parsers.
+#
+# Reference: src/multiline/flb_ml_rule.c:269-360 (flb_ml_rule_process):
+# a line first tries the CONTINUATION rules reachable from the current
+# state (rules whose from_states contain it, in registration order,
+# SKIPPING rules flagged start_state); if none match it tries the
+# start rules (flush pending record, open a new one); if neither
+# matches, the pending record is flushed and the line becomes its own
+# record. Built-in rule tables: flb_ml_parser_java.c, _go.c,
+# _python.c, _ruby.c.
+#
+# Spark-first split: the regex work (the hot path) runs JVM-side as
+# ONE codegen pass building a per-line bitmask over the distinct rule
+# patterns; the inherently-sequential DFA walks those ints inside
+# applyInPandas (grouped per stream key) — no Python regex, no
+# per-line JVM<->Python chatter beyond the Arrow batch.
+# ---------------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass(frozen=True)
+class MlRule:
+    """One state-machine rule (flb_ml_rule_create equivalent)."""
+
+    from_states: tuple[str, ...]
+    pattern: str  # Java-regex (search semantics, like flb_regex_match)
+    to_state: str
+
+    @property
+    def is_start(self) -> bool:
+        return "start_state" in self.from_states
+
+
+def _r(from_states: str, pattern: str, to_state: str) -> MlRule:
+    return MlRule(
+        tuple(s.strip() for s in from_states.split(",")), pattern, to_state
+    )
+
+
+#: Built-in language rule tables, ported 1:1 from the reference
+#: (src/multiline/flb_ml_parser_{java,go,python,ruby}.c).
+BUILTIN_ML_RULES: dict[str, list[MlRule]] = {
+    "java": [
+        _r("start_state, java_start_exception",
+           r"(.)(?:Exception|Error|Throwable|V8 errors stack trace)[:\r\n]",
+           "java_after_exception"),
+        _r("java_after_exception", r"^[\t ]*nested exception is:[\t ]*",
+           "java_start_exception"),
+        _r("java_after_exception", r"^[\r\n]*$", "java_after_exception"),
+        _r("java_after_exception, java", r"^[\t ]+(?:eval )?at ", "java"),
+        _r("java_after_exception, java",
+           r"^[\t ]+--- End of inner exception stack trace ---$", "java"),
+        _r("java_after_exception, java",
+           r"^--- End of stack trace from previous (?x:)location where exception was thrown ---$",
+           "java"),
+        _r("java_after_exception, java", r"^[\t ]*(?:Caused by|Suppressed):",
+           "java_after_exception"),
+        _r("java_after_exception, java",
+           r"^[\t ]*... \d+ (?:more|common frames omitted)", "java"),
+    ],
+    "go": [
+        _r("start_state", r"\bpanic: ", "go_after_panic"),
+        _r("start_state", r"http: panic serving", "go_goroutine"),
+        _r("go_after_panic", r"^$", "go_goroutine"),
+        _r("go_after_panic, go_after_signal, go_frame_1", r"^$",
+           "go_goroutine"),
+        _r("go_after_panic", r"^\[signal ", "go_after_signal"),
+        _r("go_goroutine", r"^goroutine \d+ \[[^\]]+\]:$", "go_frame_1"),
+        _r("go_frame_1", r"^(?:[^\s.:]+\.)*[^\s.():]+\(|^created by ",
+           "go_frame_2"),
+        _r("go_frame_2", r"^\s", "go_frame_1"),
+    ],
+    "python": [
+        _r("start_state", r"^Traceback \(most recent call last\):$", "python"),
+        _r("python", r"^[\t ]+File ", "python_code"),
+        _r("python_code", r"[^\t ]", "python"),
+        _r("python", r"^(?:[^\s.():]+\.)*[^\s.():]+:", "start_state"),
+    ],
+    "ruby": [
+        _r("start_state, ruby_start_exception", r"^.+:\d+:in\s+.*",
+           "ruby_after_exception"),
+        _r("ruby_after_exception, ruby", r"^\s+from\s+.*:\d+:in\s+.*", "ruby"),
+    ],
+}
+
+
+def ml_rules_join(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    line_col: str,
+    rules: list[MlRule] | str,
+    sep: str = "\n",
+) -> DataFrame:
+    """State-machine multiline join (flb_ml_rule_process semantics).
+
+    ``rules`` is a rule list or a built-in name ('java', 'go',
+    'python', 'ruby'). Output: one row per joined record —
+    (key_cols..., record_id, record, first_<order>, n_lines).
+    """
+    if isinstance(rules, str):
+        rules = BUILTIN_ML_RULES[rules]
+    pats = list(dict.fromkeys(r.pattern for r in rules))
+    if len(pats) > 62:
+        raise ValueError("at most 62 distinct rule patterns supported")
+    pat_idx = {p: i for i, p in enumerate(pats)}
+
+    # one JVM pass: bit i set iff line matches pattern i
+    mask = None
+    for p, i in pat_idx.items():
+        bit = F.when(F.col(line_col).rlike(p), F.lit(1 << i)).otherwise(0)
+        mask = bit if mask is None else (mask + bit)
+    flagged = df.select(
+        *key_cols, F.col(order_col), F.col(line_col), mask.alias("_flags")
+    )
+
+    # driver-side transition tables (state -> ordered (bit, next_state))
+    start_rules = [(pat_idx[r.pattern], r.to_state) for r in rules if r.is_start]
+    cont: dict[str, list[tuple[int, str]]] = {}
+    for r in rules:
+        if r.is_start:
+            continue  # skipped as continuation candidates (flb_ml_rule.c:305)
+        for s in r.from_states:
+            cont.setdefault(s, []).append((pat_idx[r.pattern], r.to_state))
+    # preserve registration order per state (dict insertion order does)
+
+    import pandas as _pd  # noqa: PLC0415
+
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in key_cols
+    )
+    order_type = df.schema[order_col].dataType.simpleString()
+    out_schema = (
+        f"{key_fields}, record_id long, record string, "
+        f"first_{order_col} {order_type}, n_lines long"
+    )
+
+    def run_group(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        lines = pdf[line_col].tolist()
+        orders = pdf[order_col].tolist()
+        flags = pdf["_flags"].tolist()
+        keys = {k: pdf[k].iloc[0] for k in key_cols}
+        recs: list[tuple[int, str, object, int]] = []
+        buf: list[str] = []
+        first_o = None
+        state: str | None = None
+
+        def flush() -> None:
+            nonlocal buf, first_o
+            if buf:
+                recs.append((len(recs), sep.join(buf), first_o, len(buf)))
+            buf, first_o = [], None
+
+        for line, o, fl in zip(lines, orders, flags):
+            line = line if line is not None else ""
+            matched = False
+            if state is not None:
+                for bit, nxt in cont.get(state, ()):
+                    if fl & (1 << bit):
+                        buf.append(line)
+                        state = nxt
+                        matched = True
+                        break
+            if not matched:
+                for bit, nxt in start_rules:
+                    if fl & (1 << bit):
+                        flush()
+                        buf, first_o, state = [line], o, nxt
+                        matched = True
+                        break
+            if not matched:
+                flush()
+                recs.append((len(recs), line, o, 1))
+                state = None
+        flush()
+        return _pd.DataFrame(
+            [
+                {**keys, "record_id": rid, "record": rec,
+                 f"first_{order_col}": fo, "n_lines": nl}
+                for rid, rec, fo, nl in recs
+            ]
+        )
+
+    return flagged.groupBy(*key_cols).applyInPandas(run_group, out_schema)

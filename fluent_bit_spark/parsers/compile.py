@@ -348,23 +348,105 @@ def unescape_col(col: Column) -> Column:
     return F.regexp_replace(c, "\x00", r"\\")
 
 
-def apply_decoder(df: DataFrame, rule: DecoderRule) -> DataFrame:
-    if rule.key not in df.columns:
+def _mysql_unquote_col(col: Column) -> Column:
+    c = F.regexp_replace(col, r"''", "'")
+    return F.regexp_replace(c, r'""', '"')
+
+
+_DEC_MAP = T.MapType(T.StringType(), T.StringType())
+
+
+def apply_decoder_chain(
+    df: DataFrame, key: str, rules: list[DecoderRule]
+) -> DataFrame:
+    """Apply a per-key decoder rule chain (flb_parser_decoder.c:392-520).
+
+    Per row, rules run in order over a working string ``data``:
+      - json failure: try_next / do_next -> continue; none -> stop.
+      - string decoders (escaped / escaped_utf8 / mysql_quoted) always
+        succeed; on success only do_next continues the chain.
+      - Decode_Field_As (DEC_AS) success replaces BOTH the working data
+        and the final value; a json DEC_AS yields an object, after
+        which remaining rules are skipped (in_type != STRING guard).
+      - Decode_Field (DEC_DEFAULT) success leaves the value and working
+        data untouched and registers the decoded json keys as EXTRA
+        record keys; a DEC_DEFAULT do_next rule is skipped if a prior
+        DEC_DEFAULT already decoded (is_decoded guard).
+
+    Typing divergence (documented): msgpack values are dynamically
+    typed; Spark columns are not. When the chain holds a json DEC_AS,
+    ``key`` becomes map<string,string> (null where the row never
+    json-decoded) and ``<key>_str`` carries the final string for those
+    rows; otherwise ``key`` stays string. DEC_DEFAULT extra keys land
+    in ``<key>_decoded`` (map) — the merged-beside-original analog.
+
+    All expressions are Catalyst/codegen; the chain unrolls statically
+    (rule lists are tiny), so no Python runs per row.
+    """
+    if key not in df.columns:
         return df
-    col = F.col(rule.key)
-    if rule.decoder == "json":
-        parsed = F.from_json(col.cast("string"), T.MapType(T.StringType(), T.StringType()))
-        if rule.mode == "as":
-            return df.withColumn(rule.key, parsed)
-        # DEC_DEFAULT: extracted keys join the record alongside the original
-        return df.withColumn(f"{rule.key}_decoded", parsed)
-    if rule.decoder in ("escaped", "escaped_utf8"):
-        return df.withColumn(rule.key, unescape_col(col.cast("string")))
-    if rule.decoder == "mysql_quoted":
-        c = F.regexp_replace(col.cast("string"), r"''", "'")
-        c = F.regexp_replace(c, r'""', '"')
-        return df.withColumn(rule.key, c)
+    data = F.col(key).cast("string")
+    stopped = F.lit(False)
+    as_obj = F.lit(None).cast(_DEC_MAP)  # json DEC_AS result
+    is_decoded_as = F.lit(False)
+    extra = F.lit(None).cast(_DEC_MAP)  # DEC_DEFAULT json extra keys
+    is_decoded = F.lit(False)
+    has_json_as = any(r.decoder == "json" and r.mode == "as" for r in rules)
+
+    for rule in rules:
+        skip = stopped | as_obj.isNotNull()  # object value: in_type != STRING
+        if rule.mode == "field" and rule.action == "do_next":
+            skip = skip | is_decoded
+        run = ~skip
+        if rule.decoder == "json":
+            parsed = F.from_json(data, _DEC_MAP)
+            eff = run & parsed.isNotNull()
+            if rule.mode == "as":
+                as_obj = F.when(eff, parsed).otherwise(as_obj)
+                is_decoded_as = is_decoded_as | eff
+            else:
+                extra = F.when(eff, parsed).otherwise(extra)
+                is_decoded = is_decoded | eff
+            if rule.action == "do_next":
+                pass  # never stops
+            elif rule.action == "try_next":
+                stopped = stopped | eff  # success stops, failure continues
+            else:
+                stopped = stopped | run  # stops either way
+        else:
+            if rule.decoder in ("escaped", "escaped_utf8"):
+                dec = unescape_col(data)
+            elif rule.decoder == "mysql_quoted":
+                dec = _mysql_unquote_col(data)
+            else:
+                continue
+            if rule.mode == "as":
+                data = F.when(run, dec).otherwise(data)
+                is_decoded_as = is_decoded_as | run
+            else:
+                # DEC_DEFAULT + string output: "string type is not
+                # allowed" as extra keys (flb_parser_decoder.c:515) —
+                # only the is_decoded flag advances
+                is_decoded = is_decoded | run
+            if rule.action != "do_next":
+                stopped = stopped | run  # always-success: try_next==none
+
+    # final value packaging (flb_parser_decoder.c:494-510)
+    final_str = F.when(is_decoded_as, data).otherwise(F.col(key).cast("string"))
+    if has_json_as:
+        df = df.withColumn(
+            f"{key}_str", F.when(as_obj.isNull(), final_str)
+        ).withColumn(key, as_obj)
+    else:
+        df = df.withColumn(key, final_str)
+    if any(r.mode == "field" and r.decoder == "json" for r in rules):
+        df = df.withColumn(f"{key}_decoded", extra)
     return df
+
+
+def apply_decoder(df: DataFrame, rule: DecoderRule) -> DataFrame:
+    """Single-rule convenience wrapper over apply_decoder_chain."""
+    return apply_decoder_chain(df, rule.key, [rule])
 
 
 # ------------------------------------------------------------ top level
@@ -437,9 +519,13 @@ def apply_parser(
         if k in df.columns:
             df = df.withColumn(k, typecast_col(F.col(k), t))
 
-    # decoders
+    # decoders: rules group into one chain per target key, first
+    # appearance ordering (get_decoder_key_context, flb_parser_decoder.c)
+    chains: dict[str, list[DecoderRule]] = {}
     for rule in spec.decoders:
-        df = apply_decoder(df, rule)
+        chains.setdefault(rule.key, []).append(rule)
+    for key, rules in chains.items():
+        df = apply_decoder_chain(df, key, rules)
 
     # time lookup
     if spec.time_key and spec.time_format:

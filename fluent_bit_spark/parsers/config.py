@@ -28,7 +28,11 @@ class DecoderRule:
     mode: str  # "as" | "field"
     decoder: str  # json | escaped | escaped_utf8 | mysql_quoted
     key: str
-    action: str = "try_next"  # try_next | do_next (rule chaining)
+    # Chaining action (flb_parser_decoder.c:718-731): try_next =
+    # continue to next rule ONLY on failure; do_next = always continue;
+    # none (the calloc default when the 3rd token is absent) = stop
+    # after this rule either way.
+    action: str = "none"  # none | try_next | do_next
 
 
 @dataclass
@@ -134,7 +138,7 @@ def parse_parsers_conf(text: str) -> dict[str, ParserSpec]:
                         mode="as" if key.endswith("_as") else "field",
                         decoder=toks[0].lower(),
                         key=toks[1],
-                        action=(toks[2].lower() if len(toks) > 2 else "try_next"),
+                        action=(toks[2].lower() if len(toks) > 2 else "none"),
                     )
                 )
         else:

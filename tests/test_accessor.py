@@ -60,3 +60,16 @@ def test_template_null_renders_empty(spark):
 def test_bad_accessor_raises():
     with pytest.raises(ValueError):
         ra_col("$bad[")
+
+
+def test_env_var_interpolation(spark, monkeypatch):
+    # ${ENV} resolves at compile time (flb_record_accessor.c:291-313);
+    # unset vars render empty
+    from fluent_bit_spark.functions.accessor import ra_translate_col
+
+    monkeypatch.setenv("FLB_TEST_ZONE", "us-east")
+    df = spark.createDataFrame([("app.log", "x")], "tag string, k string")
+    out = df.select(
+        ra_translate_col("${FLB_TEST_ZONE}.$TAG[0].$k.${FLB_UNSET_VAR}!").alias("t")
+    ).collect()
+    assert out[0]["t"] == "us-east.app.x.!"

@@ -66,3 +66,124 @@ def test_docker_partial_lines(spark):
     )
     out = {r["log"] for r in docker_join(df, ["pod"], "seq", "line").collect()}
     assert out == {"hello world", "single"}
+
+
+# ---- built-in language state machines (flb_ml_parser_{java,go,python,
+# ruby}.c), goldens ported from tests/internal/multiline.c ------------
+
+from fluent_bit_spark.operators.multiline import MlRule, ml_rules_join
+
+
+def _run_ml(spark, lines, rules):
+    rows = [("s", i, ln) for i, ln in enumerate(lines)]
+    df = spark.createDataFrame(rows, "stream string, seq long, line string")
+    out = ml_rules_join(df, ["stream"], "seq", "line", rules)
+    return [r["record"] for r in out.orderBy("first_seq").collect()]
+
+
+JAVA_INPUT = [
+    'Exception in thread "main" java.lang.IllegalStateException: ..null property',
+    "     at com.example.myproject.Author.getBookIds(xx.java:38)",
+    "     at com.example.myproject.Bootstrap.main(Bootstrap.java:14)",
+    "Caused by: java.lang.NullPointerException",
+    "     at com.example.myproject.Book.getId(Book.java:22)",
+    "     at com.example.myproject.Author.getBookIds(Author.java:35)",
+    "     ... 1 more",
+    "single line",
+]
+
+
+def test_ml_java_golden(spark):
+    recs = _run_ml(spark, JAVA_INPUT, "java")
+    assert recs == ["\n".join(JAVA_INPUT[:7]), "single line"]
+
+
+GO_INPUT = [
+    "panic: my panic",
+    "",
+    "goroutine 4 [running]:",
+    "panic(0x45cb40, 0x47ad70)",
+    "\t/usr/local/go/src/runtime/panic.go:542 +0x46c fp=0xc42003f7b8 sp=0xc42003f710 pc=0x422f7c",
+    "main.main.func1(0xc420024120)",
+    "\tfoo.go:6 +0x39 fp=0xc42003f7d8 sp=0xc42003f7b8 pc=0x451339",
+    "runtime.goexit()",
+    "\t/usr/local/go/src/runtime/asm_amd64.s:2337 +0x1 fp=0xc42003f7e0 sp=0xc42003f7d8 pc=0x44b4d1",
+    "created by main.main",
+    "\tfoo.go:5 +0x58",
+    "",
+    "goroutine 1 [chan receive]:",
+    "runtime.gopark(0x4739b8, 0xc420024178, 0x46fcd7, 0xc, 0xc420028e17, 0x3)",
+    "\t/usr/local/go/src/runtime/proc.go:280 +0x12c fp=0xc420053e30 sp=0xc420053e00 pc=0x42503c",
+    "main.main()",
+    "\tfoo.go:9 +0x6f fp=0xc420053f80 sp=0xc420053f50 pc=0x4512ef",
+    "one more line, no multiline",
+]
+
+
+def test_ml_go_golden(spark):
+    recs = _run_ml(spark, GO_INPUT, "go")
+    assert recs == ["\n".join(GO_INPUT[:17]), "one more line, no multiline"]
+
+
+PY_INPUT = [
+    "Traceback (most recent call last):",
+    '  File "/base/data/home/runtimes/python27/python27_lib/versions/third_party/webapp2-2.5.2/webapp2.py", line 1535, in __call__',
+    "    rv = self.handle_exception(request, response, e)",
+    '  File "/base/data/home/apps/s~nearfieldspy/1.378705245900539993/nearfieldspy.py", line 17, in start',
+    "    return get()",
+    '  File "/base/data/home/apps/s~nearfieldspy/1.378705245900539993/nearfieldspy.py", line 5, in get',
+    "    raise Exception('spam', 'eggs')",
+    "Exception: ('spam', 'eggs')",
+    "hello world, not multiline",
+]
+
+
+def test_ml_python_golden(spark):
+    recs = _run_ml(spark, PY_INPUT, "python")
+    assert recs == ["\n".join(PY_INPUT[:8]), "hello world, not multiline"]
+
+
+RUBY_INPUT = [
+    "/app/config/routes.rb:6:in `/': divided by 0 (ZeroDivisionError)",
+    "\tfrom /app/config/routes.rb:6:in `block in <main>'",
+    "\tfrom /var/lib/gems/3.0.0/gems/actionpack-7.0.4/lib/action_dispatch/routing/route_set.rb:428:in `instance_exec'",
+    "\tfrom /var/lib/gems/3.0.0/gems/actionpack-7.0.4/lib/action_dispatch/routing/route_set.rb:428:in `eval_block'",
+    "\tfrom /var/lib/gems/3.0.0/gems/actionpack-7.0.4/lib/action_dispatch/routing/route_set.rb:410:in `draw'",
+    "\tfrom /app/config/routes.rb:1:in `<main>'",
+    "hello world, not multiline",
+]
+
+
+def test_ml_ruby_golden(spark):
+    recs = _run_ml(spark, RUBY_INPUT, "ruby")
+    assert recs == ["\n".join(RUBY_INPUT[:6]), "hello world, not multiline"]
+
+
+def test_ml_custom_rules_elastic(spark):
+    # custom user rule table through the same engine (test_parser_elastic)
+    rules = [
+        MlRule(("start_state",), r"^\[", "elastic_cont"),
+        MlRule(("elastic_cont",), r"^\s+", "elastic_cont"),
+    ]
+    lines = [
+        "[some weird test] IndexNotFoundException[no such index]",
+        "    at org.elasticsearch.cluster.metadata.IndexNameExpressionResolver....",
+        "    at org.elasticsearch.cluster.metadata.IndexNameExpressionResolver.java:133)",
+        "    at org.elasticsearch.action.admin.indices.delete.java:75)",
+        "another separate log line",
+    ]
+    recs = _run_ml(spark, lines, rules)
+    assert recs == ["\n".join(lines[:4]), "another separate log line"]
+
+
+def test_ml_two_streams_independent_state(spark):
+    # interleaved streams must not share DFA state
+    rows = []
+    for i, ln in enumerate(JAVA_INPUT):
+        rows.append(("a", i, ln))
+        rows.append(("b", i, ln))
+    df = spark.createDataFrame(rows, "stream string, seq long, line string")
+    out = ml_rules_join(df, ["stream"], "seq", "line", "java")
+    got = {(r["stream"], r["record_id"]): r["record"] for r in out.collect()}
+    assert len(got) == 4  # 2 records per stream
+    assert got[("a", 0)] == got[("b", 0)] == "\n".join(JAVA_INPUT[:7])

@@ -163,3 +163,84 @@ def test_decoder_json_as(spark, specs):
     df = spark.createDataFrame([('{"a":"1","b":"2"}',)], ["text"])
     r = apply_parser(df, "text", spec).collect()[0]
     assert r["log"] == {"a": "1", "b": "2"}
+
+
+# ---- decoder rule chaining (flb_parser_decoder.c:392-520) ---------------
+
+
+def _chain_df(spark, values):
+    from fluent_bit_spark.parsers.compile import apply_decoder_chain
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "id long, log string")
+    return df, apply_decoder_chain
+
+
+def test_decoder_chain_docker_escaped_then_json(spark):
+    # the canonical docker chain: unescape first, then parse json
+    from fluent_bit_spark.parsers.config import DecoderRule
+
+    rules = [
+        DecoderRule("as", "escaped_utf8", "log", "do_next"),
+        DecoderRule("as", "json", "log", "none"),
+    ]
+    df, chain = _chain_df(spark, [r'{\"k\": \"v\", \"n\": \"1\"}', "plain text"])
+    out = {r["id"]: r for r in chain(df, "log", rules).collect()}
+    assert out[0]["log"] == {"k": "v", "n": "1"}  # unescaped then parsed
+    assert out[0]["log_str"] is None
+    assert out[1]["log"] is None  # never json-decoded
+    assert out[1]["log_str"] == "plain text"  # unescape ran, data kept
+
+
+def test_decoder_chain_try_next_falls_through(spark):
+    # json fails -> try_next continues to the escaped rule
+    from fluent_bit_spark.parsers.config import DecoderRule
+
+    rules = [
+        DecoderRule("as", "json", "log", "try_next"),
+        DecoderRule("as", "escaped", "log", "none"),
+    ]
+    df, chain = _chain_df(spark, [r"a\tb", '{"k": "v"}'])
+    out = {r["id"]: r for r in chain(df, "log", rules).collect()}
+    assert out[0]["log"] is None and out[0]["log_str"] == "a\tb"  # fell through
+    # json succeeded -> try_next STOPS, escaped never runs
+    assert out[1]["log"] == {"k": "v"} and out[1]["log_str"] is None
+
+
+def test_decoder_default_adds_keys_beside_original(spark):
+    # DEC_DEFAULT keeps the original value and registers extra keys
+    from fluent_bit_spark.parsers.config import DecoderRule
+
+    rules = [DecoderRule("field", "json", "log", "none")]
+    df, chain = _chain_df(spark, ['{"a": "1"}', "nope"])
+    out = {r["id"]: r for r in chain(df, "log", rules).collect()}
+    assert out[0]["log"] == '{"a": "1"}'  # original untouched
+    assert out[0]["log_decoded"] == {"a": "1"}
+    assert out[1]["log"] == "nope" and out[1]["log_decoded"] is None
+
+
+def test_decoder_default_action_stops_chain(spark):
+    # no action token = FLB_PARSER_ACT_NONE: rule 2 must never run
+    from fluent_bit_spark.parsers.config import DecoderRule
+
+    rules = [
+        DecoderRule("as", "escaped", "log"),  # default action=none
+        DecoderRule("as", "mysql_quoted", "log"),
+    ]
+    df, chain = _chain_df(spark, [r"x\n''y"])
+    out = chain(df, "log", rules).collect()[0]
+    assert out["log"] == "x\n''y"  # unescaped but NOT mysql-unquoted
+
+
+def test_decoder_conf_default_action_is_none(spark):
+    from fluent_bit_spark.parsers.config import parse_parsers_conf
+
+    conf = """
+[PARSER]
+    Name t
+    Format regex
+    Regex ^(?<log>.*)$
+    Decode_Field_As escaped_utf8 log do_next
+    Decode_Field_As json log
+"""
+    spec = parse_parsers_conf(conf)["t"]
+    assert [r.action for r in spec.decoders] == ["do_next", "none"]
