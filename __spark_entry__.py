@@ -254,6 +254,45 @@ def q_sp_key_key_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_query(sql, ev, ts_col="ts")
 
 
+def q_sp_create_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE STREAM re-ingest loop end-to-end (flb_sp_stream.c:35-153).
+
+    Two created streams filter the base events under new 'alerts.*'
+    tags; a downstream windowed aggregate consumes them via a TAG glob
+    — the re-ingested chunks flow through the engine exactly like
+    in_stream_processor chunks re-enter fluent-bit's pipeline.
+    """
+    from fluent_bit_spark.sp import SpEngine
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("events."), F.col("event_type")).alias("tag"),
+        F.col("ts").alias("event_time"),
+        "event_id",
+        "user_id",
+        "value",
+    )
+    eng = SpEngine()
+    eng.register_input("events", ev)
+    eng.execute(
+        "CREATE STREAM errs WITH (tag='alerts.errors') AS "
+        "SELECT event_id, user_id, value FROM TAG:'events.error' WHERE value > 5;"
+    )
+    eng.execute(
+        "CREATE STREAM bigclicks WITH (tag='alerts.clicks') AS "
+        "SELECT event_id, user_id, value FROM TAG:'events.click' WHERE value > 15;"
+    )
+    out = eng.execute(
+        "SELECT user_id, COUNT(*) AS records, SUM(value) AS sum_value "
+        "FROM TAG:'alerts.*' WINDOW TUMBLING (1 HOUR) GROUP BY user_id;"
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start"),
+        "user_id",
+        "records",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 def q_sp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     sql = (
@@ -472,6 +511,52 @@ def q_snapshot_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("trigger_id", "event_id", "event_type")
 
 
+def q_sp_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming tumbling window run to completion
+    (availableNow + watermark) and compared to the batch oracle.
+
+    The watermark (delay 0) finalizes every window whose end <=
+    max(ts); the still-open trailing window is withheld — the oracle
+    excludes it the same way. This is the deterministic harness for
+    the streaming path (SURVEY §2.6 watermark upgrade over the
+    reference's processing-time-only windows, flb_sp_window.c).
+    """
+    import os
+    import tempfile
+
+    from fluent_bit_spark.streaming.job import windowed_agg_available_now
+
+    # FileStreamSource requires a directory; expose the single parquet
+    # file through a symlinked temp dir
+    d = tempfile.mkdtemp(prefix="sp_stream_")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = windowed_agg_available_now(
+        spark,
+        d,
+        schema,
+        "ts",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("records"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+        window_duration="1 minute",
+        watermark_delay="0 seconds",
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start"),
+        "event_type",
+        "records",
+        "sum_value",
+    )
+
+
 def q_udf_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_spark.operators.udf_hook import apply_hook
 
@@ -627,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glob_route_match": q_glob_route_match,
         "sp_select_where": q_sp_select_where,
         "sp_key_key_compare": q_sp_key_key_compare,
+        "sp_create_stream": q_sp_create_stream,
         "sp_aggregate": q_sp_aggregate,
         "sp_tumbling": q_sp_tumbling,
         "sp_hopping": q_sp_hopping,
@@ -654,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltm_histogram": q_ltm_histogram,
         "snapshot_flush": q_snapshot_flush,
         "udf_hook": q_udf_hook,
+        "sp_tumbling_stream": q_sp_tumbling_stream,
         "multiline": q_multiline,
         "multiline_java": q_multiline_java,
         "decoder_chain": q_decoder_chain,
@@ -846,6 +933,25 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT event_id AS id, event_type AS et FROM ev
             WHERE event_type = label OR TRY_CAST(vstr AS DOUBLE) > user_id
+        """,
+        "sp_tumbling_stream": """
+            SELECT epoch(date_trunc('minute', ts))::bigint AS window_start,
+                   event_type, count(*)::bigint AS records,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            HAVING date_trunc('minute', min(ts)) + INTERVAL 1 MINUTE
+                   <= (SELECT max(ts) FROM events)
+        """,
+        "sp_create_stream": """
+            WITH alerts AS (
+              SELECT user_id, value, ts FROM events
+              WHERE (event_type = 'error' AND value > 5)
+                 OR (event_type = 'click' AND value > 15))
+            SELECT epoch(date_trunc('hour', ts))::bigint AS window_start,
+                   user_id, count(*)::bigint AS records,
+                   round(sum(value), 4) AS sum_value
+            FROM alerts GROUP BY 1, 2
         """,
         "sp_aggregate": """
             SELECT event_type, count(*)::bigint AS records,

@@ -1,0 +1,151 @@
+"""Stream-processor engine: statement loop with CREATE STREAM re-ingest.
+
+Mirrors the reference engine's task/stream model:
+
+- ``FROM STREAM:name`` binds to a registered input by name or alias,
+  case-insensitive (flb_sp.c:162-176 sp_task_to_instance).
+- ``FROM TAG:'pattern'`` glob-matches every chunk flowing through the
+  engine, whatever input produced it (flb_sp.c:2029-2030 via
+  flb_router_match) — including chunks re-ingested by created streams.
+- ``CREATE STREAM name WITH (...) AS SELECT ...`` registers the query
+  result as a NEW input under alias ``name`` whose records re-enter the
+  pipeline tagged with the ``tag`` property, defaulting to the stream
+  name (flb_sp_stream.c:35-153; in_stream_processor/sp.c:107-117 tag
+  fallback). The ``routable`` property ('true' default) controls
+  whether those records reach the router (flb_sp_stream.c:105-112).
+
+Spark-first shape: a "stream" here is a lazily-derived DataFrame; the
+re-ingest loop is plan composition, not data movement — Catalyst sees
+one combined plan per downstream query, so a CREATE STREAM feeding
+three TAG-matched consumers costs one scan of the base table, with the
+stream's filters/projections fused into each consumer plan.
+
+Timestamp of re-ingested records (documented divergence): the reference
+stamps result chunks with wall-clock flush time. Wall-clock is
+nondeterministic and useless for replayable batch/stream jobs, so
+row-wise selections KEEP the source ``event_time`` and windowed
+aggregates carry ``window_start`` as the new ``event_time`` — the
+deterministic analogs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from fluent_bit_spark.functions.globmatch import tag_match_col
+from fluent_bit_spark.sp.parser import SpCommand, parse_sql
+from fluent_bit_spark.sp.translate import Translator
+
+
+@dataclass
+class SpStream:
+    """A registered input: base source or CREATE STREAM result."""
+
+    df: DataFrame
+    tag: str | None  # None: df carries its own tag column
+    routable: bool = True
+
+
+class SpEngine:
+    def __init__(
+        self,
+        ts_col: str = "event_time",
+        tag_col: str = "tag",
+        presence_col: str | None = None,
+    ):
+        self.ts_col = ts_col
+        self.tag_col = tag_col
+        self.presence_col = presence_col
+        self._streams: dict[str, SpStream] = {}
+
+    # -------------------------------------------------------------- inputs
+    def register_input(
+        self, name: str, df: DataFrame, routable: bool = True
+    ) -> None:
+        """Register a base input (an in_* plugin instance analog).
+
+        ``df`` must carry ``tag_col`` and ``ts_col`` columns.
+        """
+        if name.lower() in self._streams:
+            # flb_sp_stream_create: name collision with an existing
+            # input instance is an error (flb_sp_stream.c:44-48)
+            raise ValueError(f"stream name {name!r} already exists")
+        self._streams[name.lower()] = SpStream(df=df, tag=None, routable=routable)
+
+    # ----------------------------------------------------------- execution
+    def execute(self, sql: str) -> DataFrame:
+        cmd = parse_sql(sql)
+        if cmd.kind == "select":
+            return self._run_select(cmd)
+        if cmd.kind == "create_stream":
+            return self._create_stream(cmd)
+        raise ValueError(
+            f"SpEngine.execute handles SELECT / CREATE STREAM, got {cmd.kind}"
+        )
+
+    def _source_df(self, cmd: SpCommand) -> DataFrame:
+        if cmd.source_type == "stream":
+            s = self._streams.get(cmd.source.lower())
+            if s is None:
+                # the reference leaves a task for an unknown stream
+                # permanently starved; a silent forever-empty query is
+                # a debugging trap in batch, so fail loudly instead
+                raise KeyError(f"unknown stream {cmd.source!r}")
+            return s.df
+        # TAG: sees every chunk in the engine, routable or not
+        return self._all_records()
+
+    def _all_records(self) -> DataFrame:
+        dfs = [s.df for s in self._streams.values()]
+        if not dfs:
+            raise ValueError("no inputs registered")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    def _run_select(self, cmd: SpCommand, keep_cols: list[str] | None = None) -> DataFrame:
+        df = self._source_df(cmd)
+        return Translator(
+            df, self.ts_col, self.tag_col, self.presence_col, keep_cols
+        ).translate(cmd)
+
+    def _create_stream(self, cmd: SpCommand) -> DataFrame:
+        name = cmd.stream_name or ""
+        if name.lower() in self._streams:
+            raise ValueError(f"stream name {name!r} already exists")
+        tag = cmd.props.get("tag", name)  # in_stream_processor/sp.c:107-117
+        routable = cmd.props.get("routable", "true").lower() not in (
+            "false", "off", "no", "0",
+        )
+        out = self._run_select(cmd, keep_cols=[self.ts_col])
+        has_agg = any(k.aggr for k in cmd.keys)
+        if has_agg:
+            # windowed aggregates: window_start becomes the re-ingested
+            # record time; non-windowed batch aggregates have no
+            # per-row time — stamp null (deterministic; see module doc)
+            ts = (
+                F.col("window_start")
+                if "window_start" in out.columns
+                else F.lit(None).cast("timestamp")
+            )
+            out = out.withColumn(self.ts_col, ts)
+        # re-ingested records carry the stream tag, replacing any
+        # selected source tag column (flb_input_log_append under the
+        # new instance's tag)
+        out = out.withColumn(self.tag_col, F.lit(tag))
+        self._streams[name.lower()] = SpStream(df=out, tag=tag, routable=routable)
+        return out
+
+    # ------------------------------------------------------------- routing
+    def routable_records(self) -> DataFrame:
+        """Union of every routable input — what the router sees."""
+        dfs = [s.df for s in self._streams.values() if s.routable]
+        if not dfs:
+            raise ValueError("no routable inputs")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out

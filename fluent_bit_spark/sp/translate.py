@@ -60,11 +60,16 @@ class Translator:
         ts_col: str = "event_time",
         tag_col: str = "tag",
         presence_col: str | None = None,
+        keep_cols: list[str] | None = None,
     ):
         self.df = df
         self.ts_col = ts_col
         self.tag_col = tag_col
         self.presence_col = presence_col
+        # pass-through columns appended to row-wise selections (used by
+        # the engine to carry tag/event_time through CREATE STREAM
+        # re-ingest, mirroring how msgpack records keep (ts, tag))
+        self.keep_cols = keep_cols or []
 
     # ------------------------------------------------------------ helpers
     def _dtype(self, key: str, subkeys: list[str]) -> T.DataType | None:
@@ -338,6 +343,14 @@ class Translator:
                 cols.extend(extra)
             else:
                 cols = [self._scalar_expr(k) for k in cmd.keys]
+            if self.keep_cols:
+                named = {k.out_name for k in cmd.keys if k.name is not None}
+                if star:
+                    named.update(c for c in df.columns if c != self.presence_col)
+                cols.extend(
+                    F.col(c) for c in self.keep_cols
+                    if c in df.columns and c not in named
+                )
             out = df.select(*cols)
             if cmd.limit is not None:
                 out = out.limit(cmd.limit)
@@ -350,8 +363,9 @@ def translate(
     ts_col: str = "event_time",
     tag_col: str = "tag",
     presence_col: str | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    return Translator(df, ts_col, tag_col, presence_col).translate(cmd)
+    return Translator(df, ts_col, tag_col, presence_col, keep_cols).translate(cmd)
 
 
 def run_query(

@@ -145,6 +145,49 @@ def start_aggregate_stream(
     return writer.start()
 
 
+def windowed_agg_available_now(
+    spark: SparkSession,
+    source_path: str,
+    schema: str,
+    ts_col: str,
+    group_cols: list[str],
+    agg_exprs: list,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "0 seconds",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Run a tumbling-window streaming aggregate to completion and
+    return the finalized windows as a batch DataFrame.
+
+    This is the deterministic harness for verifying the streaming path
+    against a batch oracle: availableNow drains the source, the
+    watermark finalizes every window whose end <= max(event time) -
+    delay, and the append-mode memory sink holds exactly those rows.
+    Windows still open when the input ends are (correctly) withheld —
+    a batch oracle must exclude them the same way.
+    """
+    import uuid
+
+    src = spark.readStream.schema(schema).parquet(source_path)
+    aggs = (
+        src.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), *group_cols)
+        .agg(*agg_exprs)
+        .select(F.col("w.start").alias("window_start"), "*")
+        .drop("w")
+    )
+    name = "wagg_" + uuid.uuid4().hex[:12]
+    q = (
+        aggs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q, timeout_sec)
+    return spark.table(name)
+
+
 def run_stream_to_completion(query: StreamingQuery, timeout_sec: int = 300) -> None:
     """Await an availableNow-triggered query (drains current input)."""
     if not query.awaitTermination(timeout_sec):

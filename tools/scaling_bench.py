@@ -53,7 +53,14 @@ def run_single_jvm(low: int, high: int, rows: int, reps: int) -> dict:
     idle — task-level parallelism is the resource being scaled, which
     is exactly what executors multiply on a real cluster. Back-to-back
     A/B pairs see the same host-noise window (the subprocess-per-level
-    variant saw 4x drift between levels minutes apart)."""
+    variant saw 4x drift between levels minutes apart).
+
+    Fixed-cost hygiene: the timed region is ONE job submission — a
+    noop write of the `aggregates` DataFrame, which runs the full
+    parse -> rewrite -> fan-out -> partial-agg map side, one shuffle,
+    and a tiny reduce (the north-star job shape). The per-level plan is
+    analyzed once, outside the timed region; each rep only re-triggers
+    the action."""
     import time
 
     sys.path.insert(0, REPO)
@@ -61,24 +68,101 @@ def run_single_jvm(low: int, high: int, rows: int, reps: int) -> dict:
     from fluent_bit_spark.pipeline import build_pipeline
     from fluent_bit_spark.session import get_spark
 
-    spark = get_spark("scaling", master=f"local[{high}]")
+    spark = get_spark(
+        "scaling",
+        master=f"local[{high}]",
+        extra_conf={
+            # throughput collector: all timed work is batch; G1 pause
+            # targets cost throughput at 32 allocating threads
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
+
+    plans, warm = {}, {}
+    for parts in (low, high):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        plans[parts] = build_pipeline(
+            generate_pages(spark, rows, partitions=parts)
+        ).aggregates
+        warm[parts] = build_pipeline(
+            generate_pages(spark, max(rows // 10, 100_000), partitions=parts)
+        ).aggregates
 
     def timed(parts: int) -> float:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        res = build_pipeline(generate_pages(spark, rows, partitions=parts))
         t0 = time.perf_counter()
-        res.routed.drop("html").write.format("noop").mode("overwrite").save()
-        res.aggregates.write.format("noop").mode("overwrite").save()
+        plans[parts].write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    timed(high)  # JIT/codegen warmup, untimed
+    # JIT/codegen + GC-sizing warmup at rows/10, both levels, untimed
+    for parts in (high, low):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        warm[parts].write.format("noop").mode("overwrite").save()
     lo_times, hi_times = [], []
     for _ in range(reps):
         lo_times.append(round(timed(low), 3))
         hi_times.append(round(timed(high), 3))
     spark.stop()
     return {"lo": lo_times, "hi": hi_times}
+
+
+_CLUSTER_LEVEL_SRC = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from fluent_bit_spark.datagen import generate_pages
+from fluent_bit_spark.pipeline import build_pipeline
+
+execs, cores, rows, reps, parts = {execs}, {cores}, {rows}, {reps}, {parts}
+spark = (
+    SparkSession.builder
+    .master(f"local-cluster[{{execs}},{{cores}},{mem_mb}]")
+    .appName(f"scaling-{{execs}}x{{cores}}")
+    .config("spark.sql.shuffle.partitions", str(parts))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.executor.memory", "{mem_mb}m")
+    .config("spark.executorEnv.PYTHONPATH", {repo!r})
+    .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+    .config(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+plan = build_pipeline(generate_pages(spark, rows, partitions=parts)).aggregates
+warm = build_pipeline(
+    generate_pages(spark, max(rows // 10, 100_000), partitions=parts)
+).aggregates
+warm.write.format("noop").mode("overwrite").save()
+times = []
+for _ in range(reps):
+    t0 = time.perf_counter()
+    plan.write.format("noop").mode("overwrite").save()
+    times.append(round(time.perf_counter() - t0, 3))
+print("RESULT:" + json.dumps(times))
+spark.stop()
+"""
+
+
+def run_cluster_level(
+    execs: int, cores: int, rows: int, reps: int, parts: int, mem_mb: int
+) -> list[float]:
+    """One measurement subprocess: a real local-cluster with `execs`
+    executor JVMs x `cores` cores each — the faithful sandbox analog of
+    an N-executor cluster (executors ARE separate JVM processes)."""
+    src = _CLUSTER_LEVEL_SRC.format(
+        repo=REPO, execs=execs, cores=cores, rows=rows, reps=reps,
+        parts=parts, mem_mb=mem_mb,
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", src], capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT:")][-1]
+    return json.loads(line[len("RESULT:"):])
 
 
 def main() -> None:
@@ -88,7 +172,46 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--single-jvm", action="store_true")
+    ap.add_argument("--cluster", action="store_true",
+                    help="real multi-executor JVMs via local-cluster: "
+                         "N=1 executor x --cores, 4N=4 executors x --cores")
+    ap.add_argument("--cores", type=int, default=8,
+                    help="cores per executor in --cluster mode")
+    ap.add_argument("--execs-low", type=int, default=1)
+    ap.add_argument("--execs-high", type=int, default=4)
+    ap.add_argument("--mem-mb", type=int, default=10240,
+                    help="memory per executor (identical at both levels)")
+    ap.add_argument("--rounds", type=int, default=2,
+                    help="interleaved subprocess rounds per level (--cluster)")
     args = ap.parse_args()
+
+    if args.cluster:
+        parts = 4 * args.execs_high * args.cores  # same task size both levels
+        lo_times: list[float] = []
+        hi_times: list[float] = []
+        for _ in range(args.rounds):
+            lo_times += run_cluster_level(
+                args.execs_low, args.cores, args.rows, args.reps, parts, args.mem_mb)
+            hi_times += run_cluster_level(
+                args.execs_high, args.cores, args.rows, args.reps, parts, args.mem_mb)
+        t_lo, t_hi = min(lo_times), min(hi_times)
+        ratio = args.execs_high / args.execs_low
+        speedup = t_lo / t_hi
+        print(json.dumps({
+            "rows": args.rows,
+            "executors_low": f"{args.execs_low}x{args.cores}",
+            "executors_high": f"{args.execs_high}x{args.cores}",
+            "low_sec": t_lo, "high_sec": t_hi,
+            "low_reps_sec": lo_times, "high_reps_sec": hi_times,
+            "low_docs_per_sec": round(args.rows / t_lo, 1),
+            "high_docs_per_sec": round(args.rows / t_hi, 1),
+            "speedup": round(speedup, 3),
+            "scaling_efficiency": round(speedup / ratio, 3),
+            "target": ">= 0.8",
+            "method": "REAL multi-executor: local-cluster[k,c,m] separate "
+                      "executor JVMs, interleaved rounds, best of reps",
+        }, indent=2))
+        return
 
     if args.single_jvm:
         r = run_single_jvm(args.low, args.high, args.rows, args.reps)
