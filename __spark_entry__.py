@@ -407,7 +407,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    """MinHash LSH with the signature-estimate triage: est >= 0.325
+    accepted on sigs alone, est <= 0.075 rejected, only the borderline
+    band pays the exact shingle intersection (the oracle mirrors the
+    identical decision rule)."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2, est_margin=0.125
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1031,13 +1037,23 @@ def oracle_sql() -> dict[str, str]:
             b2 AS (SELECT bands.* FROM bands JOIN sized USING (band, bkey)),
             cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
                      FROM b2 a JOIN b2 b
-                     ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
-            SELECT c.id_a, c.id_b,
+                     ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+            scored AS (SELECT c.id_a, c.id_b,
+                   len(list_filter(generate_series(1, {P.N_HASHES}),
+                       i -> qa.sig[i] = qb.sig[i]))::double / {P.N_HASHES} AS est
+                   FROM cand c JOIN sigs qa ON c.id_a = qa.id
+                               JOIN sigs qb ON c.id_b = qb.id)
+            SELECT sc.id_a, sc.id_b,
+                   CASE WHEN sc.est >= 0.325 THEN round(sc.est, 6)
+                        ELSE round(len(list_intersect(sa.hs, sb.hs))::double
+                             / len(list_distinct(list_concat(sa.hs, sb.hs))), 6)
+                   END AS jacc
+            FROM scored sc JOIN s sa ON sc.id_a = sa.id
+                           JOIN s sb ON sc.id_b = sb.id
+            WHERE sc.est >= 0.325
+               OR (sc.est > 0.075 AND
                    round(len(list_intersect(sa.hs, sb.hs))::double
-                         / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jacc
-            FROM cand c JOIN s sa ON c.id_a = sa.id JOIN s sb ON c.id_b = sb.id
-            WHERE round(len(list_intersect(sa.hs, sb.hs))::double
-                        / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) >= 0.2
+                         / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) >= 0.2)
         """,
         "dedup_simhash": f"""
             WITH t AS (SELECT doc_id, {th} AS th FROM documents)

@@ -217,6 +217,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 1000,
+    est_margin: float | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
@@ -229,6 +230,18 @@ def minhash_lsh_pairs(
       2. explode band keys -> shuffle on (band, key) buckets
       3. pairs within buckets (skew-guarded by max_bucket)
       4. distinct candidate pairs -> join back shingles -> exact jacc
+
+    ``est_margin``: signature-estimate fast path. The fraction of
+    agreeing MinHash components is an unbiased Jaccard estimate
+    (E[est] = J, the MinHash property); with it set, pairs with
+    est >= threshold + margin are accepted and pairs with est <=
+    threshold - margin rejected on the 32-long signatures alone —
+    only the borderline band joins back the (much wider) shingle
+    arrays for the exact intersection. Deterministic (same sigs ->
+    same decisions); the documented trade is that far-band decisions
+    carry MinHash estimation error (sd ~ sqrt(J(1-J)/32)) instead of
+    exact Jaccard. ``jacc`` holds the estimate for fast-accepted
+    pairs and the exact value for borderline-verified ones.
     """
     sigs = minhash_signatures(df, text_col, id_col).persist()
     bands = sigs.select(
@@ -265,19 +278,52 @@ def minhash_lsh_pairs(
         df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
     )
     sh = sigs.select("id", "hs")
-    verified = (
-        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
-        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
+
+    def exact_verify(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+            .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
+            .select(
+                "id_a",
+                "id_b",
+                F.expr(
+                    "round(cast(size(array_intersect(sa.hs, sb.hs)) as double)"
+                    " / size(array_union(sa.hs, sb.hs)), 6)"
+                ).alias("jacc"),
+            )
+            .filter(F.col("jacc") >= threshold)
+        )
+
+    if est_margin is None:
+        return exact_verify(cand)
+
+    # signature-estimate triage: sigs are 32 longs vs hundreds of
+    # shingle hashes, so the far bands never touch the wide arrays
+    sg = sigs.select("id", "sig")
+    scored = (
+        cand.join(sg.alias("qa"), F.col("id_a") == F.col("qa.id"))
+        .join(sg.alias("qb"), F.col("id_b") == F.col("qb.id"))
         .select(
             "id_a",
             "id_b",
             F.expr(
-                "round(cast(size(array_intersect(sa.hs, sb.hs)) as double)"
-                " / size(array_union(sa.hs, sb.hs)), 6)"
-            ).alias("jacc"),
+                "size(filter(zip_with(qa.sig, qb.sig, (x, y) -> x = y),"
+                f" v -> v)) / {P.N_HASHES}.0"
+            ).alias("est"),
         )
+        # both triage branches read this; without persist the whole
+        # bucket->candidate pipeline would run twice (24B/row — cheap)
+        .persist()
     )
-    return verified.filter(F.col("jacc") >= threshold)
+    hi = threshold + est_margin
+    lo = threshold - est_margin
+    fast = scored.filter(F.col("est") >= hi).select(
+        "id_a", "id_b", F.round("est", 6).alias("jacc")
+    )
+    border = scored.filter((F.col("est") > lo) & (F.col("est") < hi)).select(
+        "id_a", "id_b"
+    )
+    return fast.unionByName(exact_verify(border))
 
 
 def simhash_col(

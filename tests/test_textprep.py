@@ -74,6 +74,27 @@ def test_minhash_lsh_recovers_exact_and_near_dups(docs):
     assert (0, 4) not in pairs
 
 
+def test_minhash_est_triage_matches_exact_on_clear_pairs(docs):
+    """Signature-estimate fast path: exact dups are fast-accepted
+    (est=1.0), unrelated docs fast-rejected; borderline pairs fall
+    through to the exact verify so the decisive pairs agree with the
+    exact-only path."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jacc"]
+        for r in minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+    triaged = {
+        (r["id_a"], r["id_b"]): r["jacc"]
+        for r in minhash_lsh_pairs(docs, threshold=0.2, est_margin=0.125).collect()
+    }
+    assert triaged[(0, 1)] == 1.0  # est of identical sigs is exactly 1
+    assert (0, 4) not in triaged
+    # every exact pair far above threshold is present in the triaged set
+    for p, j in exact.items():
+        if j >= 0.325:
+            assert p in triaged
+
+
 def test_simhash_near_dup_small_hamming(docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash_col(docs).collect()}
     assert sh[0] == sh[1]
