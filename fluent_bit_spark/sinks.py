@@ -33,21 +33,70 @@ def json_lines(df: DataFrame, ts_col: str | None = None, date_key: str = "date")
     return F.to_json(F.struct(*fields))
 
 
-def csv_line(df: DataFrame, columns: list[str] | None = None) -> Column:
-    """out_file csv: comma-joined values, quotes around strings that
-    need them left to the writer; nulls empty (file.c:162-197)."""
-    cols = columns or df.columns
-    return F.concat_ws(",", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols])
+def _mp_print(df: DataFrame, c: str) -> Column:
+    """Render one value the way msgpack_object_print does
+    (lib/msgpack-c/src/objectc.c:144-188): strings wrapped in raw
+    double quotes WITHOUT inner escaping (bug-compatible with the
+    reference — a quote inside the value breaks the line format there
+    too), floats printf-%f (6 decimals), bools true/false, nil for
+    null."""
+    dt = df.schema[c].dataType.simpleString()
+    col = F.col(c)
+    if dt == "string":
+        rendered = F.concat(F.lit('"'), col, F.lit('"'))
+    elif dt in ("double", "float"):
+        rendered = F.format_string("%f", col.cast("double"))
+    else:  # ints print bare; booleans cast to 'true'/'false'
+        rendered = col.cast("string")
+    return F.when(col.isNull(), F.lit("nil")).otherwise(rendered)
 
 
-def ltsv_line(df: DataFrame, columns: list[str] | None = None) -> Column:
-    """out_file ltsv: label:value TAB-joined (file.c:199-227)."""
-    cols = columns or df.columns
+def _csv_time(ts_col: str) -> Column:
+    """out_file csv time field: '%lld.%.09ld' sec.nanos
+    (file.c:184-185)."""
+    us = F.unix_micros(F.col(ts_col))
+    return F.format_string(
+        "%d.%09d", F.floor(us / 1_000_000).cast("long"), (us % 1_000_000) * 1000
+    )
+
+
+def csv_line(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    ts_col: str | None = None,
+    delimiter: str = ",",
+) -> Column:
+    """out_file csv (file.c:162-197): timestamp first as sec.nanos,
+    then values via msgpack_object_print — strings quoted, so a
+    delimiter inside a string value stays inside its quotes."""
+    cols = columns or [c for c in df.columns if c != ts_col]
+    parts = [_mp_print(df, c) for c in cols]
+    if ts_col:
+        parts.insert(0, _csv_time(ts_col))
+    return F.concat_ws(delimiter, *parts)
+
+
+def ltsv_line(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    ts_col: str | None = None,
+    label_delimiter: str = ":",
+    delimiter: str = "\t",
+) -> Column:
+    """out_file ltsv (file.c:199-227): leading '"time":<epoch double>'
+    then '"key":value' pairs — keys are msgpack strings and print
+    QUOTED, exactly like the reference's msgpack_object_print on the
+    key object."""
+    cols = columns or [c for c in df.columns if c != ts_col]
     parts = [
-        F.concat(F.lit(f"{c}:"), F.coalesce(F.col(c).cast("string"), F.lit("")))
-        for c in cols
+        F.concat(F.lit(f'"{c}"{label_delimiter}'), _mp_print(df, c)) for c in cols
     ]
-    return F.concat_ws("\t", *parts)
+    if ts_col:
+        t = F.format_string(
+            "%f", F.unix_micros(F.col(ts_col)).cast("double") / 1_000_000
+        )
+        parts.insert(0, F.concat(F.lit(f'"time"{label_delimiter}'), t))
+    return F.concat_ws(delimiter, *parts)
 
 
 _TPL_VAR = re.compile(r"\{([A-Za-z0-9_.]+)\}")
@@ -97,7 +146,7 @@ def write_per_tag(
             raise ValueError("template format needs a template string")
         line = template_line(df, template, ts_col)
     elif fmt in ENCODERS:
-        line = ENCODERS[fmt](df) if fmt != "json_lines" else json_lines(df, ts_col)
+        line = ENCODERS[fmt](df, ts_col=ts_col)
     else:
         raise ValueError(f"unknown format {fmt!r}")
     (

@@ -22,9 +22,22 @@ from pyspark.sql import functions as F
 
 
 def salt_col(n_salts: int, *stable_cols: str | Column) -> Column:
-    """Deterministic salt in [0, n_salts): stable across retries."""
+    """Deterministic salt in [0, n_salts): stable across retries.
+
+    The guarantee only holds if ``stable_cols`` are themselves
+    deterministic row content — never monotonically_increasing_id(),
+    whose values change when a stage retries (a salted repartition
+    would then land replayed rows in different partitions: lost or
+    duplicated rows under partitionBy-style writes)."""
     cols = [F.col(c) if isinstance(c, str) else c for c in stable_cols]
     return F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")
+
+
+def _all_cols_salt(df: DataFrame, n_salts: int) -> Column:
+    """Default retry-stable salt: xxhash64 over every column — pure
+    row content, identical on task replay (unlike
+    monotonically_increasing_id)."""
+    return salt_col(n_salts, *[F.col(c) for c in df.columns])
 
 
 def salted_repartition(
@@ -40,7 +53,11 @@ def salted_repartition(
     a small-byte shuffle onto few tasks (harmless at scale, where the
     hot key's bytes exceed the advisory size, but surprising in
     tests/small runs)."""
-    salt = salt_col(n_salts, *(stable_cols or [key_col, F.monotonically_increasing_id()]))
+    salt = (
+        salt_col(n_salts, *stable_cols)
+        if stable_cols
+        else _all_cols_salt(df, n_salts)
+    )
     df = df.withColumn("_salt", salt)
     if num_partitions:
         df = df.repartition(num_partitions, F.col(key_col), F.col("_salt"))
@@ -62,7 +79,11 @@ def salted_count_sum(
     key over n_salts partitions.
     """
     sum_cols = sum_cols or {}
-    salt = salt_col(n_salts, salt_source or F.monotonically_increasing_id())
+    salt = (
+        salt_col(n_salts, salt_source)
+        if salt_source
+        else _all_cols_salt(df, n_salts)
+    )
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")

@@ -107,10 +107,26 @@ def test_sink_encoders(recs, tmp_path):
         ltsv_line(df, ["id", "value"]).alias("ltsv"),
         template_line(df, "v={value} t={tag} missing={nope}").alias("tpl"),
     ).collect()
+    # msgpack_object_print parity (objectc.c:144-188): strings quoted,
+    # floats %f with 6 decimals
     first = [r for r in lines if r["csv"].startswith("0,")][0]
-    assert first["csv"] == "0,web,10.0"
-    assert first["ltsv"] == "id:0\tvalue:10.0"
+    assert first["csv"] == '0,"web",10.000000'
+    assert first["ltsv"] == '"id":0\t"value":10.000000'
     assert first["tpl"] == "v=10.0 t=web missing={nope}"
+
+    # time field + nil parity (file.c:184-185 csv sec.nanos prefix,
+    # file.c:208-211 ltsv "time":<double> lead)
+    spark0 = df.sparkSession
+    tdf = spark0.createDataFrame(
+        [(1, "a,b", None, 1.5)],
+        "id long, txt string, missing string, event_time double",
+    ).withColumn("event_time", F.timestamp_seconds("event_time"))
+    trow = tdf.select(
+        csv_line(tdf, ts_col="event_time").alias("csv"),
+        ltsv_line(tdf, ts_col="event_time").alias("ltsv"),
+    ).first()
+    assert trow["csv"] == '1.500000000,1,"a,b",nil'
+    assert trow["ltsv"] == '"time":1.500000\t"id":1\t"txt":"a,b"\t"missing":nil'
 
     out = str(tmp_path / "pertag")
     write_per_tag(df.withColumn("event_time", F.lit(0.0)), out, fmt="json_lines", ts_col="event_time")

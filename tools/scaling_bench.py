@@ -125,7 +125,15 @@ spark = (
     .config("spark.ui.enabled", "false")
     .config("spark.executor.memory", "{mem_mb}m")
     .config("spark.executorEnv.PYTHONPATH", {repo!r})
-    .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+    # per-executor JVM sized to ITS cores, as on a real cluster: an
+    # 8-core executor must not spawn 32 GC/JIT/netty threads just
+    # because the host has 32 CPUs (4 executors x 32 GC threads is a
+    # thread storm no real deployment has)
+    .config(
+        "spark.executor.extraJavaOptions",
+        "-XX:+UseParallelGC -XX:ActiveProcessorCount={cores} "
+        "-XX:ParallelGCThreads={cores}",
+    )
     .config(
         "spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
@@ -165,6 +173,33 @@ def run_cluster_level(
     return json.loads(line[len("RESULT:"):])
 
 
+def run_cluster_concurrent(
+    k: int, cores: int, rows: int, reps: int, parts: int, mem_mb: int
+) -> list[list[float]]:
+    """k independent 1-executor clusters running side by side — the
+    weak-scaling half of the evidence: does per-executor throughput
+    hold when 4x the executors share the host? (On a real cluster 4N
+    executors bring 4x the hardware; this bounds the contention a
+    single host adds.)"""
+    src = _CLUSTER_LEVEL_SRC.format(
+        repo=REPO, execs=1, cores=cores, rows=rows, reps=reps,
+        parts=parts, mem_mb=mem_mb,
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", src],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+        for _ in range(k)
+    ]
+    results = []
+    for p in procs:
+        out, _ = p.communicate()
+        line = [l for l in out.splitlines() if l.startswith("RESULT:")][-1]
+        results.append(json.loads(line[len("RESULT:"):]))
+    return results
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=8_000_000)
@@ -183,7 +218,42 @@ def main() -> None:
                     help="memory per executor (identical at both levels)")
     ap.add_argument("--rounds", type=int, default=2,
                     help="interleaved subprocess rounds per level (--cluster)")
+    ap.add_argument("--weak", action="store_true",
+                    help="weak-scaling: 4 independent 1-executor clusters "
+                         "concurrently vs 1 alone (per-executor retention)")
     args = ap.parse_args()
+
+    if args.weak:
+        parts = 4 * args.cores  # per-cluster partitioning
+        solo: list[float] = []
+        conc_worst: list[float] = []
+        conc_all: list[list[float]] = []
+        for _ in range(args.rounds):
+            solo += run_cluster_level(
+                1, args.cores, args.rows, args.reps, parts, args.mem_mb)
+            group = run_cluster_concurrent(
+                args.execs_high, args.cores, args.rows, args.reps, parts,
+                args.mem_mb)
+            conc_all.append(group)
+            # group aggregate finishes when its slowest member's best rep would
+            conc_worst.append(max(min(g) for g in group))
+        t_solo, t_conc = min(solo), min(conc_worst)
+        print(json.dumps({
+            "rows_per_cluster": args.rows,
+            "clusters_high": args.execs_high,
+            "cores_per_executor": args.cores,
+            "solo_sec": t_solo, "concurrent_worst_sec": t_conc,
+            "solo_reps_sec": solo, "concurrent_groups_sec": conc_all,
+            "agg_docs_per_sec_1x": round(args.rows / t_solo, 1),
+            "agg_docs_per_sec_4x": round(args.execs_high * args.rows / t_conc, 1),
+            "scaling_efficiency": round(t_solo / t_conc, 3),
+            "target": ">= 0.8",
+            "method": "weak-scaling: 4 independent 1-executor clusters "
+                      "side-by-side vs alone; efficiency = solo_time / "
+                      "concurrent_worst_time (per-executor throughput "
+                      "retention under 4x host sharing)",
+        }, indent=2))
+        return
 
     if args.cluster:
         parts = 4 * args.execs_high * args.cores  # same task size both levels
