@@ -470,6 +470,45 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(docs).select("id", "n_bytes", "width", "height")
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode round-trip: valid PNG / GIF / JPEG-SOF /
+    RIFF-WAVE header bytes are assembled per doc in Catalyst, then
+    `decode_meta` parses them back with the stdlib header decoder
+    (multimodal.decode_header) — the oracle recomputes the embedded
+    dimensions arithmetically."""
+    from fluent_bit_spark.textprep.multimodal import decode_meta
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    w = (F.col("doc_id") % 512 + 1).cast("long")
+    h = ((F.col("doc_id") * 3) % 512 + 1).cast("long")
+    ch = (F.col("doc_id") % 2 + 1).cast("long")
+    rate = (F.lit(8000) + (F.col("doc_id") % 5) * 4000).cast("long")
+
+    def be(c, n: int):  # big-endian hex, n bytes
+        return F.lpad(F.lower(F.hex(c)), 2 * n, "0")
+
+    def le(c, n: int):  # little-endian hex, n bytes
+        return F.concat(
+            *[be(F.shiftright(c, 8 * i).bitwiseAND(F.lit(255)), 1) for i in range(n)]
+        )
+
+    png = F.concat(
+        F.lit("89504e470d0a1a0a0000000d49484452"), be(w, 4), be(h, 4),
+        F.lit("08060000"),
+    )
+    gif = F.concat(F.lit("474946383961"), le(w, 2), le(h, 2), F.lit("00"))
+    jpg = F.concat(F.lit("ffd8ffc0001108"), be(h, 2), be(w, 2), F.lit("03"))
+    wav = F.concat(
+        F.lit("524946462400000057415645666d7420100000000100"),
+        le(ch, 2), le(rate, 4),
+    )
+    m = F.col("doc_id") % 4
+    payload = F.unhex(
+        F.when(m == 0, png).when(m == 1, gif).when(m == 2, jpg).otherwise(wav)
+    )
+    return decode_meta(d.select(F.col("doc_id").alias("id"), payload.alias("payload")))
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), F.col("text").cast("binary").alias("payload")
@@ -740,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         "ltm_counter": q_ltm_counter,
         "ltm_gauge": q_ltm_gauge,
@@ -1107,6 +1147,17 @@ def oracle_sql() -> dict[str, str]:
                    (16 + cs % 64)::int AS width,
                    (16 + (cs * 7) % 64)::int AS height
             FROM t
+        """,
+        "multimodal_decode": """
+            SELECT doc_id AS id,
+                   CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                        WHEN 2 THEN 'jpeg' ELSE 'wav' END AS media_type,
+                   (CASE WHEN doc_id % 4 < 3 THEN doc_id % 512 + 1 END)::int AS width,
+                   (CASE WHEN doc_id % 4 < 3 THEN (doc_id * 3) % 512 + 1 END)::int AS height,
+                   (CASE WHEN doc_id % 4 = 3 THEN doc_id % 2 + 1 END)::int AS channels,
+                   (CASE WHEN doc_id % 4 = 3
+                         THEN 8000 + (doc_id % 5) * 4000 END)::int AS sample_rate
+            FROM documents
         """,
         "ltm_counter": """
             SELECT event_type, count(*)::double AS value
