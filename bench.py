@@ -35,6 +35,9 @@ HEADLINE = [
     "sp_aggregate",
     "sp_tumbling",
     "sp_hopping",
+    "sp_create_stream",
+    "multiline_java",
+    "decoder_chain",
     "flowcounter",
     "throttle",
     "dedup_exact",
@@ -47,6 +50,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "multimodal_features",
+    "multimodal_decode",
 ]
 
 

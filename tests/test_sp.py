@@ -334,3 +334,47 @@ def test_key_key_numeric_string_coercion(samples):
     # bytes is a numeric string; usage is integral: only id=0 (10 == 10)
     out = q(samples, "SELECT id FROM STREAM:FLB WHERE bytes = usage;")
     assert [r["id"] for r in out.collect()] == [0]
+
+
+def test_hopping_minmax_bug_compat(spark):
+    """Reference hopping MIN/MAX parity (flb_sp_aggregate_func.c:348-355
+    remove_nop + flb_sp_window.c:66-90 node lifecycle): an expired
+    pane's extreme persists until the group's node dies; SUM stays
+    exact (remove_sum subtracts)."""
+    import datetime
+
+    from fluent_bit_spark.sp.window_compat import hopping_minmax_bug_compat
+
+    T0 = datetime.datetime(2026, 1, 1)
+
+    def at(sec, key, v):
+        return (key, T0 + datetime.timedelta(seconds=sec), float(v))
+
+    rows = [
+        at(5, "a", 100.0),   # pane 0
+        at(15, "a", 5.0),    # pane 1
+        at(25, "a", 7.0),    # pane 2
+        at(35, "a", 9.0),    # pane 3
+        at(5, "b", 50.0),    # pane 0 only -> node dies at pane-0 prune
+        at(25, "b", 60.0),   # pane 2: fresh node, no memory of 50
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r["k"], r["window_start"].second + r["window_start"].minute * 60): r
+        for r in hopping_minmax_bug_compat(
+            df, "ts", "v", size_sec=20, advance_sec=10, group_cols=["k"]
+        ).collect()
+    }
+    # window [20,40) for key a: exact min is 7 but the bug-compatible
+    # min still remembers 5 from the expired pane 1
+    w = out[("a", 20)]
+    assert w["min_exact"] == 7.0 and w["min_bugcompat"] == 5.0
+    assert w["records"] == 2 and w["sum_value"] == 16.0
+    # window [10,30): pane 0's 100 expired from MAX? no — max_bugcompat
+    # keeps 100 (remove_nop), exact is 7
+    w2 = out[("a", 10)]
+    assert w2["max_exact"] == 7.0 and w2["max_bugcompat"] == 100.0
+    # key b: node died when pane 0 expired (its pane held ALL records),
+    # so the pane-2 window has NO memory of 50
+    wb = out[("b", 20)]
+    assert wb["min_bugcompat"] == 60.0 and wb["max_bugcompat"] == 60.0

@@ -218,13 +218,16 @@ def main() -> None:
                     help="memory per executor (identical at both levels)")
     ap.add_argument("--rounds", type=int, default=2,
                     help="interleaved subprocess rounds per level (--cluster)")
+    ap.add_argument("--parts-mult", type=int, default=4,
+                    help="partitions = mult * high-level cores (finer tasks "
+                         "shrink the straggler tail at the high level)")
     ap.add_argument("--weak", action="store_true",
                     help="weak-scaling: 4 independent 1-executor clusters "
                          "concurrently vs 1 alone (per-executor retention)")
     args = ap.parse_args()
 
     if args.weak:
-        parts = 4 * args.cores  # per-cluster partitioning
+        parts = args.parts_mult * args.cores  # per-cluster partitioning
         solo: list[float] = []
         conc_worst: list[float] = []
         conc_all: list[list[float]] = []
@@ -256,7 +259,7 @@ def main() -> None:
         return
 
     if args.cluster:
-        parts = 4 * args.execs_high * args.cores  # same task size both levels
+        parts = args.parts_mult * args.execs_high * args.cores  # same task size both levels
         lo_times: list[float] = []
         hi_times: list[float] = []
         for _ in range(args.rounds):
