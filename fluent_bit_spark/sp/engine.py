@@ -59,6 +59,7 @@ class SpEngine:
         self.tag_col = tag_col
         self.presence_col = presence_col
         self._streams: dict[str, SpStream] = {}
+        self._snapshots: dict[str, SpCommand] = {}
 
     # -------------------------------------------------------------- inputs
     def register_input(
@@ -81,9 +82,11 @@ class SpEngine:
             return self._run_select(cmd)
         if cmd.kind == "create_stream":
             return self._create_stream(cmd)
-        raise ValueError(
-            f"SpEngine.execute handles SELECT / CREATE STREAM, got {cmd.kind}"
-        )
+        if cmd.kind == "create_snapshot":
+            return self._create_snapshot(cmd)
+        if cmd.kind == "flush_snapshot":
+            return self._flush_snapshot(cmd)
+        raise ValueError(f"SpEngine.execute: unsupported statement {cmd.kind}")
 
     def _source_df(self, cmd: SpCommand) -> DataFrame:
         if cmd.source_type == "stream":
@@ -138,6 +141,51 @@ class SpEngine:
         out = out.withColumn(self.tag_col, F.lit(tag))
         self._streams[name.lower()] = SpStream(df=out, tag=tag, routable=routable)
         return out
+
+    # ----------------------------------------------------------- snapshots
+    def _create_snapshot(self, cmd: SpCommand) -> DataFrame:
+        """CREATE SNAPSHOT name [WITH(seconds=s)] AS SELECT * FROM ...
+        LIMIT n — registers the bounded ring-buffer spec
+        (flb_sp_snapshot.c:25-160); nothing materializes until FLUSH."""
+        name = (cmd.stream_name or "").lower()
+        if name in self._snapshots:
+            raise ValueError(f"snapshot {name!r} already exists")
+        if cmd.limit is None and "seconds" not in cmd.props:
+            raise ValueError(
+                "snapshot needs LIMIT n and/or WITH(seconds=s) "
+                "(flb_sp_snapshot.c bounded buffer)"
+            )
+        self._snapshots[name] = cmd
+        # the registered spec's buffered view (filtered source)
+        return self._snapshot_buffer(cmd)
+
+    def _snapshot_buffer(self, snap: SpCommand) -> DataFrame:
+        df = self._source_df(snap)
+        tr = Translator(df, self.ts_col, self.tag_col, self.presence_col)
+        return df.filter(tr.condition(snap.where))
+
+    def _flush_snapshot(self, cmd: SpCommand) -> DataFrame:
+        """FLUSH SNAPSHOT name AS SELECT * FROM <same stream> WHERE
+        <flush condition>: every matching record re-emits the buffered
+        window preceding it (flb_sp_snapshot.c:162-277), bounded by
+        the snapshot's LIMIT records / seconds span."""
+        from fluent_bit_spark.operators.snapshot import snapshot_flush
+
+        name = (cmd.stream_name or "").lower()
+        snap = self._snapshots.get(name)
+        if snap is None:
+            raise KeyError(f"unknown snapshot {name!r}")
+        buffered = self._snapshot_buffer(snap)
+        tr = Translator(buffered, self.ts_col, self.tag_col, self.presence_col)
+        cond = tr.condition(cmd.where)
+        seconds = float(snap.props["seconds"]) if "seconds" in snap.props else None
+        return snapshot_flush(
+            buffered,
+            cond,
+            ts_col=self.ts_col,
+            limit=snap.limit,
+            seconds=seconds,
+        )
 
     # ------------------------------------------------------------- routing
     def routable_records(self) -> DataFrame:

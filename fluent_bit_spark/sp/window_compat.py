@@ -79,8 +79,10 @@ def hopping_minmax_bug_compat(
         pdf = pdf.sort_values("_pane")
         keys = {k: pdf[k].iloc[0] for k in group_cols}
         stats = {
-            int(r._pane): (int(r._cnt), float(r._sum), float(r._min), float(r._max))
-            for r in pdf.itertuples()
+            int(p): (int(c), float(s), float(mn), float(mx))
+            for p, c, s, mn, mx in zip(
+                pdf["_pane"], pdf["_cnt"], pdf["_sum"], pdf["_min"], pdf["_max"]
+            )
         }
         lo, hi = min(stats), max(stats)
         alive = False

@@ -97,6 +97,25 @@ def test_duplicate_name_rejected(engine):
         engine.execute("SELECT id FROM STREAM:nosuch;")
 
 
+def test_snapshot_create_flush(engine):
+    """CREATE SNAPSHOT / FLUSH SNAPSHOT through the engine
+    (flb_sp_snapshot.c:25-277): flush-matching records re-emit the
+    bounded buffer preceding them."""
+    engine.execute(
+        "CREATE SNAPSHOT recent AS SELECT * FROM STREAM:apache LIMIT 3;"
+    )
+    out = engine.execute(
+        "FLUSH SNAPSHOT recent AS SELECT * FROM STREAM:apache WHERE id = 5;"
+    )
+    rows = sorted(r["id"] for r in out.collect())
+    assert rows == [3, 4, 5]  # the 3-record buffer ending at the trigger
+
+    with pytest.raises(KeyError):
+        engine.execute("FLUSH SNAPSHOT nosuch AS SELECT * FROM STREAM:apache WHERE id = 1;")
+    with pytest.raises(ValueError, match="LIMIT"):
+        engine.execute("CREATE SNAPSHOT unbounded AS SELECT * FROM STREAM:apache;")
+
+
 def test_chained_streams_single_scan(engine):
     """Stream-of-stream composes plans: no materialization between hops."""
     engine.execute("CREATE STREAM a AS SELECT id, bytes FROM STREAM:apache WHERE id > 2;")
