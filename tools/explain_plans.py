@@ -87,6 +87,44 @@ def main() -> int:
     ok = "codegen id" in p_routed
     checks.append(("parse stage inside WholeStageCodegen", ok, ""))
 
+    # 6. multiline_java: the per-line regex bitmask runs JVM-side; the
+    #    only Python in the plan is the grouped DFA (FlatMapGroupsInPandas)
+    p = plan_of(qs["multiline_java"](spark, sf_dir))
+    ok = (
+        "FlatMapGroupsInPandas" in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p
+    )
+    checks.append(
+        ("multiline DFA: regex bitmask JVM-side, Python only in grouped walk",
+         ok, "")
+    )
+    n_ex = n_exchanges(p)
+    checks.append(
+        ("multiline DFA: single exchange (stream-key groupBy)",
+         n_ex == 1, f"{n_ex} exchanges")
+    )
+    sections.append(("multiline_java (JVM bitmask + grouped DFA)", p, []))
+
+    # 7. minhash triage: signature table persisted and reused (both
+    #    triage branches + verify read the cache, not re-shingled text)
+    p = plan_of(qs["dedup_minhash_lsh"](spark, sf_dir))
+    ok = "InMemoryTableScan" in p or "TableCacheQueryStage" in p
+    checks.append(
+        ("minhash LSH: persisted signature table reused across branches",
+         ok, "")
+    )
+    sections.append(("dedup_minhash_lsh (triage over cached sigs)", p, []))
+
+    # 8. multimodal_decode: container bytes assembled in codegen, one
+    #    Arrow-batched MapInPandas for the header parse
+    p = plan_of(qs["multimodal_decode"](spark, sf_dir))
+    ok = "MapInPandas" in p and "codegen id" in p
+    checks.append(
+        ("multimodal decode: codegen byte assembly + single MapInPandas",
+         ok, "")
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
