@@ -94,3 +94,66 @@ def test_streaming_windowed_aggregates(spark, dirs):
     for r in aggs.collect():
         key = (r["sink"], r["window_start"])
         assert b[key] == (r["records"], r["bytes"])
+
+
+def test_streaming_multiline_state_across_batches(spark, dirs):
+    """Stateful streaming multiline (flb_ml pending buffer): a
+    stacktrace split across two micro-batches joins into ONE record —
+    the pending buffer carries over in the state store; record ids
+    keep incrementing across batches."""
+    import pandas as pd
+
+    from fluent_bit_spark.streaming.multiline import streaming_multiline
+
+    src, out, ckpt = dirs
+    schema = "file string, seq long, line string"
+
+    def write_batch(sub, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, sub))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        joined = streaming_multiline(
+            stream, ["file"], "seq", "line", "java", flush_timeout_ms=None
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_stream_to_completion(q)
+
+    # batch 1: a complete record + the START of a stacktrace (pending)
+    write_batch("b1", [
+        ("a", 1, "plain line one"),
+        ("a", 2, "Exception in thread main java.lang.RuntimeException: x"),
+        ("a", 3, "     at com.example.A.run(A.java:1)"),
+    ])
+    drain()
+    got1 = spark.read.parquet(out)
+    # only the closed record is emitted; the stacktrace stays pending
+    assert got1.count() == 1
+    assert got1.first()["record"] == "plain line one"
+
+    # batch 2: continuation of the SAME stacktrace + a closing line
+    write_batch("b2", [
+        ("a", 4, "     at com.example.B.run(B.java:2)"),
+        ("a", 5, "plain line two"),
+    ])
+    drain()
+    recs = {r["record_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(recs) == 3
+    # the cross-batch stacktrace is ONE record with 3 lines
+    stack = recs[1]
+    assert stack["n_lines"] == 3 and stack["first_seq"] == 2
+    assert stack["record"].count("\n") == 2
+    assert recs[2]["record"] == "plain line two"
