@@ -293,6 +293,51 @@ def q_sp_create_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classic_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A classic-mode fluent-bit.conf drives the whole pipeline
+    (fluent_bit_spark.classic): lib input -> grep -> conditional
+    modify -> rewrite_tag -> two Match-scoped outputs."""
+    from fluent_bit_spark.classic import build_classic_pipeline
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").alias("event_time"), "event_id", "event_type", "value"
+    )
+    conf = """
+[INPUT]
+    Name lib
+    Tag  ev.in
+
+[FILTER]
+    Name  grep
+    Match ev.*
+    Regex event_type ^(click|error)$
+
+[FILTER]
+    Name      modify
+    Match     ev.*
+    Condition Key_value_equals event_type error
+    Set       severity high
+
+[FILTER]
+    Name  rewrite_tag
+    Match ev.*
+    Rule  $event_type ^error$ alerts.$0 true
+
+[OUTPUT]
+    Name  null
+    Match alerts.*
+
+[OUTPUT]
+    Name  null
+    Match ev.*
+"""
+    pipe = build_classic_pipeline(spark, conf, lib_inputs={"ev.in": ev})
+    cols = ["tag", "event_id", "event_type", "severity"]
+    a = pipe.outputs["null.0"].select(F.lit("null.0").alias("out_id"), *cols)
+    b = pipe.outputs["null.1"].select(F.lit("null.1").alias("out_id"), *cols)
+    return a.unionByName(b)
+
+
 def q_sp_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     sql = (
@@ -758,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_select_where": q_sp_select_where,
         "sp_key_key_compare": q_sp_key_key_compare,
         "sp_create_stream": q_sp_create_stream,
+        "classic_conf": q_classic_conf,
         "sp_aggregate": q_sp_aggregate,
         "sp_tumbling": q_sp_tumbling,
         "sp_hopping": q_sp_hopping,
@@ -988,6 +1034,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING date_trunc('minute', min(ts)) + INTERVAL 1 MINUTE
                    <= (SELECT max(ts) FROM events)
+        """,
+        "classic_conf": """
+            WITH f AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_type = 'error' THEN 'high' END AS severity
+              FROM events WHERE event_type IN ('click', 'error')),
+            r AS (
+              SELECT 'ev.in' AS tag, event_id, event_type, severity FROM f
+              UNION ALL
+              SELECT 'alerts.error' AS tag, event_id, event_type, severity
+              FROM f WHERE event_type = 'error')
+            SELECT 'null.0' AS out_id, tag, event_id, event_type, severity
+            FROM r WHERE tag LIKE 'alerts.%'
+            UNION ALL
+            SELECT 'null.1' AS out_id, tag, event_id, event_type, severity
+            FROM r WHERE tag LIKE 'ev.%'
         """,
         "sp_create_stream": """
             WITH alerts AS (

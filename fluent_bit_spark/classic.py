@@ -1,0 +1,401 @@
+"""Classic-mode fluent-bit.conf loader: a reference user's config runs
+the Spark pipeline.
+
+Parses the [SERVICE]/[INPUT]/[FILTER]/[OUTPUT] ini-ish format
+(src/flb_config.c classic mode; examples /root/reference/conf/*.conf)
+and assembles the corresponding DataFrame pipeline: inputs become
+tagged DataFrames, filters apply in config order to Match-ing tags,
+outputs route by Match glob.
+
+Supported plugin surface (the SURVEY §2 in-scope set):
+
+- inputs: dummy (Dummy/Samples/Tag), tail (Path/Tag/Parser/Path_Key;
+  batch form reads the files, streaming handled by streaming/job.py),
+  lib (caller-supplied DataFrame — the in_lib embedding analog, also
+  the test harness hook)
+- filters: grep, modify, record_modifier, nest, rewrite_tag, throttle,
+  expect, stdout (no-op) — lua is NOT config-loadable (a Lua runtime
+  is out of scope; udf_hook is the programmatic equivalent)
+- outputs: file, counter, flowcounter, null, stdout
+
+Filter application is split-union per filter: rows whose tag matches
+go through the operator, the rest bypass, unionByName(allowMissing)
+rejoins. Plans grow linearly with filter count (configs have a handful
+of filters); each branch stays fully Catalyst-optimizable, and column
+additions on one branch surface as nulls on the other — the exact
+semantics of a record map lacking that key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.functions.globmatch import tag_match_col
+from fluent_bit_spark.operators.expect import ExpectRule, expect
+from fluent_bit_spark.operators.grep import GrepRule, grep
+from fluent_bit_spark.operators.modify import ModifyCondition, ModifyRule, modify
+from fluent_bit_spark.operators.nest import lift, nest
+from fluent_bit_spark.operators.record_modifier import record_modifier
+from fluent_bit_spark.operators.throttle import throttle
+from fluent_bit_spark.router import RewriteTagRule, Route, apply_rewrite_tag
+from fluent_bit_spark.parsers.compile import apply_parser
+from fluent_bit_spark.parsers.config import ParserSpec
+
+
+@dataclass
+class Section:
+    kind: str  # service | input | filter | output
+    props: list[tuple[str, str]] = field(default_factory=list)
+
+    def get(self, key: str, default: str | None = None) -> str | None:
+        key = key.lower()
+        for k, v in self.props:
+            if k == key:
+                return v
+        return default
+
+    def get_all(self, key: str) -> list[str]:
+        key = key.lower()
+        return [v for k, v in self.props if k == key]
+
+    @property
+    def name(self) -> str:
+        return (self.get("name") or "").lower()
+
+
+def parse_classic_conf(text: str) -> list[Section]:
+    """The classic-mode reader: '[SECTION]' headers, indented
+    'Key Value' pairs (first whitespace run splits), '#' comments,
+    case-insensitive repeatable keys (flb_config.c / mk_rconf)."""
+    sections: list[Section] = []
+    cur: Section | None = None
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line.startswith("[") and line.endswith("]"):
+            cur = Section(kind=line[1:-1].strip().lower())
+            sections.append(cur)
+            continue
+        if cur is None:
+            raise ValueError(f"property outside any section: {line!r}")
+        parts = line.split(None, 1)
+        key = parts[0].lower()
+        val = parts[1].strip() if len(parts) > 1 else ""
+        cur.props.append((key, val))
+    return sections
+
+
+# ------------------------------------------------------------- inputs
+
+
+def _expand_map(
+    df: DataFrame, map_col: str = "record_map", sample_rows: int = 10_000
+) -> DataFrame:
+    """Promote a parser's map column to top-level columns.
+
+    Map-producing parsers (logfmt/ltsv/json) can't know their keys at
+    compile time; classic-mode filters address keys as columns, so the
+    key set is inferred from a bounded sample — the same build-time
+    inference pass spark.read.json runs, with the same caveat (keys
+    absent from the sample are dropped). Key order is sorted for a
+    deterministic schema.
+    """
+    if map_col not in df.columns:
+        return df
+    keys = sorted(
+        r[0]
+        for r in df.limit(sample_rows)
+        .select(F.explode(F.map_keys(F.col(map_col))).alias("k"))
+        .distinct()
+        .collect()
+    )
+    cols = [F.col(c) for c in df.columns if c != map_col]
+    cols += [F.col(map_col).getItem(k).alias(k) for k in keys]
+    return df.select(*cols)
+
+
+def _input_df(
+    spark: SparkSession,
+    sec: Section,
+    parsers: dict[str, ParserSpec],
+    lib_inputs: dict[str, DataFrame],
+) -> DataFrame:
+    name = sec.name
+    tag = sec.get("tag") or name
+    if name == "dummy":
+        # in_dummy: emit the Dummy JSON `Samples` times
+        # (plugins/in_dummy/in_dummy.c: dummy/samples properties)
+        payload = sec.get("dummy", '{"message":"dummy"}')
+        samples = int(sec.get("samples", "1"))
+        import json
+
+        base = spark.range(samples).select(
+            F.lit(tag).alias("tag"),
+            F.col("id").alias("_seq"),
+            F.lit(payload).alias("_json"),
+        )
+        keys = json.loads(payload).keys()
+        cols = [F.col("tag"), F.col("_seq")] + [
+            F.get_json_object(F.col("_json"), f"$.{k}").alias(k) for k in keys
+        ]
+        return base.select(*cols)
+    if name == "tail":
+        path = sec.get("path")
+        if not path:
+            raise ValueError("[INPUT] tail requires Path")
+        df = spark.read.text(path).withColumnRenamed("value", "log")
+        if sec.get("path_key"):
+            df = df.withColumn(sec.get("path_key"), F.input_file_name())
+        df = df.withColumn("tag", F.lit(tag))
+        pname = sec.get("parser")
+        if pname:
+            if pname not in parsers:
+                raise ValueError(f"unknown parser {pname!r} (pass parsers=)")
+            df = _expand_map(apply_parser(df, "log", parsers[pname]))
+        return df
+    if name == "lib":
+        if tag not in lib_inputs:
+            raise ValueError(
+                f"[INPUT] lib needs a DataFrame for tag {tag!r} in lib_inputs"
+            )
+        return lib_inputs[tag].withColumn("tag", F.lit(tag))
+    raise ValueError(
+        f"input plugin {name!r} not supported in classic mode "
+        "(supported: dummy, tail, lib)"
+    )
+
+
+# ------------------------------------------------------------- filters
+
+
+def _split_apply(df: DataFrame, match: str, op) -> DataFrame:
+    """Apply `op` to Match-ing rows only; bypass the rest.
+
+    Match '*' applies directly (no split): besides saving a branch,
+    the union's schema-merge would resurrect columns the operator
+    dropped (as all-null from the empty bypass side). For partial
+    matches that merge is the intended record-map semantics — a key
+    the filter removed on one route is simply null there.
+    """
+    if match == "*":
+        return op(df)
+    pred = tag_match_col("tag", match)
+    hit = op(df.filter(pred))
+    miss = df.filter(~pred)
+    return hit.unionByName(miss, allowMissingColumns=True)
+
+
+def _two(v: str) -> tuple[str, str]:
+    parts = v.split(None, 1)
+    if len(parts) != 2:
+        raise ValueError(f"expected 'KEY VALUE', got {v!r}")
+    return parts[0], parts[1]
+
+
+def _apply_filter(df: DataFrame, sec: Section) -> DataFrame:
+    name = sec.name
+    match = sec.get("match", "*")
+
+    if name == "grep":
+        # rules evaluate in config-appearance order (legacy semantics)
+        rules = [
+            GrepRule(k, *_two(v))
+            for k, v in sec.props
+            if k in ("regex", "exclude")
+        ]
+        op = (sec.get("logical_op") or "legacy").lower()
+        return _split_apply(df, match, lambda d: grep(d, rules, op))
+
+    if name == "modify":
+        rule_ops = (
+            "set", "add", "remove", "remove_wildcard", "remove_regex",
+            "rename", "hard_rename", "copy", "hard_copy", "move_to_start",
+            "move_to_end",
+        )
+        rules: list[ModifyRule] = []
+        conds: list[ModifyCondition] = []
+        for k, v in sec.props:
+            if k in rule_ops:
+                if k in ("remove", "remove_wildcard", "remove_regex",
+                         "move_to_start", "move_to_end"):
+                    rules.append(ModifyRule(k, v))
+                else:
+                    rules.append(ModifyRule(k, *_two(v)))
+            elif k == "condition":
+                toks = v.split(None, 2)
+                conds.append(
+                    ModifyCondition(
+                        toks[0].lower(), toks[1],
+                        toks[2] if len(toks) > 2 else None,
+                    )
+                )
+        return _split_apply(df, match, lambda d: modify(d, rules, conds))
+
+    if name == "record_modifier":
+        records = dict(_two(v) for v in sec.get_all("record"))
+        remove = sec.get_all("remove_key")
+        allow = sec.get_all("allowlist_key") + sec.get_all("whitelist_key")
+        uuid_key = sec.get("uuid_key")
+        return _split_apply(
+            df, match,
+            lambda d: record_modifier(
+                d, remove or None, allow or None, records or None, uuid_key
+            ),
+        )
+
+    if name == "nest":
+        operation = (sec.get("operation") or "nest").lower()
+        if operation == "nest":
+            return _split_apply(
+                df, match,
+                lambda d: nest(
+                    d, sec.get_all("wildcard"), sec.get("nest_under", "nested"),
+                    sec.get("remove_prefix"), sec.get("add_prefix"),
+                ),
+            )
+        return _split_apply(
+            df, match,
+            lambda d: lift(
+                d, sec.get("nested_under", "nested"),
+                sec.get("remove_prefix"), sec.get("add_prefix"),
+            ),
+        )
+
+    if name == "rewrite_tag":
+        rules = []
+        for v in sec.get_all("rule"):
+            key, pattern, new_tag, keep = v.split(None, 3)
+            rules.append(
+                RewriteTagRule(
+                    key, pattern, new_tag,
+                    keep.strip().lower() in ("true", "on", "1"),
+                )
+            )
+        return _split_apply(df, match, lambda d: apply_rewrite_tag(d, rules))
+
+    if name == "throttle":
+        rate = int(sec.get("rate", "5"))
+        interval = sec.get("interval", "1s").rstrip("s") + " seconds"
+        ts = sec.get("time_key", "event_time")
+
+        def th(d: DataFrame) -> DataFrame:
+            if ts not in d.columns:
+                raise ValueError(
+                    f"throttle needs a {ts!r} column (set Time_Key)"
+                )
+            return throttle(d, ts, rate, interval, key_cols=["tag"])
+
+        return _split_apply(df, match, th)
+
+    if name == "expect":
+        rules = []
+        for k, v in sec.props:
+            if k in ("key_exists", "key_not_exists", "key_val_is_null",
+                     "key_val_is_not_null"):
+                rules.append(ExpectRule(k, v))
+            elif k in ("key_val_eq", "key_val_matches"):
+                rules.append(ExpectRule(k, *_two(v)))
+        action = (sec.get("action") or "exit").lower()
+        if action == "result_key":
+            return _split_apply(
+                df, match,
+                lambda d: expect(d, rules, "result_key", sec.get("result_key", "matched")),
+            )
+        return _split_apply(df, match, lambda d: expect(d, rules, "exit"))
+
+    if name == "stdout":
+        return df  # debugging passthrough
+
+    if name == "lua":
+        raise ValueError(
+            "filter lua is not config-loadable (no Lua runtime); use "
+            "fluent_bit_spark.operators.udf_hook programmatically"
+        )
+    raise ValueError(f"filter plugin {name!r} not supported")
+
+
+# ------------------------------------------------------------- assembly
+
+
+@dataclass
+class ClassicPipeline:
+    """The assembled config: filtered stream + per-output DataFrames."""
+
+    records: DataFrame  # post-filter, pre-routing (tag column present)
+    outputs: dict[str, DataFrame]  # output id -> routed/transformed DF
+    output_sections: dict[str, Section]
+
+
+def build_classic_pipeline(
+    spark: SparkSession,
+    conf_text: str,
+    parsers: dict[str, ParserSpec] | None = None,
+    lib_inputs: dict[str, DataFrame] | None = None,
+) -> ClassicPipeline:
+    sections = parse_classic_conf(conf_text)
+    parsers = parsers or {}
+    lib_inputs = lib_inputs or {}
+
+    inputs = [s for s in sections if s.kind == "input"]
+    if not inputs:
+        raise ValueError("config has no [INPUT] section")
+    dfs = [_input_df(spark, s, parsers, lib_inputs) for s in inputs]
+    df = dfs[0]
+    for d in dfs[1:]:
+        df = df.unionByName(d, allowMissingColumns=True)
+
+    for s in (s for s in sections if s.kind == "filter"):
+        df = _apply_filter(df, s)
+
+    outputs: dict[str, DataFrame] = {}
+    out_secs: dict[str, Section] = {}
+    for i, s in enumerate(s for s in sections if s.kind == "output"):
+        oid = f"{s.name}.{i}"
+        match = s.get("match", "*")
+        routed = df.filter(tag_match_col("tag", match))
+        if s.name == "counter":
+            # out_counter: running record count (counter.c:57)
+            routed = routed.agg(F.count(F.lit(1)).alias("count"))
+        elif s.name == "flowcounter":
+            unit = s.get("unit", "minute")
+            dur = {"second": "1 second", "minute": "1 minute",
+                   "hour": "1 hour", "day": "1 day"}[unit]
+            ts = "event_time" if "event_time" in routed.columns else None
+            if ts is None:
+                raise ValueError("flowcounter needs an event_time column")
+            routed = routed.groupBy(
+                F.col("tag"), F.window(ts, dur)["start"].alias("window_start")
+            ).agg(F.count(F.lit(1)).alias("counts"))
+        outputs[oid] = routed
+        out_secs[oid] = s
+    return ClassicPipeline(records=df, outputs=outputs, output_sections=out_secs)
+
+
+def run_classic_outputs(pipe: ClassicPipeline, out_dir: str) -> dict[str, int]:
+    """Deliver every output (file formats via sinks.write_per_tag;
+    null/stdout as noop) and return per-output row counts."""
+    import os
+
+    from fluent_bit_spark.sinks import write_per_tag
+
+    counts: dict[str, int] = {}
+    for oid, df in pipe.outputs.items():
+        sec = pipe.output_sections[oid]
+        if sec.name == "file":
+            fmt = (sec.get("format") or "json_lines").replace("out_file", "")
+            ts = "event_time" if "event_time" in df.columns else None
+            write_per_tag(
+                df, os.path.join(out_dir, oid),
+                fmt="json_lines" if fmt == "plain" else fmt,
+                template=sec.get("template"), ts_col=ts,
+            )
+            counts[oid] = df.count()
+        elif sec.name in ("null", "stdout", "counter", "flowcounter"):
+            counts[oid] = df.count()
+        else:
+            raise ValueError(f"output plugin {sec.name!r} not supported")
+    return counts

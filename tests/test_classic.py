@@ -1,0 +1,181 @@
+"""Classic-mode fluent-bit.conf loading: a reference user's config
+assembles the Spark pipeline (flb_config.c classic format; plugin
+property names per the reference plugins)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.classic import (
+    build_classic_pipeline,
+    parse_classic_conf,
+    run_classic_outputs,
+)
+from fluent_bit_spark.parsers.config import parse_parsers_conf
+
+
+def test_parse_classic_sections():
+    secs = parse_classic_conf(
+        """
+# a comment
+[SERVICE]
+    Flush 1
+[INPUT]
+    Name   dummy
+    Dummy  {"k":"v"}
+[FILTER]
+    Name  grep
+    Match *
+    Regex k ^v$
+    Exclude k ^x$
+"""
+    )
+    assert [s.kind for s in secs] == ["service", "input", "filter"]
+    assert secs[1].get("dummy") == '{"k":"v"}'
+    assert secs[2].get_all("regex") == ["k ^v$"]
+    # keys are case-insensitive and ordered
+    assert [k for k, _ in secs[2].props] == ["name", "match", "regex", "exclude"]
+
+
+def test_dummy_input_and_outputs(spark, tmp_path):
+    conf = """
+[INPUT]
+    Name    dummy
+    Tag     dummy.data
+    Dummy   {"message":"hello","level":"info"}
+    Samples 5
+
+[FILTER]
+    Name  record_modifier
+    Match dummy.*
+    Record hostname h1
+
+[OUTPUT]
+    Name  file
+    Match dummy.*
+
+[OUTPUT]
+    Name  counter
+    Match *
+"""
+    pipe = build_classic_pipeline(spark, conf)
+    rows = pipe.records.collect()
+    assert len(rows) == 5
+    assert rows[0]["message"] == "hello" and rows[0]["hostname"] == "h1"
+    counts = run_classic_outputs(pipe, str(tmp_path))
+    assert counts["file.0"] == 5
+    assert pipe.outputs["counter.1"].first()["count"] == 5
+
+
+def test_tail_with_parser_grep_rewrite(spark, tmp_path):
+    log = tmp_path / "app.log"
+    log.write_text(
+        "\n".join(
+            [
+                'key1=a key2=1 status=ok',
+                'key1=b key2=2 status=err',
+                'key1=c key2=3 status=ok',
+            ]
+        )
+    )
+    parsers = parse_parsers_conf(
+        "[PARSER]\n    Name applog\n    Format logfmt\n"
+    )
+    conf = f"""
+[INPUT]
+    Name   tail
+    Path   {log}
+    Tag    app.log
+    Parser applog
+
+[FILTER]
+    Name  grep
+    Match app.*
+    Exclude key1 ^c$
+
+[FILTER]
+    Name  rewrite_tag
+    Match app.*
+    Rule  $status ^err$ alerts.err true
+
+[OUTPUT]
+    Name  null
+    Match alerts.*
+
+[OUTPUT]
+    Name  null
+    Match app.*
+"""
+    pipe = build_classic_pipeline(spark, conf, parsers=parsers)
+    alerts = pipe.outputs["null.0"].collect()
+    apps = pipe.outputs["null.1"].collect()
+    assert len(alerts) == 1 and alerts[0]["key1"] == "b"
+    assert len(apps) == 2  # c excluded; err kept (keep true)
+
+
+def test_modify_with_condition_and_nest(spark):
+    conf = """
+[INPUT]
+    Name    dummy
+    Dummy   {"a":"1","b":"2","kind":"x"}
+    Samples 2
+
+[FILTER]
+    Name      modify
+    Match     *
+    Condition Key_value_equals kind x
+    Set       seen yes
+    Rename    b bee
+
+[FILTER]
+    Name       nest
+    Match      *
+    Operation  nest
+    Wildcard   a
+    Wildcard   bee
+    Nest_under data
+"""
+    pipe = build_classic_pipeline(spark, conf)
+    r = pipe.records.first()
+    assert r["seen"] == "yes"
+    assert r["data"]["a"] == "1" and r["data"]["bee"] == "2"
+    # conditional rename nulls the source rather than dropping the
+    # column (modify() keeps the schema when gated by Condition)
+    assert r["b"] is None
+
+
+def test_lib_input_and_match_scoping(spark):
+    df = spark.createDataFrame(
+        [(datetime.datetime(2026, 1, 1), "click", 1.0)],
+        "event_time timestamp, event_type string, value double",
+    )
+    conf = """
+[INPUT]
+    Name lib
+    Tag  ev.in
+
+[FILTER]
+    Name  record_modifier
+    Match other.*
+    Record nope true
+
+[OUTPUT]
+    Name  null
+    Match ev.*
+"""
+    pipe = build_classic_pipeline(spark, conf, lib_inputs={"ev.in": df})
+    r = pipe.outputs["null.0"].first()
+    # the non-matching filter must NOT have touched ev.* rows
+    assert r["event_type"] == "click"
+    assert r["nope"] is None or "nope" not in pipe.outputs["null.0"].columns
+
+
+def test_unsupported_plugins_error(spark):
+    with pytest.raises(ValueError, match="not supported"):
+        build_classic_pipeline(spark, "[INPUT]\n    Name syslog\n")
+    with pytest.raises(ValueError, match="lua"):
+        build_classic_pipeline(
+            spark,
+            "[INPUT]\n    Name dummy\n[FILTER]\n    Name lua\n    Match *\n",
+        )
