@@ -375,6 +375,125 @@ def build_classic_pipeline(
     return ClassicPipeline(records=df, outputs=outputs, output_sections=out_secs)
 
 
+def start_classic_stream(
+    spark: SparkSession,
+    conf_text: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    parsers: dict[str, ParserSpec] | None = None,
+    available_now: bool = True,
+):
+    """Streaming classic mode: tail inputs FOLLOW their paths.
+
+    [INPUT] tail becomes readStream.text over Path (new files per
+    micro-batch — in_tail's directory following with the checkpoint as
+    the offset database, tail_sql.h analog); filters apply unchanged
+    (they are pure plan builders); every output delivers via
+    foreachBatch into parquet under ``out_dir/<output id>`` partitioned
+    by tag, idempotent per batch_id. [SERVICE] Flush N maps to a
+    processingTime trigger of N seconds when ``available_now`` is off.
+
+    Streaming-unsupported pieces raise: dummy/lib inputs (batch
+    generators), throttle (global row_number is not incremental —
+    use streaming/job watermarked aggregation instead).
+    """
+    import os
+
+    sections = parse_classic_conf(conf_text)
+    parsers = parsers or {}
+
+    flush_sec = 1
+    for s in sections:
+        if s.kind == "service" and s.get("flush"):
+            flush_sec = int(float(s.get("flush")))
+
+    dfs = []
+    for sec in (s for s in sections if s.kind == "input"):
+        if sec.name != "tail":
+            raise ValueError(
+                f"streaming classic mode supports tail inputs only, got {sec.name!r}"
+            )
+        path = sec.get("path")
+        tag = sec.get("tag") or "tail.0"
+        stream = (
+            spark.readStream.format("text")
+            .option("recursiveFileLookup", "true")
+            .load(path)
+            .withColumnRenamed("value", "log")
+            .withColumn("tag", F.lit(tag))
+        )
+        pname = sec.get("parser")
+        if pname:
+            spec = parsers[pname]
+            parsed = apply_parser(stream, "log", spec)
+            if "record_map" in parsed.columns:
+                # key inference needs a bounded batch sample of the
+                # same path (a stream can't be collected)
+                batch = apply_parser(
+                    spark.read.text(path).withColumnRenamed("value", "log"),
+                    "log",
+                    spec,
+                )
+                keys = sorted(
+                    r[0]
+                    for r in batch.limit(10_000)
+                    .select(F.explode(F.map_keys(F.col("record_map"))).alias("k"))
+                    .distinct()
+                    .collect()
+                )
+                cols = [F.col(c) for c in parsed.columns if c != "record_map"]
+                cols += [F.col("record_map").getItem(k).alias(k) for k in keys]
+                parsed = parsed.select(*cols)
+            stream = parsed
+        dfs.append(stream)
+    if not dfs:
+        raise ValueError("config has no [INPUT] section")
+    df = dfs[0]
+    for d in dfs[1:]:
+        df = df.unionByName(d, allowMissingColumns=True)
+
+    for s in (s for s in sections if s.kind == "filter"):
+        if s.name == "throttle":
+            raise ValueError(
+                "filter throttle is batch-only in classic mode; use "
+                "streaming/job.py watermarked aggregation"
+            )
+        df = _apply_filter(df, s)
+
+    out_specs = [
+        (f"{s.name}.{i}", s)
+        for i, s in enumerate(s for s in sections if s.kind == "output")
+    ]
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for oid, sec in out_specs:
+                routed = batch_df.filter(tag_match_col("tag", sec.get("match", "*")))
+                if sec.name in ("null", "stdout"):
+                    continue
+                if sec.name == "counter":
+                    routed = routed.agg(F.count(F.lit(1)).alias("count"))
+                (
+                    routed.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .parquet(os.path.join(out_dir, oid))
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{flush_sec} seconds")
+    return writer.start()
+
+
 def run_classic_outputs(pipe: ClassicPipeline, out_dir: str) -> dict[str, int]:
     """Deliver every output (file formats via sinks.write_per_tag;
     null/stdout as noop) and return per-output row counts."""

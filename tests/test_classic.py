@@ -179,3 +179,47 @@ def test_unsupported_plugins_error(spark):
             spark,
             "[INPUT]\n    Name dummy\n[FILTER]\n    Name lua\n    Match *\n",
         )
+
+
+def test_streaming_classic_tail_follow(spark, tmp_path):
+    """Streaming classic mode: tail follows the path; new files land
+    in new batches through the same filters (in_tail + checkpoint)."""
+    from fluent_bit_spark.classic import start_classic_stream
+    from fluent_bit_spark.streaming.job import run_stream_to_completion
+
+    src = tmp_path / "logs"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (src / "a.log").write_text("key=1 lvl=info\nkey=2 lvl=err\n")
+    parsers = parse_parsers_conf("[PARSER]\n    Name lf\n    Format logfmt\n")
+    conf = f"""
+[SERVICE]
+    Flush 1
+
+[INPUT]
+    Name   tail
+    Path   {src}
+    Tag    t.log
+    Parser lf
+
+[FILTER]
+    Name  grep
+    Match t.*
+    Regex lvl ^err$
+
+[OUTPUT]
+    Name  file
+    Match t.*
+"""
+    q = start_classic_stream(spark, conf, out, ckpt, parsers=parsers)
+    run_stream_to_completion(q)
+    got = spark.read.parquet(out + "/file.0")
+    assert got.count() == 1 and got.first()["key"] == "2"
+
+    # follow: a new file arrives; restart picks up ONLY the new one
+    (src / "b.log").write_text("key=3 lvl=err\n")
+    q2 = start_classic_stream(spark, conf, out, ckpt, parsers=parsers)
+    run_stream_to_completion(q2)
+    rows = spark.read.parquet(out + "/file.0")
+    assert {r["key"] for r in rows.collect()} == {"2", "3"}
+    assert rows.select("batch_id").distinct().count() == 2
