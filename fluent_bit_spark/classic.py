@@ -172,21 +172,102 @@ def _input_df(
 # ------------------------------------------------------------- filters
 
 
-def _split_apply(df: DataFrame, match: str, op) -> DataFrame:
-    """Apply `op` to Match-ing rows only; bypass the rest.
-
-    Match '*' applies directly (no split): besides saving a branch,
-    the union's schema-merge would resurrect columns the operator
-    dropped (as all-null from the empty bypass side). For partial
-    matches that merge is the intended record-map semantics — a key
-    the filter removed on one route is simply null there.
-    """
+def _match_gate(df: DataFrame, match: str):
+    """(gate Column or None) — None means the filter applies to every
+    row (no scoping needed)."""
     if match == "*":
-        return op(df)
-    pred = tag_match_col("tag", match)
-    hit = op(df.filter(pred))
-    miss = df.filter(~pred)
-    return hit.unionByName(miss, allowMissingColumns=True)
+        return None
+    return tag_match_col("tag", match)
+
+
+# Every Match-scoped filter applies ROW-WISE in one scan: the gate
+# predicate is pushed INTO the operator (grep keeps non-matching rows,
+# modify/record_modifier/nest compute when(gate, new).otherwise(old),
+# rewrite_tag scopes its rule firing). The alternative — split rows by
+# Match, apply, union back — doubles the plan tree per filter (2^K
+# scans for K filters), which is a non-starter at the 100 TB target.
+
+
+def _gated_record_modifier(
+    df: DataFrame,
+    gate,
+    remove_keys: list[str] | None,
+    allow_keys: list[str] | None,
+    records: dict[str, str] | None,
+    uuid_key: str | None,
+) -> DataFrame:
+    if gate is None:
+        return record_modifier(df, remove_keys, allow_keys, records, uuid_key)
+    drop = set(remove_keys or [])
+    if allow_keys:
+        keep = set(allow_keys) | {"tag", "event_time"}
+        drop |= {c for c in df.columns if c not in keep}
+    for k in drop:
+        if k in df.columns:
+            df = df.withColumn(k, F.when(gate, F.lit(None)).otherwise(F.col(k)))
+    for k, v in (records or {}).items():
+        old = F.col(k) if k in df.columns else F.lit(None).cast("string")
+        df = df.withColumn(k, F.when(gate, F.lit(v)).otherwise(old))
+    if uuid_key:
+        df = df.withColumn(uuid_key, F.when(gate, F.expr("uuid()")))
+    return df
+
+
+def _gated_nest(df: DataFrame, gate, sec: Section) -> DataFrame:
+    operation = (sec.get("operation") or "nest").lower()
+    if gate is None:
+        if operation == "nest":
+            return nest(
+                df, sec.get_all("wildcard"), sec.get("nest_under", "nested"),
+                sec.get("remove_prefix"), sec.get("add_prefix"),
+            )
+        return lift(
+            df, sec.get("nested_under", "nested"),
+            sec.get("remove_prefix"), sec.get("add_prefix"),
+        )
+    # row-gated: nested struct only for gated rows; folded/lifted
+    # source columns null out on those rows
+    if operation == "nest":
+        target = sec.get("nest_under", "nested")
+        matched = [
+            c for c in df.columns
+            if any(_wild(c, w) for w in sec.get_all("wildcard"))
+        ]
+        fields = []
+        for c in matched:
+            name = c
+            rp = sec.get("remove_prefix")
+            if rp and name.startswith(rp):
+                name = name[len(rp):]
+            if sec.get("add_prefix"):
+                name = sec.get("add_prefix") + name
+            fields.append(F.col(c).alias(name))
+        out = df.withColumn(target, F.when(gate, F.struct(*fields)))
+        for c in matched:
+            out = out.withColumn(c, F.when(gate, F.lit(None)).otherwise(F.col(c)))
+        return out
+    src = sec.get("nested_under", "nested")
+    if src not in df.columns:
+        return df
+    out = df
+    for fname in df.schema[src].dataType.fieldNames():
+        name = fname
+        rp = sec.get("remove_prefix")
+        if rp and name.startswith(rp):
+            name = name[len(rp):]
+        if sec.get("add_prefix"):
+            name = sec.get("add_prefix") + name
+        old = F.col(name) if name in out.columns else F.lit(None)
+        out = out.withColumn(
+            name, F.when(gate, F.col(src).getField(fname)).otherwise(old)
+        )
+    return out.withColumn(src, F.when(gate, F.lit(None)).otherwise(F.col(src)))
+
+
+def _wild(name: str, pattern: str) -> bool:
+    from fluent_bit_spark.functions.globmatch import tag_glob_match
+
+    return tag_glob_match(name, pattern)
 
 
 def _two(v: str) -> tuple[str, str]:
@@ -199,6 +280,7 @@ def _two(v: str) -> tuple[str, str]:
 def _apply_filter(df: DataFrame, sec: Section) -> DataFrame:
     name = sec.name
     match = sec.get("match", "*")
+    gate = _match_gate(df, match)
 
     if name == "grep":
         # rules evaluate in config-appearance order (legacy semantics)
@@ -208,7 +290,10 @@ def _apply_filter(df: DataFrame, sec: Section) -> DataFrame:
             if k in ("regex", "exclude")
         ]
         op = (sec.get("logical_op") or "legacy").lower()
-        return _split_apply(df, match, lambda d: grep(d, rules, op))
+        from fluent_bit_spark.operators.grep import grep_predicate
+
+        keep = grep_predicate(df, rules, op)
+        return df.filter(keep if gate is None else (~gate | keep))
 
     if name == "modify":
         rule_ops = (
@@ -233,37 +318,19 @@ def _apply_filter(df: DataFrame, sec: Section) -> DataFrame:
                         toks[2] if len(toks) > 2 else None,
                     )
                 )
-        return _split_apply(df, match, lambda d: modify(d, rules, conds))
+        return modify(df, rules, conds, gate=gate)
 
     if name == "record_modifier":
         records = dict(_two(v) for v in sec.get_all("record"))
         remove = sec.get_all("remove_key")
         allow = sec.get_all("allowlist_key") + sec.get_all("whitelist_key")
         uuid_key = sec.get("uuid_key")
-        return _split_apply(
-            df, match,
-            lambda d: record_modifier(
-                d, remove or None, allow or None, records or None, uuid_key
-            ),
+        return _gated_record_modifier(
+            df, gate, remove or None, allow or None, records or None, uuid_key
         )
 
     if name == "nest":
-        operation = (sec.get("operation") or "nest").lower()
-        if operation == "nest":
-            return _split_apply(
-                df, match,
-                lambda d: nest(
-                    d, sec.get_all("wildcard"), sec.get("nest_under", "nested"),
-                    sec.get("remove_prefix"), sec.get("add_prefix"),
-                ),
-            )
-        return _split_apply(
-            df, match,
-            lambda d: lift(
-                d, sec.get("nested_under", "nested"),
-                sec.get("remove_prefix"), sec.get("add_prefix"),
-            ),
-        )
+        return _gated_nest(df, gate, sec)
 
     if name == "rewrite_tag":
         rules = []
@@ -275,21 +342,30 @@ def _apply_filter(df: DataFrame, sec: Section) -> DataFrame:
                     keep.strip().lower() in ("true", "on", "1"),
                 )
             )
-        return _split_apply(df, match, lambda d: apply_rewrite_tag(d, rules))
+        return apply_rewrite_tag(df, rules, scope=gate)
 
     if name == "throttle":
         rate = int(sec.get("rate", "5"))
         interval = sec.get("interval", "1s").rstrip("s") + " seconds"
         ts = sec.get("time_key", "event_time")
+        if ts not in df.columns:
+            raise ValueError(f"throttle needs a {ts!r} column (set Time_Key)")
+        if gate is None:
+            return throttle(df, ts, rate, interval, key_cols=["tag"])
+        # gated: count ONLY matching rows in the running window total;
+        # non-matching rows always pass (one scan, no branch)
+        from pyspark.sql import Window
 
-        def th(d: DataFrame) -> DataFrame:
-            if ts not in d.columns:
-                raise ValueError(
-                    f"throttle needs a {ts!r} column (set Time_Key)"
-                )
-            return throttle(d, ts, rate, interval, key_cols=["tag"])
-
-        return _split_apply(df, match, th)
+        win = F.window(F.col(ts), interval)["start"]
+        w = (
+            Window.partitionBy(win, F.col("tag"))
+            .orderBy(F.col(ts))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cnt = F.sum(F.when(gate, 1).otherwise(0)).over(w)
+        return df.withColumn("_thr", cnt).filter(
+            ~gate | (F.col("_thr") <= rate)
+        ).drop("_thr")
 
     if name == "expect":
         rules = []
@@ -301,11 +377,13 @@ def _apply_filter(df: DataFrame, sec: Section) -> DataFrame:
                 rules.append(ExpectRule(k, *_two(v)))
         action = (sec.get("action") or "exit").lower()
         if action == "result_key":
-            return _split_apply(
-                df, match,
-                lambda d: expect(d, rules, "result_key", sec.get("result_key", "matched")),
-            )
-        return _split_apply(df, match, lambda d: expect(d, rules, "exit"))
+            out = expect(df, rules, "result_key", sec.get("result_key", "matched"))
+            if gate is not None:
+                rk = sec.get("result_key", "matched")
+                out = out.withColumn(rk, F.when(gate, F.col(rk)))
+            return out
+        expect(df.filter(gate) if gate is not None else df, rules, "exit")
+        return df
 
     if name == "stdout":
         return df  # debugging passthrough

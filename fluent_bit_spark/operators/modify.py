@@ -99,9 +99,20 @@ def modify(
     df: DataFrame,
     rules: list[ModifyRule],
     conditions: list[ModifyCondition] | None = None,
+    gate: Column | None = None,
 ) -> DataFrame:
-    """Apply the rule list under the AND of all conditions."""
-    gate: Column = F.lit(True)
+    """Apply the rule list under the AND of all conditions.
+
+    ``gate``: extra row predicate ANDed with the conditions (used by
+    classic-mode Match scoping — rules apply only to gated rows, in
+    ONE scan, no plan branching). When any gating is present,
+    key-removal rules null the value per-row instead of dropping the
+    column (the columnar rendering of "this record lacks the key");
+    column-order moves stay schema-wide (row order has no per-row
+    meaning in a DataFrame).
+    """
+    has_gate = bool(conditions) or gate is not None
+    gate = gate if gate is not None else F.lit(True)
     for c in conditions or []:
         gate = gate & compile_modify_condition(df, c)
 
@@ -125,7 +136,7 @@ def modify(
                     df = df.withColumn(src, F.when(applies, F.lit(None)).otherwise(F.col(src)))
                     # schema-level: drop the source column entirely when
                     # unconditional (mirrors the reference's key removal)
-                    if conditions is None or not conditions:
+                    if not has_gate:
                         df = df.drop(src)
         elif op == "add":
             if r.key in df.columns:
@@ -145,13 +156,20 @@ def modify(
                 )
             else:
                 df = df.withColumn(r.key, F.when(gate, F.lit(r.value)))
-        elif op == "remove":
-            if r.key in df.columns:
-                df = df.drop(r.key)
-        elif op == "remove_wildcard":
-            df = df.drop(*[k for k in df.columns if k.startswith(r.key)])
-        elif op == "remove_regex":
-            df = df.drop(*[k for k in df.columns if re.search(r.key, k)])
+        elif op in ("remove", "remove_wildcard", "remove_regex"):
+            if op == "remove":
+                targets = [k for k in df.columns if k == r.key]
+            elif op == "remove_wildcard":
+                targets = [k for k in df.columns if k.startswith(r.key)]
+            else:
+                targets = [k for k in df.columns if re.search(r.key, k)]
+            if has_gate:
+                for k in targets:
+                    df = df.withColumn(
+                        k, F.when(gate, F.lit(None)).otherwise(F.col(k))
+                    )
+            elif targets:
+                df = df.drop(*targets)
         elif op == "move_to_start":
             moved = [k for k in df.columns if k == r.key]
             rest = [k for k in df.columns if k != r.key]

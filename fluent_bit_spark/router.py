@@ -94,6 +94,7 @@ def apply_rewrite_tag(
     df: DataFrame,
     rules: list[RewriteTagRule],
     tag_col: str = "tag",
+    scope: Column | None = None,
 ) -> DataFrame:
     """Bounded second routing pass for rewrite_tag.
 
@@ -115,6 +116,10 @@ def apply_rewrite_tag(
         value = ra_col_safe(df, rule.key, tag_col).cast("string")
         java_rx = to_java_regex(rule.pattern)
         m = F.coalesce(value.rlike(java_rx), F.lit(False))
+        if scope is not None:
+            # Match-scoped application (classic mode): rules only fire
+            # on scoped rows — single scan, no plan branching
+            m = m & scope
         fires = m & ~fired_any
         captures = {
             i: F.regexp_extract(value, java_rx, i)

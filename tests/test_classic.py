@@ -223,3 +223,42 @@ def test_streaming_classic_tail_follow(spark, tmp_path):
     rows = spark.read.parquet(out + "/file.0")
     assert {r["key"] for r in rows.collect()} == {"2", "3"}
     assert rows.select("batch_id").distinct().count() == 2
+
+
+def test_partial_match_filters_single_scan(spark):
+    """K Match-scoped filters must NOT branch the plan: the gated
+    row-wise formulation keeps ONE scan of the source (the split-union
+    alternative is 2^K scans — a 100 TB non-starter)."""
+    df = spark.createDataFrame(
+        [("a.x", "1", "k"), ("b.y", "2", "k")], "tag string, v string, k string"
+    )
+    conf = """
+[INPUT]
+    Name lib
+    Tag  a.x
+
+[FILTER]
+    Name  grep
+    Match a.*
+    Regex v ^1$
+
+[FILTER]
+    Name  modify
+    Match a.*
+    Set   m yes
+
+[FILTER]
+    Name  record_modifier
+    Match b.*
+    Record r z
+
+[FILTER]
+    Name  rewrite_tag
+    Match a.*
+    Rule  $v ^1$ c.z true
+"""
+    from fluent_bit_spark.classic import build_classic_pipeline
+
+    pipe = build_classic_pipeline(spark, conf, lib_inputs={"a.x": df})
+    plan = pipe.records._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
