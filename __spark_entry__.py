@@ -711,14 +711,14 @@ def q_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("file", "record_id", "n_lines", "first_seq")
 
 
-def q_multiline_java(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Built-in java stacktrace state machine (flb_ml_parser_java.c)
-    over synthesized log lines; the constrained line alphabet (start /
-    at-frame / caused-by / plain) keeps the DFA SQL-expressible for the
-    oracle: a continuation line attaches iff the most recent
-    non-continuation line before it was an exception start."""
-    from fluent_bit_spark.operators.multiline import ml_rules_join
-
+def _java_log_lines(
+    spark: SparkSession, sf_dir: str, sentinel: bool = False
+) -> DataFrame:
+    """Synthesized java-stacktrace log lines over events: constrained
+    alphabet (start / at-frame / caused-by / plain) keeps the DFA
+    SQL-expressible. With ``sentinel``, each file gets a trailing
+    plain line (seq beyond every event) that closes any pending
+    record — making a streaming drain equal the batch join exactly."""
     uid = F.col("user_id").cast("string")
     m = F.col("event_id") % 10
     ev = _t(spark, sf_dir, "events").select(
@@ -747,8 +747,71 @@ def q_multiline_java(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("plain "), F.col("event_type"), F.lit(" "), uid))
         .alias("line"),
     )
+    if sentinel:
+        tail = (
+            ev.groupBy("file")
+            .agg(F.max("seq").alias("_mx"))
+            .select(
+                "file",
+                (F.col("_mx") + 1_000_000).alias("seq"),
+                F.concat(F.lit("plain eof "), F.col("file").cast("string")).alias(
+                    "line"
+                ),
+            )
+        )
+        ev = ev.unionByName(tail)
+    return ev
+
+
+def q_multiline_java(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in java stacktrace state machine (flb_ml_parser_java.c)
+    over synthesized log lines; the constrained line alphabet (start /
+    at-frame / caused-by / plain) keeps the DFA SQL-expressible for the
+    oracle: a continuation line attaches iff the most recent
+    non-continuation line before it was an exception start."""
+    from fluent_bit_spark.operators.multiline import ml_rules_join
+
+    ev = _java_log_lines(spark, sf_dir)
     out = ml_rules_join(ev, ["file"], "seq", "line", "java")
     return out.select("file", "record_id", "n_lines", "first_seq", "record")
+
+
+def q_multiline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL STREAMING multiline (applyInPandasWithState pending
+    buffer) drained with availableNow and verified against the same
+    SQL oracle as the batch DFA: every file ends in a sentinel plain
+    line, so no record is left pending and the streaming result is
+    byte-equal to the batch join (flb_ml.c pending-buffer semantics)."""
+    import tempfile
+    import uuid as _uuid
+
+    from fluent_bit_spark.streaming.multiline import streaming_multiline
+    from fluent_bit_spark.streaming.job import run_stream_to_completion
+
+    src = tempfile.mkdtemp(prefix="mls_src_")
+    _java_log_lines(spark, sf_dir, sentinel=True).write.mode("overwrite").parquet(
+        src
+    )
+    stream = (
+        spark.readStream.schema("file bigint, seq bigint, line string")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    joined = streaming_multiline(
+        stream, ["file"], "seq", "line", "java", flush_timeout_ms=None
+    )
+    name = "mls_" + _uuid.uuid4().hex[:10]
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_stream_to_completion(q)
+    return spark.table(name).select(
+        "file", "record_id", "n_lines", "first_seq", "record"
+    )
 
 
 def q_decoder_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -835,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_tumbling_stream": q_sp_tumbling_stream,
         "multiline": q_multiline,
         "multiline_java": q_multiline_java,
+        "multiline_stream": q_multiline_stream,
         "decoder_chain": q_decoder_chain,
         "dedup_embedding_exact": q_dedup_embedding_exact,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1286,6 +1350,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT file, record_id::bigint AS record_id,
                    count(*)::bigint AS n_lines, min(seq) AS first_seq
             FROM r GROUP BY file, record_id
+        """,
+        "multiline_stream": """
+            WITH base AS (
+              SELECT user_id % 50 AS file, event_id AS seq,
+                     CASE WHEN event_id % 10 <= 2 THEN 'E'
+                          WHEN event_id % 10 <= 7 THEN 'A'
+                          WHEN event_id % 10 = 8 THEN 'C'
+                          ELSE 'S' END AS cls,
+                     CASE WHEN event_id % 10 <= 2 THEN
+                            'Exception in thread main ' || event_type ||
+                            'Exception: code ' || CAST(user_id AS VARCHAR)
+                          WHEN event_id % 10 <= 7 THEN
+                            '     at com.' || event_type || '.Main(App.java:'
+                            || CAST(user_id AS VARCHAR) || ')'
+                          WHEN event_id % 10 = 8 THEN
+                            'Caused by: timeout ' || CAST(user_id AS VARCHAR)
+                          ELSE 'plain ' || event_type || ' '
+                               || CAST(user_id AS VARCHAR) END AS line
+              FROM events),
+            mx AS (SELECT file, max(seq) AS m FROM base GROUP BY file),
+            l AS (SELECT file, seq, cls, line FROM base
+                  UNION ALL
+                  SELECT mx.file, mx.m + 1000000, 'S',
+                         'plain eof ' || CAST(mx.file AS VARCHAR) FROM mx),
+            c AS (SELECT *, cls IN ('A', 'C') AS is_cont FROM l),
+            lnc AS (SELECT *,
+                     max(CASE WHEN NOT is_cont THEN seq END)
+                       OVER (PARTITION BY file ORDER BY seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_nc_seq
+                    FROM c),
+            j AS (SELECT a.*, b.cls AS prev_nc_cls
+                  FROM lnc a LEFT JOIN c b
+                    ON a.file = b.file AND a.prev_nc_seq = b.seq),
+            st AS (SELECT *,
+                     CASE WHEN NOT is_cont THEN 1
+                          WHEN prev_nc_cls = 'E' THEN 0
+                          ELSE 1 END AS is_start
+                   FROM j),
+            r AS (SELECT *,
+                    sum(is_start) OVER (PARTITION BY file ORDER BY seq
+                                        ROWS UNBOUNDED PRECEDING) - 1 AS rid
+                  FROM st)
+            SELECT file, rid::bigint AS record_id,
+                   count(*)::bigint AS n_lines, min(seq) AS first_seq,
+                   string_agg(line, chr(10) ORDER BY seq) AS record
+            FROM r GROUP BY file, rid
         """,
         "multiline_java": """
             WITH l AS (
