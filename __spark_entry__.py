@@ -492,6 +492,17 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(data, queries, k=5)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: nearest-centroid cells + n_probe probing
+    (the partition-pruned 100 TB path next to the LSH variant)."""
+    from fluent_bit_spark.textprep.simsearch import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    data = emb.filter(F.col("vec_id") >= 10)
+    return ivf_topk(data, queries, k=5, n_cells=16, n_probe=4)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -886,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
@@ -954,6 +966,39 @@ def _duck_topk_sql(bucketed: bool) -> str:
         "SELECT query_id, rank, neighbor_id, cos FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query_id "
         "ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) WHERE rank <= 5"
+    )
+
+
+
+def _duck_ivf_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """IVF oracle: same seeded centroids (lowest data ids, normalized
+    with the same sequential-fold norm), same argmax assignment
+    (first-index tie-break), same probe ranking."""
+    dd = _duck_dot
+    return (
+        "WITH d0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10), "
+        "q0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "
+        f"seed AS (SELECT vec_id, embedding FROM d0 ORDER BY vec_id LIMIT {n_cells}), "
+        "cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, "
+        "list_transform(embedding, x -> cast(x as double) / "
+        f"sqrt({dd('embedding', 'embedding')})) AS cv FROM seed), "
+        f"dd AS (SELECT d.vec_id, d.embedding, c.ci, ({dd('d.embedding', 'c.cv')}) AS dt "
+        "FROM d0 d CROSS JOIN cents c), "
+        "assign AS (SELECT vec_id, embedding, ci AS cell FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, ci ASC) rn "
+        "FROM dd) WHERE rn = 1), "
+        f"qd AS (SELECT q.vec_id AS query_id, q.embedding AS qv, c.ci, "
+        f"({dd('q.embedding', 'c.cv')}) AS dt FROM q0 q CROSS JOIN cents c), "
+        "probes AS (SELECT query_id, qv, ci AS cell FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dt DESC, ci ASC) rn "
+        f"FROM qd) WHERE rn <= {n_probe}), "
+        "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, "
+        f"round({_duck_cos('p.qv', 'a.embedding')}, 6) AS cos "
+        "FROM probes p JOIN assign a ON p.cell = a.cell) "
+        "SELECT query_id, rank, neighbor_id, cos FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
     )
 
 
@@ -1257,6 +1302,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_cosine_topk": _duck_topk_sql(bucketed=False),
         "ann_lsh_topk": _duck_topk_sql(bucketed=True),
+        "ann_ivf_topk": _duck_ivf_sql(),
         "multimodal_meta": """
             SELECT doc_id,
                    octet_length(encode(text))::bigint AS media_bytes,

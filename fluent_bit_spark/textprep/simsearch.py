@@ -113,6 +113,100 @@ def lsh_buckets(
     return df.withColumn(out_col, F.expr(bucket_expr(vec_col, hyperplanes(dim, n_planes))))
 
 
+def ivf_assign_expr(vec_col: str, centroids: list[list[float]]) -> str:
+    """Nearest-centroid cell id (argmax of dot with unit centroids;
+    first index wins ties — list_position semantics in both engines)."""
+    dots = []
+    for c in centroids:
+        arr = "array({})".format(",".join(f"cast({x!r} as double)" for x in c))
+        dots.append("(" + _DOT.format(a=vec_col, b=arr) + ")")
+    arr_all = "array({})".format(",".join(dots))
+    return f"array_position({arr_all}, array_max({arr_all})) - 1"
+
+
+def ivf_centroids(
+    data: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic seed centroids: the n_cells lowest-id vectors,
+    L2-normalized. A production index would run a few k-means rounds
+    over a sample; the partition/probe structure — which is what the
+    scale path is about — is identical, and seeded selection keeps the
+    index reproducible and oracle-checkable."""
+    import math
+
+    rows = (
+        data.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    cents = []
+    for r in rows:
+        v = [float(x) for x in r[vec_col]]
+        # math.sqrt (correctly-rounded IEEE sqrt) — bit-identical to
+        # the oracle's SQL sqrt over the same sequential sum
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / n for x in v])
+    return cents
+
+
+def ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: vectors partition into nearest-centroid
+    cells; each query probes its ``n_probe`` closest cells only.
+
+    The 100 TB shape: build the centroid set once (tiny, broadcast as
+    literals), write the data table partitioned by cell, and each
+    query reads ~n_probe/n_cells of the corpus. Candidate fan-in is
+    an equi-join on cell — no crossJoin.
+    """
+    cents = centroids or ivf_centroids(data, n_cells, vec_col, id_col)
+    assign = ivf_assign_expr(vec_col, cents)
+
+    d = data.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("dv"),
+        F.expr(assign).alias("cell"),
+    )
+    # query probes: the n_probe best cells by centroid dot product
+    dots = []
+    for c in cents:
+        arr = "array({})".format(",".join(f"cast({x!r} as double)" for x in c))
+        dots.append("(" + _DOT.format(a=vec_col, b=arr) + ")")
+    arr_all = "array({})".format(",".join(dots))
+    probes = (
+        f"slice(transform(array_sort(zip_with({arr_all}, "
+        f"sequence(0, {len(cents) - 1}), (d, i) -> struct(-d as nd, i as i))),"
+        f" s -> s.i), 1, {n_probe})"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(F.expr(probes)).alias("cell"),
+    )
+    scored = d.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.expr(f"round({cosine_expr('qv', 'dv')}, 6)").alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def lsh_topk(
     data: DataFrame,
     queries: DataFrame,

@@ -336,3 +336,12 @@ def test_embedding_lsh_multi_table_recall(vectors):
     got4 = {(r["id_a"], r["id_b"]) for r in four.collect()}
     assert got1 <= got4  # extra tables only ADD recall
     assert (0, 100) in got4
+
+
+def test_ivf_topk_finds_planted_neighbor(vectors):
+    from fluent_bit_spark.textprep.simsearch import ivf_topk
+
+    queries = vectors.filter("vec_id = 0")
+    data = vectors.filter("vec_id > 0")
+    out = ivf_topk(data, queries, k=3, n_cells=4, n_probe=2).collect()
+    assert out and out[0]["neighbor_id"] == 100  # the planted near-dup
