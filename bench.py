@@ -49,6 +49,7 @@ HEADLINE = [
     "lang_id",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "multimodal_features",
     "multimodal_decode",
 ]
