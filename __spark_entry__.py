@@ -293,6 +293,37 @@ def q_sp_create_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_parser re-parse: json parser tried first, regex fallback,
+    Reserve_Data merge, NOTOUCH on failure
+    (plugins/filter_parser/filter_parser.c:174-320)."""
+    from fluent_bit_spark.operators.parser_filter import filter_parser
+    from fluent_bit_spark.parsers.config import parse_parsers_conf
+
+    specs = parse_parsers_conf(
+        "[PARSER]\n    Name j\n    Format json\n"
+        "[PARSER]\n    Name lf\n    Format regex\n"
+        "    Regex ^level=(?<level>\\S+) msg=(?<msg>\\S+)$\n"
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").alias("event_time"),
+        "event_type",
+        F.when(F.col("event_id") % 3 == 0, F.col("props"))
+        .otherwise(
+            F.concat(
+                F.lit("level="),
+                F.col("event_type"),
+                F.lit(" msg=m"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        .alias("log"),
+    )
+    out = filter_parser(ev, "log", [specs["j"], specs["lf"]], reserve_data=True)
+    return out.select("event_id", "event_type", "k", "level", "msg")
+
+
 def q_classic_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A classic-mode fluent-bit.conf drives the whole pipeline
     (fluent_bit_spark.classic): lib input -> grep -> conditional
@@ -878,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_key_key_compare": q_sp_key_key_compare,
         "sp_create_stream": q_sp_create_stream,
         "classic_conf": q_classic_conf,
+        "filter_parser": q_filter_parser,
         "sp_aggregate": q_sp_aggregate,
         "sp_tumbling": q_sp_tumbling,
         "sp_hopping": q_sp_hopping,
@@ -1143,6 +1175,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING date_trunc('minute', min(ts)) + INTERVAL 1 MINUTE
                    <= (SELECT max(ts) FROM events)
+        """,
+        "filter_parser": """
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % 3 = 0
+                        THEN json_extract_string(props, '$.k') END AS k,
+                   CASE WHEN event_id % 3 != 0 THEN event_type END AS level,
+                   CASE WHEN event_id % 3 != 0
+                        THEN 'm' || CAST(user_id AS VARCHAR) END AS msg
+            FROM events
         """,
         "classic_conf": """
             WITH f AS (

@@ -13,17 +13,19 @@ Supported plugin surface (the SURVEY §2 in-scope set):
   batch form reads the files, streaming handled by streaming/job.py),
   lib (caller-supplied DataFrame — the in_lib embedding analog, also
   the test harness hook)
-- filters: grep, modify, record_modifier, nest, rewrite_tag, throttle,
-  expect, stdout (no-op) — lua is NOT config-loadable (a Lua runtime
-  is out of scope; udf_hook is the programmatic equivalent)
+- filters: grep, parser (Key_Name/Parser/Reserve_Data/Preserve_Key),
+  modify, record_modifier, nest, rewrite_tag, throttle, expect,
+  stdout (no-op) — lua is NOT config-loadable (a Lua runtime is out
+  of scope; udf_hook is the programmatic equivalent)
 - outputs: file, counter, flowcounter, null, stdout
 
-Filter application is split-union per filter: rows whose tag matches
-go through the operator, the rest bypass, unionByName(allowMissing)
-rejoins. Plans grow linearly with filter count (configs have a handful
-of filters); each branch stays fully Catalyst-optimizable, and column
-additions on one branch surface as nulls on the other — the exact
-semantics of a record map lacking that key.
+Match scoping is UNION-FREE: the Match predicate is pushed into each
+operator row-wise (when(gate, new).otherwise(old); grep keeps
+non-matching rows), so K scoped filters stay ONE scan — the
+split-rows/apply/union alternative doubles the plan per filter
+(2^K scans), a non-starter at the 100 TB target. A key removed for
+one route reads as null there, the columnar rendering of a record
+map lacking that key.
 """
 
 from __future__ import annotations
@@ -277,7 +279,9 @@ def _two(v: str) -> tuple[str, str]:
     return parts[0], parts[1]
 
 
-def _apply_filter(df: DataFrame, sec: Section) -> DataFrame:
+def _apply_filter(
+    df: DataFrame, sec: Section, parsers: dict[str, ParserSpec] | None = None
+) -> DataFrame:
     name = sec.name
     match = sec.get("match", "*")
     gate = _match_gate(df, match)
@@ -385,6 +389,29 @@ def _apply_filter(df: DataFrame, sec: Section) -> DataFrame:
         expect(df.filter(gate) if gate is not None else df, rules, "exit")
         return df
 
+    if name == "parser":
+        from fluent_bit_spark.operators.parser_filter import filter_parser
+
+        key_name = sec.get("key_name")
+        if not key_name:
+            raise ValueError("[FILTER] parser requires Key_Name")
+        pnames = sec.get_all("parser")
+        specs = []
+        for pn in pnames:
+            if pn not in (parsers or {}):
+                raise ValueError(f"unknown parser {pn!r} (pass parsers=)")
+            specs.append(parsers[pn])
+        return filter_parser(
+            df,
+            key_name,
+            specs,
+            reserve_data=(sec.get("reserve_data", "off").lower()
+                          in ("on", "true", "1")),
+            preserve_key=(sec.get("preserve_key", "off").lower()
+                          in ("on", "true", "1")),
+            gate=gate,
+        )
+
     if name == "stdout":
         return df  # debugging passthrough
 
@@ -427,7 +454,7 @@ def build_classic_pipeline(
         df = df.unionByName(d, allowMissingColumns=True)
 
     for s in (s for s in sections if s.kind == "filter"):
-        df = _apply_filter(df, s)
+        df = _apply_filter(df, s, parsers)
 
     outputs: dict[str, DataFrame] = {}
     out_secs: dict[str, Section] = {}
@@ -536,7 +563,7 @@ def start_classic_stream(
                 "filter throttle is batch-only in classic mode; use "
                 "streaming/job.py watermarked aggregation"
             )
-        df = _apply_filter(df, s)
+        df = _apply_filter(df, s, parsers)
 
     out_specs = [
         (f"{s.name}.{i}", s)
