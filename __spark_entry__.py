@@ -324,6 +324,29 @@ def q_filter_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "k", "level", "msg")
 
 
+def q_type_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_type_converter: converted copies appended under to_key
+    (type_converter.c rules 'from to type')."""
+    from fluent_bit_spark.operators.type_converter import (
+        ConvertRule,
+        type_converter,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.get_json_object("props", "$.k").alias("k"),
+    )
+    out = type_converter(
+        ev,
+        [
+            ConvertRule("user_id", "uid_str", "string"),
+            ConvertRule("k", "k_int", "int"),
+        ],
+    )
+    return out.select("event_id", "user_id", "k", "uid_str", "k_int")
+
+
 def q_classic_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A classic-mode fluent-bit.conf drives the whole pipeline
     (fluent_bit_spark.classic): lib input -> grep -> conditional
@@ -910,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_create_stream": q_sp_create_stream,
         "classic_conf": q_classic_conf,
         "filter_parser": q_filter_parser,
+        "type_converter": q_type_converter,
         "sp_aggregate": q_sp_aggregate,
         "sp_tumbling": q_sp_tumbling,
         "sp_hopping": q_sp_hopping,
@@ -1175,6 +1199,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING date_trunc('minute', min(ts)) + INTERVAL 1 MINUTE
                    <= (SELECT max(ts) FROM events)
+        """,
+        "type_converter": """
+            SELECT event_id, user_id,
+                   json_extract_string(props, '$.k') AS k,
+                   CAST(user_id AS VARCHAR) AS uid_str,
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+            FROM events
         """,
         "filter_parser": """
             SELECT event_id, event_type,

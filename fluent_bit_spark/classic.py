@@ -412,6 +412,30 @@ def _apply_filter(
             gate=gate,
         )
 
+    if name == "type_converter":
+        from fluent_bit_spark.operators.type_converter import (
+            ConvertRule,
+            type_converter,
+        )
+
+        rules = []
+        for k, v in sec.props:
+            if k in ("int_key", "uint_key", "float_key", "str_key"):
+                frm, to, typ = v.split(None, 2)
+                rules.append(ConvertRule(frm, to, typ.strip()))
+        return type_converter(df, rules, gate=gate)
+
+    if name == "alter_size":
+        from fluent_bit_spark.operators.alter_size import alter_size
+
+        return alter_size(
+            df,
+            add=int(sec.get("add", "0")),
+            remove=int(sec.get("remove", "0")),
+            order_col=sec.get("order_key", "_seq"),
+            gate=gate,
+        )
+
     if name == "stdout":
         return df  # debugging passthrough
 

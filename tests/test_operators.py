@@ -230,3 +230,57 @@ def test_expect(spark):
     assert counts["rule_0"] == 1
     out = expect(df, [ExpectRule("key_val_eq", "k", "a")], action="result_key")
     assert {r["k"]: r["matched"] for r in out.collect()} == {"a": True, "b": False}
+
+
+def test_type_converter(spark):
+    """filter_type_converter: converted copy appended under to_key,
+    original untouched; unconvertible -> null (type_converter.c)."""
+    from fluent_bit_spark.operators.type_converter import (
+        ConvertRule,
+        type_converter,
+    )
+
+    df = spark.createDataFrame(
+        [("42", 7, "0x1A"), ("oops", -3, "zz")],
+        "s string, i long, h string",
+    )
+    out = type_converter(
+        df,
+        [
+            ConvertRule("s", "s_int", "int"),
+            ConvertRule("i", "i_str", "string"),
+            ConvertRule("i", "i_uint", "uint"),
+            ConvertRule("h", "h_int", "hex"),
+        ],
+    ).collect()
+    a = [r for r in out if r["s"] == "42"][0]
+    assert a["s_int"] == 42 and a["i_str"] == "7"
+    b = [r for r in out if r["s"] == "oops"][0]
+    assert b["s_int"] is None  # unconvertible
+    assert b["i_uint"] is None  # uint rejects negatives
+    assert a["i_uint"] == 7
+
+
+def test_alter_size_add_remove(spark):
+    """filter_alter_size: Add appends {'key': 'alter_size i'} records
+    per chunk; Remove drops the LAST n per chunk (alter_size.c)."""
+    from fluent_bit_spark.operators.alter_size import alter_size
+
+    df = spark.createDataFrame(
+        [("a", i, f"m{i}") for i in range(5)] + [("b", 0, "x")],
+        "tag string, seq long, msg string",
+    )
+    added = alter_size(df, add=2).collect()
+    assert len(added) == 6 + 2 * 2  # 2 extra per chunk (tags a, b)
+    keys = sorted(r["key"] for r in added if r["key"] is not None)
+    assert keys == ["alter_size 0", "alter_size 0", "alter_size 1", "alter_size 1"]
+
+    removed = alter_size(df, remove=2, order_col="seq").collect()
+    a_seqs = sorted(r["seq"] for r in removed if r["tag"] == "a")
+    assert a_seqs == [0, 1, 2]  # last 2 dropped
+    assert [r["seq"] for r in removed if r["tag"] == "b"] == []  # <=0 left
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        alter_size(df, add=1, remove=1, order_col="seq")
