@@ -38,6 +38,9 @@ HEADLINE = [
     "sp_create_stream",
     "multiline_java",
     "decoder_chain",
+    "filter_parser",
+    "type_converter",
+    "classic_conf",
     "flowcounter",
     "throttle",
     "dedup_exact",
