@@ -324,6 +324,53 @@ def q_filter_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "k", "level", "msg")
 
 
+def q_processor_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_sql: the reduced projection+filter SQL surface
+    (plugins/processor_sql/sql.c — no aggregates/windows/GROUP BY)."""
+    from fluent_bit_spark.operators.processor_sql import processor_sql
+
+    ev = _t(spark, sf_dir, "events")
+    return processor_sql(
+        ev,
+        "SELECT event_id AS id, event_type, value FROM STREAM:events "
+        "WHERE value >= 50 AND event_type != 'view';",
+        ts_col="ts",
+    )
+
+
+def q_checklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_checklist: set records on rows whose key appears in the
+    (broadcast) lookup list (plugins/filter_checklist)."""
+    from fluent_bit_spark.enrich import checklist
+
+    docs = _t(spark, sf_dir, "documents")
+    values = (
+        docs.select("source").distinct().filter(F.col("source").endswith("1"))
+    )
+    out = checklist(docs, values, "source", records={"flagged": "yes"})
+    return out.select("doc_id", "source", "flagged")
+
+
+def q_throttle_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_throttle_size: running per-window byte budget."""
+    from fluent_bit_spark.operators.throttle import throttle_size
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "event_time",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_dt_interval(secs=F.col("doc_id")),
+    )
+    out = throttle_size(
+        docs,
+        "event_time",
+        "n_chars",
+        max_bytes=20_000,
+        window_duration="1 minute",
+        key_cols=["lang"],
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def q_type_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """filter_type_converter: converted copies appended under to_key
     (type_converter.c rules 'from to type')."""
@@ -934,6 +981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_conf": q_classic_conf,
         "filter_parser": q_filter_parser,
         "type_converter": q_type_converter,
+        "processor_sql": q_processor_sql,
+        "checklist": q_checklist,
+        "throttle_size": q_throttle_size,
         "sp_aggregate": q_sp_aggregate,
         "sp_tumbling": q_sp_tumbling,
         "sp_hopping": q_sp_hopping,
@@ -1199,6 +1249,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING date_trunc('minute', min(ts)) + INTERVAL 1 MINUTE
                    <= (SELECT max(ts) FROM events)
+        """,
+        "processor_sql": """
+            SELECT event_id AS id, event_type, value FROM events
+            WHERE value >= 50 AND event_type != 'view'
+        """,
+        "checklist": """
+            SELECT doc_id, source,
+                   CASE WHEN source LIKE '%1' THEN 'yes' END AS flagged
+            FROM documents
+        """,
+        "throttle_size": """
+            WITH t AS (SELECT doc_id, lang, n_chars,
+                 TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id) AS et
+                 FROM documents),
+            r AS (SELECT *, sum(n_chars) OVER (
+                    PARTITION BY date_trunc('minute', et), lang
+                    ORDER BY et ROWS UNBOUNDED PRECEDING) AS run FROM t)
+            SELECT doc_id, lang, n_chars FROM r WHERE run <= 20000
         """,
         "type_converter": """
             SELECT event_id, user_id,
