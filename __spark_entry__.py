@@ -324,6 +324,47 @@ def q_filter_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "k", "level", "msg")
 
 
+def q_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic processor conditions engine (flb_conditionals.h ops):
+    OR of IN / REGEX / GTE rules over record-accessor paths."""
+    from fluent_bit_spark.operators.conditions import ConditionRule, where
+
+    ev = _t(spark, sf_dir, "events")
+    out = where(
+        ev,
+        [
+            ConditionRule("$event_type", "in", ["error", "purchase"]),
+            ConditionRule("$props", "regex", '"k": 9\\d'),
+            ConditionRule("$value", "gte", 400),
+        ],
+        combine="or",
+    )
+    return out.select("event_id", "event_type", "value")
+
+
+def q_sink_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_file csv/ltsv line encodings (file.c:162-227 +
+    msgpack_object_print value rendering) as data: sec.nanos time
+    field, raw-quoted strings, %f floats."""
+    from fluent_bit_spark.sinks import csv_line, ltsv_line
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").alias("event_time"),
+        "event_type",
+        "value",
+    )
+    return ev.select(
+        "event_id",
+        csv_line(ev, columns=["event_type", "value"], ts_col="event_time").alias(
+            "csv"
+        ),
+        ltsv_line(ev, columns=["event_type", "value"], ts_col="event_time").alias(
+            "ltsv"
+        ),
+    )
+
+
 def q_processor_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_sql: the reduced projection+filter SQL surface
     (plugins/processor_sql/sql.c — no aggregates/windows/GROUP BY)."""
@@ -982,6 +1023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_parser": q_filter_parser,
         "type_converter": q_type_converter,
         "processor_sql": q_processor_sql,
+        "conditions": q_conditions,
+        "sink_lines": q_sink_lines,
         "checklist": q_checklist,
         "throttle_size": q_throttle_size,
         "sp_aggregate": q_sp_aggregate,
@@ -1249,6 +1292,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING date_trunc('minute', min(ts)) + INTERVAL 1 MINUTE
                    <= (SELECT max(ts) FROM events)
+        """,
+        "conditions": """
+            SELECT event_id, event_type, value FROM events
+            WHERE event_type IN ('error', 'purchase')
+               OR regexp_matches(props, '"k": 9\d')
+               OR value >= 400
+        """,
+        "sink_lines": """
+            SELECT event_id,
+                   printf('%d.%09d', epoch_us(ts) // 1000000,
+                          (epoch_us(ts) % 1000000) * 1000)
+                   || ',"' || event_type || '",' || printf('%f', value) AS csv,
+                   '"time":' || printf('%f', epoch(ts))
+                   || chr(9) || '"event_type":"' || event_type || '"'
+                   || chr(9) || '"value":' || printf('%f', value) AS ltsv
+            FROM events
         """,
         "processor_sql": """
             SELECT event_id AS id, event_type, value FROM events
