@@ -365,6 +365,37 @@ def q_sink_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GELF encoding (flb_pack_gelf.c): version/host/short_message/
+    timestamp/level + '_'-prefixed extras, validated by extracting the
+    fields back out of the emitted JSON line."""
+    from fluent_bit_spark.functions.gelf import to_gelf
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")).alias("host"),
+        F.col("event_type").alias("msg"),
+        F.col("ts").alias("event_time"),
+        "event_type",
+    )
+    g = to_gelf(
+        ev, "host", "msg", "event_time",
+        level_col="event_type", extra_cols=["event_id"],
+    )
+    out = ev.select("event_id", g.alias("g"))
+    return out.select(
+        "event_id",
+        F.get_json_object("g", "$.version").alias("version"),
+        F.get_json_object("g", "$.host").alias("host"),
+        F.get_json_object("g", "$.short_message").alias("short_message"),
+        F.get_json_object("g", "$.level").cast("int").alias("level"),
+        F.get_json_object("g", "$._event_id").cast("long").alias("x_event_id"),
+        F.round(F.get_json_object("g", "$.timestamp").cast("double"), 3).alias(
+            "ts3"
+        ),
+    )
+
+
 def q_processor_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_sql: the reduced projection+filter SQL surface
     (plugins/processor_sql/sql.c — no aggregates/windows/GROUP BY)."""
@@ -1024,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_converter": q_type_converter,
         "processor_sql": q_processor_sql,
         "conditions": q_conditions,
+        "gelf": q_gelf,
         "sink_lines": q_sink_lines,
         "checklist": q_checklist,
         "throttle_size": q_throttle_size,
@@ -1292,6 +1324,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING date_trunc('minute', min(ts)) + INTERVAL 1 MINUTE
                    <= (SELECT max(ts) FROM events)
+        """,
+        "gelf": """
+            SELECT event_id, '1.1' AS version,
+                   'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+                   event_type AS short_message,
+                   (CASE WHEN event_type = 'error' THEN 3 ELSE 1 END)::int AS level,
+                   event_id AS x_event_id,
+                   round(epoch(ts), 3) AS ts3
+            FROM events
         """,
         "conditions": """
             SELECT event_id, event_type, value FROM events
