@@ -365,6 +365,21 @@ def q_sink_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregate (hot-key skew protection): partial
+    on (key, salt), final on key — algebraically identical to a direct
+    groupBy, which is exactly what the oracle asserts."""
+    from fluent_bit_spark.skew import salted_count_sum
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_count_sum(
+        ev, ["event_type"], {"sum_value": "value"}, n_salts=16
+    )
+    return out.select(
+        "event_type", "records", F.round("sum_value", 4).alias("sum_value")
+    )
+
+
 def q_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GELF encoding (flb_pack_gelf.c): version/host/short_message/
     timestamp/level + '_'-prefixed extras, validated by extracting the
@@ -1056,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "processor_sql": q_processor_sql,
         "conditions": q_conditions,
         "gelf": q_gelf,
+        "skew_salted_agg": q_skew_salted_agg,
         "sink_lines": q_sink_lines,
         "checklist": q_checklist,
         "throttle_size": q_throttle_size,
@@ -1324,6 +1340,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING date_trunc('minute', min(ts)) + INTERVAL 1 MINUTE
                    <= (SELECT max(ts) FROM events)
+        """,
+        "skew_salted_agg": """
+            SELECT event_type, count(*)::bigint AS records,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type
         """,
         "gelf": """
             SELECT event_id, '1.1' AS version,
