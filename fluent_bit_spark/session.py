@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd: same write speed as snappy on the routed-sink bench
+        # (7.6s vs 7.7s for 2M pages) at 33% smaller files — at the
+        # 100 TB target that is storage AND downstream-scan savings
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # logfmt/ltsv duplicate keys: last occurrence wins (C dict
         # overwrite semantics; needed by logfmt_map_fast_col)
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
