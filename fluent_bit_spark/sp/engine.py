@@ -34,7 +34,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from fluent_bit_spark.functions.globmatch import tag_match_col
 from fluent_bit_spark.sp.parser import SpCommand, parse_sql
 from fluent_bit_spark.sp.translate import Translator
 

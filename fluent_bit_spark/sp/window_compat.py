@@ -21,8 +21,6 @@ bounded by (#keys x #panes), not by input rows.
 
 from __future__ import annotations
 
-from collections.abc import Iterator  # noqa: F401
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
