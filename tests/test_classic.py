@@ -262,3 +262,53 @@ def test_partial_match_filters_single_scan(spark):
     pipe = build_classic_pipeline(spark, conf, lib_inputs={"a.x": df})
     plan = pipe.records._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") == 1
+
+
+def test_gated_nest_and_throttle(spark):
+    """Partial-Match nest and throttle apply row-wise: non-matching
+    tags pass untouched, matching tags fold/limit — all in one scan."""
+    import datetime
+
+    T0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        (T0 + datetime.timedelta(seconds=i), i, f"v{i}") for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "event_time timestamp, n long, s string")
+    dfb = spark.createDataFrame(
+        [(T0, 99, "keep")], "event_time timestamp, n long, s string"
+    )
+    conf = """
+[INPUT]
+    Name lib
+    Tag  a.x
+
+[INPUT]
+    Name lib
+    Tag  b.y
+
+[FILTER]
+    Name       nest
+    Match      a.*
+    Operation  nest
+    Wildcard   s
+    Nest_under data
+
+[FILTER]
+    Name     throttle
+    Match    a.*
+    Rate     3
+    Interval 60s
+"""
+    from fluent_bit_spark.classic import build_classic_pipeline
+
+    pipe = build_classic_pipeline(
+        spark, conf, lib_inputs={"a.x": df, "b.y": dfb}
+    )
+    out = pipe.records.collect()
+    a = sorted((r["n"] for r in out if r["tag"] == "a.x"))
+    b = [r for r in out if r["tag"] == "b.y"]
+    assert a == [0, 1, 2]  # throttled to Rate=3 per 60s window
+    assert len(b) == 1 and b[0]["s"] == "keep"  # untouched: not nested
+    assert b[0]["data"] is None
+    a0 = [r for r in out if r["n"] == 0][0]
+    assert a0["data"]["s"] == "v0" and a0["s"] is None  # folded + nulled
