@@ -15,10 +15,12 @@ Mirrors the reference engine's task/stream model:
   whether those records reach the router (flb_sp_stream.c:105-112).
 
 Spark-first shape: a "stream" here is a lazily-derived DataFrame; the
-re-ingest loop is plan composition, not data movement — Catalyst sees
-one combined plan per downstream query, so a CREATE STREAM feeding
-three TAG-matched consumers costs one scan of the base table, with the
-stream's filters/projections fused into each consumer plan.
+re-ingest loop is plan composition, not data movement. CHAINED streams
+fuse (STREAM:b over STREAM:a over a base input is one scan — asserted
+in tests); a TAG: query unions every registered input, so it scans the
+base once per derived-stream branch (linear in stream count, the same
+cost the reference pays re-reading each re-ingested chunk). At scale,
+persist a hot created stream before fanning many consumers out of it.
 
 Timestamp of re-ingested records (documented divergence): the reference
 stamps result chunks with wall-clock flush time. Wall-clock is
