@@ -10,11 +10,20 @@ parse->enrich->route->aggregate pipeline), and prints ONE JSON line:
      "pipeline_docs_per_sec": ..., "pipeline_mb_per_sec": ...}
 
 Results are forced with a noop-format write (full materialization,
-no driver collect). Env knobs:
+no driver collect).
+
+Noise robustness: every query runs BENCH_REPS times, INTERLEAVED
+(rep 1 of all queries, then rep 2, ...), and the headline number per
+query is the best rep — transient host contention hits one rep of one
+query, not the artifact (the round-2 artifact was contaminated by
+exactly that). All reps are recorded under "query_reps" so the spread
+is visible. Env knobs:
     SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[] parallelism (default all cores)
     BENCH_PAGES_ROWS     synthetic pipeline rows (default 2_000_000)
     BENCH_QUERIES        comma list to restrict query set
+    BENCH_REPS           reps per query (default 3, best-of)
+    BENCH_PIPELINE_REPS  reps of the synthetic pipeline (default 2)
 """
 
 from __future__ import annotations
@@ -78,19 +87,28 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="fbs-bench")
 
+    from fluent_bit_spark.cache import release_all
+
     names = HEADLINE
     if os.environ.get("BENCH_QUERIES"):
         names = os.environ["BENCH_QUERIES"].split(",")
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     qs = entry.queries()
 
     # JVM/codegen warmup outside the timed region
     force(qs["token_count"](spark, sf_dir))
+    release_all()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    rep_times: dict[str, list[float]] = {n: [] for n in names}
+    for _rep in range(reps):
+        for name in names:
+            t0 = time.perf_counter()
+            force(qs[name](spark, sf_dir))
+            rep_times[name].append(round(time.perf_counter() - t0, 3))
+            # operators release their persisted intermediates here so
+            # nothing accumulates in the storage layer across queries
+            release_all()
+    timings: dict[str, float] = {n: min(ts) for n, ts in rep_times.items()}
 
     # flagship synthetic pipeline throughput: ONE pass writes routed
     # sink partitions (the delivery), then aggregates roll up from the
@@ -117,26 +135,31 @@ def main() -> None:
     force(warm.aggregates)
 
     pages = generate_pages(spark, n_rows)
-    t0 = time.perf_counter()
-    result = build_pipeline(pages)
-    if sink_mode == "noop":
-        force(result.routed.drop("html"))
-        force(result.aggregates)
-    else:
-        sink_dir = tempfile.mkdtemp(prefix="fbs_bench_sinks_")
-        result.routed.drop("html").write.mode("overwrite").partitionBy(
-            "sink"
-        ).parquet(sink_dir)
-        routed_out = spark.read.parquet(sink_dir)
-        aggs = routed_out.groupBy(
-            "sink", F.window("warc_ts", "1 minute")["start"].alias("window_start")
-        ).agg(
-            F.count(F.lit(1)).alias("records"),
-            F.sum(F.length("text")).alias("bytes"),
-        )
-        force(aggs)
-        shutil.rmtree(sink_dir, ignore_errors=True)
-    pipeline_sec = time.perf_counter() - t0
+    pipe_reps = int(os.environ.get("BENCH_PIPELINE_REPS", "2"))
+    pipe_times: list[float] = []
+    for _rep in range(pipe_reps):
+        t0 = time.perf_counter()
+        result = build_pipeline(pages)
+        if sink_mode == "noop":
+            force(result.routed.drop("html"))
+            force(result.aggregates)
+        else:
+            sink_dir = tempfile.mkdtemp(prefix="fbs_bench_sinks_")
+            result.routed.drop("html").write.mode("overwrite").partitionBy(
+                "sink"
+            ).parquet(sink_dir)
+            routed_out = spark.read.parquet(sink_dir)
+            aggs = routed_out.groupBy(
+                "sink", F.window("warc_ts", "1 minute")["start"].alias("window_start")
+            ).agg(
+                F.count(F.lit(1)).alias("records"),
+                F.sum(F.length("text")).alias("bytes"),
+            )
+            force(aggs)
+            shutil.rmtree(sink_dir, ignore_errors=True)
+        pipe_times.append(round(time.perf_counter() - t0, 3))
+    pipeline_sec = min(pipe_times)
+    rep_times["pipeline_synthetic"] = pipe_times
     timings["pipeline_synthetic"] = round(pipeline_sec, 3)
     # text bytes processed (deterministic datagen; measured once, cheap)
     total_bytes = pages.selectExpr("sum(length(text)) b").first()["b"]
@@ -149,6 +172,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_reps": rep_times,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pipeline_rows": n_rows,
                 "pipeline_docs_per_sec": round(n_rows / pipeline_sec, 1),

@@ -68,15 +68,98 @@ class Section:
         return (self.get("name") or "").lower()
 
 
-def parse_classic_conf(text: str) -> list[Section]:
+_VAR_RE = None  # compiled lazily
+
+
+def _expand_vars(val: str, variables: dict[str, str]) -> str:
+    """${VAR} translation: @SET variables first, then the process
+    environment, else empty — flb_env_var_translate semantics
+    (src/flb_env.c: env lookup with fallback to host environ)."""
+    global _VAR_RE
+    import os
+    import re
+
+    if "${" not in val:
+        return val
+    if _VAR_RE is None:
+        _VAR_RE = re.compile(r"\$\{([^}]+)\}")
+    return _VAR_RE.sub(
+        lambda m: variables.get(m.group(1), os.environ.get(m.group(1), "")), val
+    )
+
+
+def parse_classic_conf(
+    text: str,
+    base_dir: str | None = None,
+    variables: dict[str, str] | None = None,
+    _seen: set[str] | None = None,
+) -> list[Section]:
     """The classic-mode reader: '[SECTION]' headers, indented
     'Key Value' pairs (first whitespace run splits), '#' comments,
-    case-insensitive repeatable keys (flb_config.c / mk_rconf)."""
+    case-insensitive repeatable keys (flb_config.c / mk_rconf).
+
+    Meta commands (src/flb_meta.c, config_format/flb_cf_fluentbit.c):
+    - ``@SET key=value`` registers a config variable (meta_cmd_set);
+      values then expand ``${key}`` (vars beat host env, unknown -> "")
+    - ``@INCLUDE path`` splices another file in place; a ``*`` makes it
+      a glob (read_glob; sorted here for deterministic section order);
+      relative paths resolve against the ROOT config's directory
+      (ctx->root_path semantics), and reading the same file twice is an
+      error (the reference's inode read-twice guard). ``base_dir`` must
+      be set (use load_classic_conf for file-based configs).
+    """
+    import glob as globmod
+    import os
+
+    variables = variables if variables is not None else {}
+    _seen = _seen if _seen is not None else set()
     sections: list[Section] = []
     cur: Section | None = None
     for raw in text.splitlines():
         line = raw.strip()
         if not line or line.startswith("#"):
+            continue
+        if line.startswith("@"):
+            parts = line.split(None, 1)
+            cmd = parts[0][1:].upper()
+            params = parts[1].strip() if len(parts) > 1 else ""
+            if cmd == "SET":
+                key, eq, val = params.partition("=")
+                if not eq:
+                    raise ValueError(f"@SET needs key=value, got {params!r}")
+                variables[key.strip()] = _expand_vars(val.strip(), variables)
+            elif cmd == "INCLUDE":
+                if not params:
+                    raise ValueError("@INCLUDE needs a path")
+                if base_dir is None:
+                    raise ValueError(
+                        "@INCLUDE requires a file-based config "
+                        "(use load_classic_conf(path))"
+                    )
+                inc = _expand_vars(params, variables)
+                if not os.path.isabs(inc):
+                    inc = os.path.join(base_dir, inc)
+                paths = sorted(globmod.glob(inc)) if "*" in inc else [inc]
+                if not paths:
+                    raise ValueError(f"@INCLUDE glob matched nothing: {params!r}")
+                for p in paths:
+                    rp = os.path.realpath(p)
+                    if rp in _seen:
+                        raise ValueError(f"config file read twice: {p!r}")
+                    _seen.add(rp)
+                    with open(p) as fh:
+                        inc_text = fh.read()
+                    if p.endswith((".yaml", ".yml")):
+                        sections.extend(
+                            parse_yaml_conf(inc_text, base_dir, variables, _seen)
+                        )
+                    else:
+                        sections.extend(
+                            parse_classic_conf(inc_text, base_dir, variables, _seen)
+                        )
+                cur = None  # properties after an include need a section
+            else:
+                raise ValueError(f"unknown meta command @{cmd}")
             continue
         if line.startswith("[") and line.endswith("]"):
             cur = Section(kind=line[1:-1].strip().lower())
@@ -87,8 +170,97 @@ def parse_classic_conf(text: str) -> list[Section]:
         parts = line.split(None, 1)
         key = parts[0].lower()
         val = parts[1].strip() if len(parts) > 1 else ""
-        cur.props.append((key, val))
+        cur.props.append((key, _expand_vars(val, variables)))
     return sections
+
+
+def parse_yaml_conf(
+    text: str,
+    base_dir: str | None = None,
+    variables: dict[str, str] | None = None,
+    _seen: set[str] | None = None,
+) -> list[Section]:
+    """YAML config format (config_format/flb_cf_yaml.c): top-level
+    ``env`` (variables, like @SET), ``includes`` (file list),
+    ``service`` (map), ``pipeline.{inputs,filters,outputs}`` (lists of
+    plugin maps). Scalars stringify; a list value repeats its key (the
+    classic repeatable-key form); nested maps (processors) are out of
+    the classic loader's scope and raise."""
+    import os
+
+    import yaml
+
+    variables = variables if variables is not None else {}
+    _seen = _seen if _seen is not None else set()
+    doc = yaml.safe_load(text) or {}
+    if not isinstance(doc, dict):
+        raise ValueError("yaml config must be a mapping at top level")
+    sections: list[Section] = []
+
+    for k, v in (doc.get("env") or {}).items():
+        variables[str(k)] = _expand_vars(str(v), variables)
+
+    for inc in doc.get("includes") or []:
+        inc = _expand_vars(str(inc), variables)
+        if not os.path.isabs(inc):
+            if base_dir is None:
+                raise ValueError("includes: requires a file-based config")
+            inc = os.path.join(base_dir, inc)
+        rp = os.path.realpath(inc)
+        if rp in _seen:
+            raise ValueError(f"config file read twice: {inc!r}")
+        _seen.add(rp)
+        with open(inc) as fh:
+            inc_text = fh.read()
+        if inc.endswith((".yaml", ".yml")):
+            sections.extend(parse_yaml_conf(inc_text, base_dir, variables, _seen))
+        else:
+            sections.extend(parse_classic_conf(inc_text, base_dir, variables, _seen))
+
+    def to_section(kind: str, m: dict) -> Section:
+        sec = Section(kind=kind)
+        for k, v in m.items():
+            key = str(k).lower()
+            vals = v if isinstance(v, list) else [v]
+            for one in vals:
+                if isinstance(one, (dict, list)):
+                    raise ValueError(
+                        f"nested value for {key!r} not supported by the "
+                        "classic loader (processors need the programmatic API)"
+                    )
+                sval = str(one)
+                if isinstance(one, bool):
+                    sval = sval.lower()  # yaml True -> fluent-bit 'true'
+                sec.props.append((key, _expand_vars(sval, variables)))
+        return sec
+
+    if isinstance(doc.get("service"), dict):
+        sections.append(to_section("service", doc["service"]))
+    pipeline = doc.get("pipeline") or {}
+    for plural, kind in (("inputs", "input"), ("filters", "filter"), ("outputs", "output")):
+        for m in pipeline.get(plural) or []:
+            sections.append(to_section(kind, m))
+
+    known = {"env", "includes", "service", "pipeline"}
+    unknown = set(doc) - known
+    if unknown:
+        raise ValueError(f"unsupported yaml top-level keys: {sorted(unknown)}")
+    return sections
+
+
+def load_classic_conf(path: str) -> list[Section]:
+    """File loader: dispatches classic vs yaml by extension, resolves
+    @INCLUDE/includes relative to the root config's directory, applies
+    @SET/env variables in read order."""
+    import os
+
+    with open(path) as fh:
+        text = fh.read()
+    base = os.path.dirname(os.path.abspath(path))
+    seen = {os.path.realpath(path)}
+    if path.endswith((".yaml", ".yml")):
+        return parse_yaml_conf(text, base, {}, seen)
+    return parse_classic_conf(text, base, {}, seen)
 
 
 # ------------------------------------------------------------- inputs
@@ -465,7 +637,11 @@ def build_classic_pipeline(
     parsers: dict[str, ParserSpec] | None = None,
     lib_inputs: dict[str, DataFrame] | None = None,
 ) -> ClassicPipeline:
-    sections = parse_classic_conf(conf_text)
+    # accepts raw classic text or pre-parsed sections (load_classic_conf
+    # output — the @INCLUDE/yaml path)
+    sections = (
+        conf_text if isinstance(conf_text, list) else parse_classic_conf(conf_text)
+    )
     parsers = parsers or {}
     lib_inputs = lib_inputs or {}
 
@@ -528,7 +704,9 @@ def start_classic_stream(
     """
     import os
 
-    sections = parse_classic_conf(conf_text)
+    sections = (
+        conf_text if isinstance(conf_text, list) else parse_classic_conf(conf_text)
+    )
     parsers = parsers or {}
 
     flush_sec = 1

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from fluent_bit_spark import cache
 from fluent_bit_spark.textprep import portable as P
 
 # ---- Arrow-vectorized inner loops -----------------------------------
@@ -243,7 +244,7 @@ def minhash_lsh_pairs(
     exact Jaccard. ``jacc`` holds the estimate for fast-accepted
     pairs and the exact value for borderline-verified ones.
     """
-    sigs = minhash_signatures(df, text_col, id_col).persist()
+    sigs = cache.track(minhash_signatures(df, text_col, id_col))
     bands = sigs.select(
         "id",
         F.posexplode(F.expr(P.spark_band_keys("sig"))).alias("band", "bkey"),
@@ -311,10 +312,10 @@ def minhash_lsh_pairs(
                 f" v -> v)) / {P.N_HASHES}.0"
             ).alias("est"),
         )
-        # both triage branches read this; without persist the whole
-        # bucket->candidate pipeline would run twice (24B/row — cheap)
-        .persist()
     )
+    # both triage branches read this; without persist the whole
+    # bucket->candidate pipeline would run twice (24B/row — cheap)
+    scored = cache.track(scored)
     hi = threshold + est_margin
     lo = threshold - est_margin
     fast = scored.filter(F.col("est") >= hi).select(
@@ -373,16 +374,16 @@ def embedding_neardup_lsh(
     """
     from fluent_bit_spark.textprep.simsearch import (
         _infer_dim,
-        bucket_expr,
+        bucket_udf,
         cosine_expr,
         hyperplanes,
     )
 
     dim = _infer_dim(df, vec_col, dim)
-    s = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).persist()
+    s = cache.track(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
     table_buckets = F.array(
         *[
-            F.expr(bucket_expr("v", hyperplanes(dim, n_planes, offset=t * n_planes)))
+            bucket_udf(hyperplanes(dim, n_planes, offset=t * n_planes))(F.col("v"))
             for t in range(n_tables)
         ]
     )

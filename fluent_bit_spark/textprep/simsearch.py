@@ -10,14 +10,24 @@
   fans in by ~2^n_planes. Hyperplanes are deterministic (seeded
   literals) so results are reproducible and oracle-checkable.
 
-Dot products are Catalyst ``zip_with``/``aggregate`` expressions —
-JVM-side, codegen, no Python.
+Pair scoring (few candidates after bucketing) stays in Catalyst
+``zip_with``/``aggregate`` expressions. The per-row index math —
+centroid assignment, probe selection, LSH sign bits — runs as numpy
+over Arrow batches: Catalyst higher-order-function lambdas are
+interpreted per element (~150ns/eval — see dedup.py), so evaluating
+n_cells interpreted dot products per row is the whole query cost at
+scale. The numpy path is bit-identical to the SQL forms: sums use a
+sequential prefix (cumsum), NOT pairwise/BLAS order, so every
+rounding decision (argmax, sign) matches the oracle's fold exactly.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from fluent_bit_spark.textprep.portable import P53
 
@@ -108,20 +118,109 @@ def lsh_buckets(
     vec_col: str = "embedding",
     out_col: str = "bucket",
     dim: int | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     dim = _infer_dim(df, vec_col, dim)
-    return df.withColumn(out_col, F.expr(bucket_expr(vec_col, hyperplanes(dim, n_planes))))
+    planes = hyperplanes(dim, n_planes)
+    if engine == "arrow":
+        return df.withColumn(out_col, bucket_udf(planes)(F.col(vec_col)))
+    return df.withColumn(out_col, F.expr(bucket_expr(vec_col, planes)))
 
 
 def ivf_assign_expr(vec_col: str, centroids: list[list[float]]) -> str:
     """Nearest-centroid cell id (argmax of dot with unit centroids;
-    first index wins ties — list_position semantics in both engines)."""
+    first index wins ties — list_position semantics in both engines).
+
+    Interpreted-expression form kept for reference/tests; the hot path
+    uses ``cell_assign_udf`` (same math, numpy over Arrow). The dot
+    array is bound ONCE via a lambda so it is not evaluated twice."""
     dots = []
     for c in centroids:
         arr = "array({})".format(",".join(f"cast({x!r} as double)" for x in c))
         dots.append("(" + _DOT.format(a=vec_col, b=arr) + ")")
     arr_all = "array({})".format(",".join(dots))
-    return f"array_position({arr_all}, array_max({arr_all})) - 1"
+    # aggregate's init binds arr_all to a variable: each dot product
+    # is evaluated exactly once (the merge lambda ignores its input)
+    return (
+        f"aggregate(array(1), {arr_all}, (ds, _i) -> ds, "
+        f"ds -> array_position(ds, array_max(ds)) - 1)"
+    )
+
+
+# ---- Arrow-vectorized index math ------------------------------------
+
+_CHUNK = 4096  # rows per numpy slab: bounds (rows, cells, dim) temporaries
+
+
+def _vec_mat(s: pd.Series) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list column. float32 ->
+    float64 widening is exact, so downstream arithmetic matches the
+    SQL ``cast(x as double)`` path bit-for-bit."""
+    return np.stack([np.asarray(v, dtype=np.float64) for v in s.values])
+
+
+def _seq_dots(vecs: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """(n_rows, n_mat) dot products with SEQUENTIAL left-to-right IEEE
+    summation (cumsum prefix), matching the Catalyst ``aggregate``
+    fold and DuckDB's ``list_reduce`` rounding exactly — np.dot/matmul
+    use pairwise/BLAS order and could flip argmax/sign ties."""
+    prods = vecs[:, None, :] * mat[None, :, :]
+    return np.cumsum(prods, axis=2)[:, :, -1]
+
+
+def cell_assign_udf(centroids: list[list[float]]):
+    """pandas_udf: vector column -> nearest-centroid cell id (argmax
+    of dot, first index wins ties — np.argmax semantics == SQL
+    array_position-of-max semantics)."""
+    C = np.array(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(s: pd.Series) -> pd.Series:
+        out = np.empty(len(s), dtype=np.int32)
+        for lo in range(0, len(s), _CHUNK):
+            chunk = s.iloc[lo : lo + _CHUNK]
+            out[lo : lo + len(chunk)] = np.argmax(
+                _seq_dots(_vec_mat(chunk), C), axis=1
+            )
+        return pd.Series(out)
+
+    return assign
+
+
+def probe_cells_udf(centroids: list[list[float]], n_probe: int):
+    """pandas_udf: vector column -> the n_probe best cells by centroid
+    dot product (desc), index asc on ties (stable argsort)."""
+    C = np.array(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(s: pd.Series) -> pd.Series:
+        out: list[list[int]] = []
+        for lo in range(0, len(s), _CHUNK):
+            chunk = s.iloc[lo : lo + _CHUNK]
+            dots = _seq_dots(_vec_mat(chunk), C)
+            idx = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
+            out.extend(row.tolist() for row in idx.astype(np.int32))
+        return pd.Series(out)
+
+    return probes
+
+
+def bucket_udf(planes: list[list[float]]):
+    """pandas_udf: vector column -> LSH sign-bit bucket id (bit i set
+    when dot(v, plane_i) >= 0 — same comparison as bucket_expr)."""
+    Pm = np.array(planes, dtype=np.float64)
+    pow2 = (1 << np.arange(len(planes), dtype=np.int64))[None, :]
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(s: pd.Series) -> pd.Series:
+        out = np.empty(len(s), dtype=np.int64)
+        for lo in range(0, len(s), _CHUNK):
+            chunk = s.iloc[lo : lo + _CHUNK]
+            bits = _seq_dots(_vec_mat(chunk), Pm) >= 0
+            out[lo : lo + len(chunk)] = (bits * pow2).sum(axis=1)
+        return pd.Series(out.astype(np.int32))
+
+    return bucket
 
 
 def ivf_centroids(
@@ -169,28 +268,17 @@ def ivf_topk(
     an equi-join on cell — no crossJoin.
     """
     cents = centroids or ivf_centroids(data, n_cells, vec_col, id_col)
-    assign = ivf_assign_expr(vec_col, cents)
 
     d = data.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("dv"),
-        F.expr(assign).alias("cell"),
+        cell_assign_udf(cents)(F.col(vec_col)).alias("cell"),
     )
     # query probes: the n_probe best cells by centroid dot product
-    dots = []
-    for c in cents:
-        arr = "array({})".format(",".join(f"cast({x!r} as double)" for x in c))
-        dots.append("(" + _DOT.format(a=vec_col, b=arr) + ")")
-    arr_all = "array({})".format(",".join(dots))
-    probes = (
-        f"slice(transform(array_sort(zip_with({arr_all}, "
-        f"sequence(0, {len(cents) - 1}), (d, i) -> struct(-d as nd, i as i))),"
-        f" s -> s.i), 1, {n_probe})"
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(F.expr(probes)).alias("cell"),
+        F.explode(probe_cells_udf(cents, n_probe)(F.col(vec_col))).alias("cell"),
     )
     scored = d.join(F.broadcast(q), "cell").select(
         "query_id",
@@ -223,17 +311,16 @@ def lsh_topk(
     the scan is pruned by ~2^n_planes.
     """
     dim = _infer_dim(data, vec_col, dim)
-    planes = hyperplanes(dim, n_planes)
-    b = bucket_expr(vec_col, planes)
+    b = bucket_udf(hyperplanes(dim, n_planes))
     d = data.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("dv"),
-        F.expr(b).alias("bucket"),
+        b(F.col(vec_col)).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.expr(b).alias("bucket"),
+        b(F.col(vec_col)).alias("bucket"),
     )
     scored = d.join(F.broadcast(q), "bucket").select(
         "query_id",

@@ -312,3 +312,149 @@ def test_gated_nest_and_throttle(spark):
     assert b[0]["data"] is None
     a0 = [r for r in out if r["n"] == 0][0]
     assert a0["data"]["s"] == "v0" and a0["s"] is None  # folded + nulled
+
+
+# ---- meta commands (@INCLUDE/@SET), variables, yaml format ----------
+
+
+def test_set_variable_expansion():
+    secs = parse_classic_conf(
+        """
+@SET app_tag=web.log
+@SET msg={"message":"${app_tag}"}
+[INPUT]
+    Name  dummy
+    Tag   ${app_tag}
+    Dummy ${msg}
+"""
+    )
+    assert secs[0].get("tag") == "web.log"
+    # @SET values themselves expand earlier variables (read order)
+    assert secs[0].get("dummy") == '{"message":"web.log"}'
+
+
+def test_unknown_variable_expands_empty(monkeypatch):
+    monkeypatch.delenv("FBS_NOT_SET", raising=False)
+    secs = parse_classic_conf("[INPUT]\n  Name dummy\n  Tag a.${FBS_NOT_SET}.b\n")
+    assert secs[0].get("tag") == "a..b"
+
+
+def test_environment_variable_expansion(monkeypatch):
+    monkeypatch.setenv("FBS_TEST_TAG", "envtag")
+    secs = parse_classic_conf("[INPUT]\n  Name dummy\n  Tag ${FBS_TEST_TAG}\n")
+    assert secs[0].get("tag") == "envtag"
+
+
+def test_include_glob_and_set(tmp_path):
+    from fluent_bit_spark.classic import load_classic_conf
+
+    (tmp_path / "conf.d").mkdir()
+    (tmp_path / "conf.d" / "10-filter.conf").write_text(
+        "[FILTER]\n  Name grep\n  Match ${scope}\n  Regex k ^v$\n"
+    )
+    (tmp_path / "conf.d" / "20-out.conf").write_text(
+        "[OUTPUT]\n  Name file\n  Match *\n"
+    )
+    main = tmp_path / "fluent-bit.conf"
+    main.write_text(
+        "@SET scope=app.*\n"
+        "[SERVICE]\n  Flush 1\n"
+        "[INPUT]\n  Name dummy\n  Tag app.x\n"
+        "@INCLUDE conf.d/*.conf\n"
+    )
+    secs = load_classic_conf(str(main))
+    kinds = [s.kind for s in secs]
+    assert kinds == ["service", "input", "filter", "output"]
+    # glob order is sorted (deterministic), variables cross files
+    assert secs[2].get("match") == "app.*"
+
+
+def test_include_read_twice_errors(tmp_path):
+    from fluent_bit_spark.classic import load_classic_conf
+
+    (tmp_path / "inc.conf").write_text("[FILTER]\n  Name grep\n  Match *\n")
+    main = tmp_path / "main.conf"
+    main.write_text(
+        "[INPUT]\n  Name dummy\n@INCLUDE inc.conf\n@INCLUDE inc.conf\n"
+    )
+    with pytest.raises(ValueError, match="read twice"):
+        load_classic_conf(str(main))
+
+
+def test_include_without_base_dir_errors():
+    with pytest.raises(ValueError, match="file-based"):
+        parse_classic_conf("@INCLUDE other.conf\n")
+
+
+def test_yaml_pipeline_end_to_end(spark, tmp_path):
+    from fluent_bit_spark.classic import load_classic_conf
+
+    conf = tmp_path / "fb.yaml"
+    conf.write_text(
+        """
+env:
+  tag_prefix: app
+service:
+  flush: 1
+pipeline:
+  inputs:
+    - name: dummy
+      tag: ${tag_prefix}.log
+      dummy: '{"message":"hello","level":"info"}'
+      samples: 4
+  filters:
+    - name: grep
+      match: '${tag_prefix}.*'
+      regex: level info
+  outputs:
+    - name: counter
+      match: '*'
+"""
+    )
+    secs = load_classic_conf(str(conf))
+    pipe = build_classic_pipeline(spark, secs)
+    assert pipe.records.count() == 4
+    assert pipe.outputs["counter.0"].first()["count"] == 4
+
+
+def test_yaml_includes_classic_fragment(tmp_path):
+    from fluent_bit_spark.classic import load_classic_conf
+
+    (tmp_path / "extra.conf").write_text("[FILTER]\n  Name grep\n  Match *\n")
+    conf = tmp_path / "fb.yaml"
+    conf.write_text(
+        """
+includes:
+  - extra.conf
+pipeline:
+  inputs:
+    - name: dummy
+      tag: t
+"""
+    )
+    secs = load_classic_conf(str(conf))
+    assert [s.kind for s in secs] == ["filter", "input"]
+
+
+def test_yaml_repeated_key_as_list(tmp_path):
+    from fluent_bit_spark.classic import parse_yaml_conf
+
+    secs = parse_yaml_conf(
+        """
+pipeline:
+  filters:
+    - name: record_modifier
+      match: '*'
+      record:
+        - hostname h1
+        - dc us-east-1
+"""
+    )
+    assert secs[0].get_all("record") == ["hostname h1", "dc us-east-1"]
+
+
+def test_yaml_unknown_top_key_errors():
+    from fluent_bit_spark.classic import parse_yaml_conf
+
+    with pytest.raises(ValueError, match="unsupported yaml"):
+        parse_yaml_conf("pipeline: {}\nbogus: 1\n")
