@@ -300,8 +300,10 @@ def q_filter_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_spark.operators.parser_filter import filter_parser
     from fluent_bit_spark.parsers.config import parse_parsers_conf
 
+    # Keys declared on the json parser: construction stays job-free
+    # (no sampling inference pass)
     specs = parse_parsers_conf(
-        "[PARSER]\n    Name j\n    Format json\n"
+        "[PARSER]\n    Name j\n    Format json\n    Keys k\n"
         "[PARSER]\n    Name lf\n    Format regex\n"
         "    Regex ^level=(?<level>\\S+) msg=(?<msg>\\S+)$\n"
     )

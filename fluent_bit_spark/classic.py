@@ -267,26 +267,41 @@ def load_classic_conf(path: str) -> list[Section]:
 
 
 def _expand_map(
-    df: DataFrame, map_col: str = "record_map", sample_rows: int = 10_000
+    df: DataFrame,
+    map_col: str = "record_map",
+    sample_rows: int = 10_000,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Promote a parser's map column to top-level columns.
 
-    Map-producing parsers (logfmt/ltsv/json) can't know their keys at
-    compile time; classic-mode filters address keys as columns, so the
-    key set is inferred from a bounded sample — the same build-time
-    inference pass spark.read.json runs, with the same caveat (keys
-    absent from the sample are dropped). Key order is sorted for a
-    deterministic schema.
+    ``keys`` (from the parser spec's ``Keys`` declaration) makes this
+    a pure plan rewrite — zero jobs. Without it, map-producing parsers
+    (logfmt/ltsv/json) can't know their keys at compile time; classic-
+    mode filters address keys as columns, so the key set is inferred
+    from a bounded sample (warned: a construction-time Spark job per
+    config line — declare keys at scale), with the same caveat as
+    spark.read.json inference (keys absent from the sample are
+    dropped). Undeclared key order is sorted for a deterministic
+    schema; declared order is preserved.
     """
     if map_col not in df.columns:
         return df
-    keys = sorted(
-        r[0]
-        for r in df.limit(sample_rows)
-        .select(F.explode(F.map_keys(F.col(map_col))).alias("k"))
-        .distinct()
-        .collect()
-    )
+    if keys is None:
+        import warnings
+
+        warnings.warn(
+            "classic config: inferring parser map keys from a "
+            f"{sample_rows}-row sample (construction-time Spark job); "
+            "declare them with 'Keys k1 k2 ...' in the [PARSER] spec",
+            stacklevel=2,
+        )
+        keys = sorted(
+            r[0]
+            for r in df.limit(sample_rows)
+            .select(F.explode(F.map_keys(F.col(map_col))).alias("k"))
+            .distinct()
+            .collect()
+        )
     cols = [F.col(c) for c in df.columns if c != map_col]
     cols += [F.col(map_col).getItem(k).alias(k) for k in keys]
     return df.select(*cols)
@@ -329,7 +344,10 @@ def _input_df(
         if pname:
             if pname not in parsers:
                 raise ValueError(f"unknown parser {pname!r} (pass parsers=)")
-            df = _expand_map(apply_parser(df, "log", parsers[pname]))
+            df = _expand_map(
+                apply_parser(df, "log", parsers[pname]),
+                keys=parsers[pname].declared_keys(),
+            )
         return df
     if name == "lib":
         if tag not in lib_inputs:
@@ -734,20 +752,35 @@ def start_classic_stream(
             spec = parsers[pname]
             parsed = apply_parser(stream, "log", spec)
             if "record_map" in parsed.columns:
-                # key inference needs a bounded batch sample of the
-                # same path (a stream can't be collected)
-                batch = apply_parser(
-                    spark.read.text(path).withColumnRenamed("value", "log"),
-                    "log",
-                    spec,
-                )
-                keys = sorted(
-                    r[0]
-                    for r in batch.limit(10_000)
-                    .select(F.explode(F.map_keys(F.col("record_map"))).alias("k"))
-                    .distinct()
-                    .collect()
-                )
+                keys = spec.declared_keys()
+                if keys is None:
+                    # no Keys declaration: key inference needs a
+                    # bounded batch sample of the same path (a stream
+                    # can't be collected) — one extra batch read per
+                    # undeclared parser; declare Keys to skip it
+                    import warnings
+
+                    warnings.warn(
+                        f"streaming classic: sampling batch read of "
+                        f"{path!r} to infer parser {pname!r} keys; "
+                        "declare 'Keys k1 k2 ...' in the [PARSER] "
+                        "spec to avoid it",
+                        stacklevel=2,
+                    )
+                    batch = apply_parser(
+                        spark.read.text(path).withColumnRenamed("value", "log"),
+                        "log",
+                        spec,
+                    )
+                    keys = sorted(
+                        r[0]
+                        for r in batch.limit(10_000)
+                        .select(
+                            F.explode(F.map_keys(F.col("record_map"))).alias("k")
+                        )
+                        .distinct()
+                        .collect()
+                    )
                 cols = [F.col(c) for c in parsed.columns if c != "record_map"]
                 cols += [F.col("record_map").getItem(k).alias(k) for k in keys]
                 parsed = parsed.select(*cols)

@@ -72,17 +72,31 @@ def parse_map_expr(
 def _parsed_keys(
     df: DataFrame, winner: Column, specs: list[ParserSpec], sample_rows: int
 ) -> list[str]:
+    """Output key set of the parser try-chain. Prefers static
+    declarations (regex named groups; the ``Keys`` spec extension for
+    map formats) — zero jobs at pipeline-construction time. Falls back
+    to a bounded data sample ONLY for undeclared map parsers, with a
+    warning: at scale an operator-construction-time scan per config
+    line is a job per filter — declare keys instead."""
     static: list[str] = []
     dynamic = False
     for spec in specs:
-        if spec.format == "regex":
-            static.extend(
-                k for k in spec.named_groups() if k not in static
-            )
+        declared = spec.declared_keys()
+        if declared is not None:
+            static.extend(k for k in declared if k not in static)
         else:
             dynamic = True
     if not dynamic:
         return static
+    import warnings
+
+    warnings.warn(
+        "filter_parser: inferring map-parser keys from a "
+        f"{sample_rows}-row sample (construction-time Spark job); "
+        "declare them with 'Keys k1 k2 ...' in the parser spec or "
+        "pass keys= to skip this",
+        stacklevel=3,
+    )
     sampled = sorted(
         r[0]
         for r in df.limit(sample_rows)

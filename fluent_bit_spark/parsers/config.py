@@ -47,6 +47,21 @@ class ParserSpec:
     time_strict: bool = True
     types: dict[str, str] = field(default_factory=dict)
     decoders: list[DecoderRule] = field(default_factory=list)
+    # ``Keys`` declaration (loader extension): the key set a map-format
+    # parser (json/ltsv/logfmt) emits, declared up front so pipeline
+    # construction never has to run a sampling job to learn the schema
+    # (regex parsers already declare theirs via named groups).
+    keys: list[str] | None = None
+
+    def declared_keys(self) -> list[str] | None:
+        """Statically-known output keys, or None if only a data
+        sample can tell. Order: regex capture order / Keys order; the
+        Types declaration alone also counts (every typed key listed)."""
+        if self.format == "regex":
+            return self.named_groups()
+        if self.keys is not None:
+            return list(self.keys)
+        return None
 
     def named_groups(self) -> list[str]:
         """Capture-field names in pattern order (regex format only)."""
@@ -111,6 +126,11 @@ def parse_parsers_conf(text: str) -> dict[str, ParserSpec]:
                 time_strict=cur.get("time_strict", "on").lower() != "off",
                 types=_parse_types(cur.get("types", "")),
                 decoders=list(decoders),
+                keys=(
+                    cur["keys"].replace(",", " ").split()
+                    if "keys" in cur
+                    else None
+                ),
             )
         cur = None
         decoders = []

@@ -458,3 +458,51 @@ def test_yaml_unknown_top_key_errors():
 
     with pytest.raises(ValueError, match="unsupported yaml"):
         parse_yaml_conf("pipeline: {}\nbogus: 1\n")
+
+
+def test_declared_keys_no_construction_jobs(spark, tmp_path):
+    """With a Keys declaration, building the pipeline runs ZERO Spark
+    jobs (pure plan rewrite); without it, inference samples (warns)."""
+    log = tmp_path / "app.log"
+    log.write_text("a=1 b=x\na=2 b=y\n")
+    parsers = parse_parsers_conf(
+        "[PARSER]\n  Name kv\n  Format logfmt\n  Keys a b\n"
+    )
+    conf = f"""
+[INPUT]
+    Name   tail
+    Path   {log}
+    Tag    app.log
+    Parser kv
+[OUTPUT]
+    Name  null
+    Match *
+"""
+    sc = spark.sparkContext
+    sc.setJobGroup("construct", "pipeline build")
+    try:
+        pipe = build_classic_pipeline(spark, conf, parsers=parsers)
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(sc.statusTracker().getJobIdsForGroup("construct")) == []
+    rows = {(r["a"], r["b"]) for r in pipe.records.collect()}
+    assert rows == {("1", "x"), ("2", "y")}
+
+
+def test_undeclared_keys_sampling_warns(spark, tmp_path):
+    log = tmp_path / "app.log"
+    log.write_text("a=1 b=x\n")
+    parsers = parse_parsers_conf("[PARSER]\n  Name kv\n  Format logfmt\n")
+    conf = f"""
+[INPUT]
+    Name   tail
+    Path   {log}
+    Tag    app.log
+    Parser kv
+[OUTPUT]
+    Name  null
+    Match *
+"""
+    with pytest.warns(UserWarning, match="inferring parser map keys"):
+        pipe = build_classic_pipeline(spark, conf, parsers=parsers)
+    assert pipe.records.first()["a"] == "1"
