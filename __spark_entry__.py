@@ -137,6 +137,51 @@ def q_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geoip2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geoip2 enrich through a REAL MaxMind-DB binary: a fixture mmdb
+    is encoded in-process (enrich_mmdb.MMDBWriter), broadcast, and
+    longest-prefix looked up per record by the pure-Python reader —
+    the full encode -> search-tree walk -> data-section decode round
+    trip. Reference: plugins/filter_geoip2/geoip2.c (Lookup_key +
+    'Record KEY LOOKUP_KEY %{path}' directives, null on miss). The
+    oracle recomputes the expected mapping arithmetically."""
+    from fluent_bit_spark.enrich_mmdb import MMDBWriter, geoip2_filter
+
+    w = MMDBWriter()
+    w.insert(
+        "10.0.0.0/16",
+        {"country": {"iso_code": "US", "names": {"en": "United States"}}},
+    )
+    w.insert(
+        "10.1.0.0/16",
+        {"country": {"iso_code": "DE", "names": {"en": "Germany"}}},
+    )
+    w.insert(
+        "10.2.0.0/16",
+        {"country": {"iso_code": "FR", "names": {"en": "France"}}},
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit("10."),
+            (F.col("user_id") % 4).cast("string"),
+            F.lit("."),
+            (F.col("event_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("event_id") * 7) % 256).cast("string"),
+        ).alias("remote_addr"),
+    )
+    out = geoip2_filter(
+        ev,
+        w.to_bytes(),
+        [
+            ("geo_country", "remote_addr", "%{country.names.en}"),
+            ("geo_iso", "remote_addr", "%{country.iso_code}"),
+        ],
+    )
+    return out.select("event_id", "remote_addr", "geo_country", "geo_iso")
+
+
 def q_grep_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     rules = [GrepRule("regex", "$text", "table"), GrepRule("exclude", "$lang", "^de$")]
@@ -1093,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decoder_chain": q_decoder_chain,
         "dedup_embedding_exact": q_dedup_embedding_exact,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "geoip2": q_geoip2,
         "pipeline_e2e": q_pipeline_e2e,
         "q1_pricing_summary": q_q1_pricing_summary,
         "enrich_broadcast": q_enrich_broadcast,
@@ -1306,6 +1352,17 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN customer c ON o.o_custkey = c.c_custkey
             LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "geoip2": """
+            SELECT event_id,
+                   '10.' || (user_id % 4) || '.' || (event_id % 256) || '.'
+                        || ((event_id * 7) % 256) AS remote_addr,
+                   CASE user_id % 4 WHEN 0 THEN 'United States'
+                        WHEN 1 THEN 'Germany' WHEN 2 THEN 'France' END
+                       AS geo_country,
+                   CASE user_id % 4 WHEN 0 THEN 'US'
+                        WHEN 1 THEN 'DE' WHEN 2 THEN 'FR' END AS geo_iso
+            FROM events
         """,
         "grep_and": """
             SELECT doc_id, lang FROM documents

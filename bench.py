@@ -39,6 +39,7 @@ HEADLINE = [
     "pipeline_e2e",
     "q1_pricing_summary",
     "enrich_broadcast",
+    "geoip2",
     "router_fanout",
     "rewrite_tag",
     "sp_aggregate",
