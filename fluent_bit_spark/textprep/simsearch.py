@@ -228,12 +228,23 @@ def ivf_centroids(
     n_cells: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    kmeans_rounds: int = 0,
+    sample: int = 4096,
 ) -> list[list[float]]:
-    """Deterministic seed centroids: the n_cells lowest-id vectors,
-    L2-normalized. A production index would run a few k-means rounds
-    over a sample; the partition/probe structure — which is what the
-    scale path is about — is identical, and seeded selection keeps the
-    index reproducible and oracle-checkable."""
+    """Deterministic centroids for the IVF index.
+
+    Default (kmeans_rounds=0): the n_cells lowest-id vectors,
+    L2-normalized — fully reproducible and oracle-checkable.
+
+    kmeans_rounds>0 refines the seeds with spherical k-means (Lloyd)
+    over a deterministic lowest-id ``sample`` of the corpus, driver-
+    side numpy: assign to argmax-dot centroid, new centroid = mean of
+    assigned, re-normalized; empty cells keep their previous centroid.
+    Deterministic (fixed sample, fixed seeds, fixed iteration order) —
+    pass the result via ``centroids=`` so Spark and any oracle agree.
+    The at-scale shape: the sample fits the driver, training cost is
+    O(rounds * sample * n_cells), and the trained centroids broadcast
+    as literals exactly like the seeds."""
     import math
 
     rows = (
@@ -246,7 +257,25 @@ def ivf_centroids(
         # the oracle's SQL sqrt over the same sequential sum
         n = math.sqrt(sum(x * x for x in v)) or 1.0
         cents.append([x / n for x in v])
-    return cents
+    if kmeans_rounds <= 0:
+        return cents
+
+    srows = data.select(vec_col).orderBy(id_col).limit(sample).collect()
+    X = np.array([[float(x) for x in r[vec_col]] for r in srows], dtype=np.float64)
+    norms = np.sqrt((X * X).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    Xn = X / norms[:, None]
+    C = np.array(cents, dtype=np.float64)
+    for _ in range(kmeans_rounds):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(len(C)):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.sqrt((m * m).sum())
+                if nm > 0:
+                    C[c] = m / nm
+    return [row.tolist() for row in C]
 
 
 def ivf_topk(

@@ -157,3 +157,79 @@ def test_streaming_multiline_state_across_batches(spark, dirs):
     assert stack["n_lines"] == 3 and stack["first_seq"] == 2
     assert stack["record"].count("\n") == 2
     assert recs[2]["record"] == "plain line two"
+
+
+def test_streaming_multiline_timeout_flush_three_batches(spark, dirs):
+    """flush_ms parity over a LIVE trigger: three micro-batches, with
+    the pending stacktrace flushed MID-STREAM by the processing-time
+    timeout (flb_ml.c flush interval), not by a closing line. Record
+    ids keep incrementing across all batches."""
+    import time
+
+    from fluent_bit_spark.streaming.multiline import streaming_multiline
+
+    src, out, ckpt = dirs
+    schema = "file string, seq long, line string"
+
+    def write_batch(sub, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, sub))
+
+    # seed so the stream has a file at start
+    write_batch("b1", [
+        ("a", 1, "plain one"),
+        ("a", 2, "Exception in thread main java.lang.RuntimeException: x"),
+        ("a", 3, "     at com.example.A.run(A.java:1)"),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    joined = streaming_multiline(
+        stream, ["file"], "seq", "line", "java", flush_timeout_ms=700
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def poll(pred, timeout=60.0):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            try:
+                rows = {r["record_id"]: r for r in spark.read.parquet(out).collect()}
+            except Exception:
+                rows = {}
+            if pred(rows):
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(f"condition not reached; last={rows}")
+
+    try:
+        # batch 1 emits the closed record; then the TIMEOUT (no new
+        # data) flushes the 2-line pending stacktrace mid-stream
+        rows = poll(lambda r: len(r) >= 2)
+        assert rows[0]["record"] == "plain one"
+        assert rows[1]["n_lines"] == 2 and rows[1]["first_seq"] == 2
+
+        # batch 2: a NEW stacktrace start — stays pending, then the
+        # timeout flushes it too (again no closing line arrives)
+        write_batch("b2", [
+            ("a", 4, "Exception in thread main java.lang.RuntimeException: y"),
+        ])
+        rows = poll(lambda r: len(r) >= 3)
+        assert rows[2]["n_lines"] == 1 and rows[2]["first_seq"] == 4
+        assert rows[2]["record"].startswith("Exception")
+
+        # batch 3: plain line closes immediately (id continues: 3)
+        write_batch("b3", [("a", 5, "plain two")])
+        rows = poll(lambda r: len(r) >= 4)
+        assert rows[3]["record"] == "plain two"
+    finally:
+        q.stop()

@@ -345,3 +345,47 @@ def test_ivf_topk_finds_planted_neighbor(vectors):
     data = vectors.filter("vec_id > 0")
     out = ivf_topk(data, queries, k=3, n_cells=4, n_probe=2).collect()
     assert out and out[0]["neighbor_id"] == 100  # the planted near-dup
+
+
+def test_ivf_kmeans_centroids_recall(spark):
+    """Sampled spherical k-means refinement: recall@k vs the brute-
+    force baseline is at least the seed-centroid recall, and the
+    training is deterministic (same input -> same centroids)."""
+    import math
+
+    from fluent_bit_spark.textprep.simsearch import (
+        cosine_topk,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    rows = []
+    for i in range(200):
+        base = [math.sin(0.37 * i + 1.7 * j) + 0.2 * math.cos(0.9 * i * j) for j in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 5")
+    data = df.filter("vec_id >= 5")
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(data, queries, k=5).collect()
+    }
+
+    def recall(cents):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                data, queries, k=5, n_cells=8, n_probe=3, centroids=cents
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    seed = ivf_centroids(data, 8)
+    trained = ivf_centroids(data, 8, kmeans_rounds=5)
+    trained2 = ivf_centroids(data, 8, kmeans_rounds=5)
+    assert trained == trained2  # deterministic
+    assert trained != seed  # it actually moved
+    r_seed, r_trained = recall(seed), recall(trained)
+    assert r_trained >= r_seed
+    assert r_trained >= 0.5

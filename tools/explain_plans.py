@@ -125,6 +125,29 @@ def main() -> int:
          ok, "")
     )
 
+    # 9. ann_ivf_topk: Arrow-vectorized cell assignment (no interpreted
+    #    per-centroid expression tree), candidate fan-in via broadcast
+    #    hash equi-join on cell — never a nested-loop cross join
+    p = plan_of(qs["ann_ivf_topk"](spark, sf_dir))
+    ok = (
+        "ArrowEvalPython" in p
+        and "BroadcastHashJoin" in p
+        and "BroadcastNestedLoopJoin" not in p
+    )
+    checks.append(
+        ("IVF: Arrow cell assignment + broadcast equi-join, no cross join",
+         ok, "")
+    )
+    sections.append(("ann_ivf_topk (Arrow assignment, cell equi-join)", p, []))
+
+    # 10. geoip2: single Arrow-batched lookup pass over the broadcast
+    #     mmdb (one ArrowEvalPython per lookup key)
+    p = plan_of(qs["geoip2"](spark, sf_dir))
+    # formatted explain names each node twice (tree + detail): one
+    # Arrow stage == exactly one "(n) ArrowEvalPython" detail header
+    ok = len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 1
+    checks.append(("geoip2: ONE Arrow lookup pass per lookup key", ok, ""))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
