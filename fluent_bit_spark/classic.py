@@ -15,6 +15,7 @@ Supported plugin surface (the SURVEY §2 in-scope set):
   the test harness hook)
 - filters: grep, parser (Key_Name/Parser/Reserve_Data/Preserve_Key),
   modify, record_modifier, nest, rewrite_tag, throttle, expect,
+  geoip2 (real mmdb Database + Record directives via enrich_mmdb),
   stdout (no-op) — lua is NOT config-loadable (a Lua runtime is out
   of scope; udf_hook is the programmatic equivalent)
 - outputs: file, counter, flowcounter, null, stdout
@@ -560,6 +561,29 @@ def _apply_filter(
         return df.withColumn("_thr", cnt).filter(
             ~gate | (F.col("_thr") <= rate)
         ).drop("_thr")
+
+    if name == "geoip2":
+        # plugins/filter_geoip2: Database (mmdb path), repeatable
+        # Record 'KEY LOOKUP_KEY %{path}' directives; the mmdb bytes
+        # broadcast once, lookups run Arrow-batched (enrich_mmdb)
+        from fluent_bit_spark.enrich_mmdb import geoip2_filter
+
+        db = sec.get("database")
+        if not db:
+            raise ValueError("[FILTER] geoip2 requires Database")
+        with open(db, "rb") as fh:
+            mmdb = fh.read()
+        records = []
+        for v in sec.get_all("record"):
+            nk, lk, pat = v.split(None, 2)
+            records.append((nk, lk, pat.strip()))
+        if not records:
+            raise ValueError("[FILTER] geoip2 requires at least one Record")
+        out = geoip2_filter(df, mmdb, records)
+        if gate is not None:
+            for nk, _, _ in records:
+                out = out.withColumn(nk, F.when(gate, F.col(nk)))
+        return out
 
     if name == "expect":
         rules = []

@@ -506,3 +506,41 @@ def test_undeclared_keys_sampling_warns(spark, tmp_path):
     with pytest.warns(UserWarning, match="inferring parser map keys"):
         pipe = build_classic_pipeline(spark, conf, parsers=parsers)
     assert pipe.records.first()["a"] == "1"
+
+
+def test_classic_geoip2_filter(spark, tmp_path):
+    """A real fluent-bit geoip2 config section drives the mmdb enrich:
+    Database points at an actual MaxMind-DB binary (built by the
+    fixture writer), Record directives add looked-up fields."""
+    from fluent_bit_spark.enrich_mmdb import MMDBWriter
+
+    w = MMDBWriter()
+    w.insert("10.0.0.0/16", {"country": {"names": {"en": "United States"}}})
+    w.insert("10.1.0.0/16", {"country": {"names": {"en": "Germany"}}})
+    db = tmp_path / "geo.mmdb"
+    db.write_bytes(w.to_bytes())
+    ev = spark.createDataFrame(
+        [("web.a", "10.0.1.1"), ("web.b", "10.1.2.2"), ("web.c", "10.9.0.1")],
+        ["tag", "remote_addr"],
+    )
+    conf = f"""
+[INPUT]
+    Name lib
+    Tag  web.in
+[FILTER]
+    Name       geoip2
+    Match      web.*
+    Database   {db}
+    Lookup_key remote_addr
+    Record     country remote_addr %{{country.names.en}}
+[OUTPUT]
+    Name  null
+    Match *
+"""
+    pipe = build_classic_pipeline(spark, conf, lib_inputs={"web.in": ev})
+    got = {r["remote_addr"]: r["country"] for r in pipe.records.collect()}
+    assert got == {
+        "10.0.1.1": "United States",
+        "10.1.2.2": "Germany",
+        "10.9.0.1": None,
+    }
