@@ -237,12 +237,14 @@ def parse_yaml_conf(
 
     if isinstance(doc.get("service"), dict):
         sections.append(to_section("service", doc["service"]))
+    for m in doc.get("parsers") or []:
+        sections.append(to_section("parser", m))
     pipeline = doc.get("pipeline") or {}
     for plural, kind in (("inputs", "input"), ("filters", "filter"), ("outputs", "output")):
         for m in pipeline.get(plural) or []:
             sections.append(to_section(kind, m))
 
-    known = {"env", "includes", "service", "pipeline"}
+    known = {"env", "includes", "service", "parsers", "pipeline"}
     unknown = set(doc) - known
     if unknown:
         raise ValueError(f"unsupported yaml top-level keys: {sorted(unknown)}")
@@ -252,7 +254,10 @@ def parse_yaml_conf(
 def load_classic_conf(path: str) -> list[Section]:
     """File loader: dispatches classic vs yaml by extension, resolves
     @INCLUDE/includes relative to the root config's directory, applies
-    @SET/env variables in read order."""
+    @SET/env variables in read order, and splices ``[SERVICE]
+    Parsers_File`` definitions in as [PARSER] sections (flb_config.c
+    service key; parser files are ordinary classic files whose
+    sections are all [PARSER])."""
     import os
 
     with open(path) as fh:
@@ -260,8 +265,36 @@ def load_classic_conf(path: str) -> list[Section]:
     base = os.path.dirname(os.path.abspath(path))
     seen = {os.path.realpath(path)}
     if path.endswith((".yaml", ".yml")):
-        return parse_yaml_conf(text, base, {}, seen)
-    return parse_classic_conf(text, base, {}, seen)
+        sections = parse_yaml_conf(text, base, {}, seen)
+    else:
+        sections = parse_classic_conf(text, base, {}, seen)
+    for svc in (s for s in sections if s.kind == "service"):
+        for pf in svc.get_all("parsers_file"):
+            if not os.path.isabs(pf):
+                pf = os.path.join(base, pf)
+            rp = os.path.realpath(pf)
+            if rp in seen:
+                continue  # same parsers file referenced twice is fine
+            seen.add(rp)
+            with open(pf) as fh:
+                sections.extend(parse_classic_conf(fh.read(), base, {}, seen))
+    return sections
+
+
+def parsers_from_sections(sections: list[Section]) -> dict[str, "ParserSpec"]:
+    """[PARSER] sections -> ParserSpec dict (classic text round-trip
+    through the parsers/config reader so semantics stay single-source)."""
+    from fluent_bit_spark.parsers.config import parse_parsers_conf
+
+    chunks = []
+    for s in sections:
+        if s.kind != "parser":
+            continue
+        chunks.append("[PARSER]")
+        chunks.extend(f"    {k} {v}" for k, v in s.props)
+    if not chunks:
+        return {}
+    return parse_parsers_conf("\n".join(chunks))
 
 
 # ------------------------------------------------------------- inputs
@@ -684,7 +717,9 @@ def build_classic_pipeline(
     sections = (
         conf_text if isinstance(conf_text, list) else parse_classic_conf(conf_text)
     )
-    parsers = parsers or {}
+    # config-carried [PARSER] sections (Parsers_File / yaml parsers:)
+    # merge under explicitly-passed specs
+    parsers = {**parsers_from_sections(sections), **(parsers or {})}
     lib_inputs = lib_inputs or {}
 
     inputs = [s for s in sections if s.kind == "input"]
@@ -749,7 +784,7 @@ def start_classic_stream(
     sections = (
         conf_text if isinstance(conf_text, list) else parse_classic_conf(conf_text)
     )
-    parsers = parsers or {}
+    parsers = {**parsers_from_sections(sections), **(parsers or {})}
 
     flush_sec = 1
     for s in sections:

@@ -544,3 +544,55 @@ def test_classic_geoip2_filter(spark, tmp_path):
         "10.1.2.2": "Germany",
         "10.9.0.1": None,
     }
+
+
+def test_parsers_file_and_yaml_parsers(spark, tmp_path):
+    """[SERVICE] Parsers_File loads [PARSER] specs from a side file
+    (flb_config.c); yaml 'parsers:' carries them inline — both feed
+    the same pipeline builder with no parsers= argument."""
+    from fluent_bit_spark.classic import load_classic_conf
+
+    (tmp_path / "parsers.conf").write_text(
+        "[PARSER]\n  Name kv\n  Format logfmt\n  Keys a b\n"
+    )
+    log = tmp_path / "app.log"
+    log.write_text("a=1 b=x\n")
+    main = tmp_path / "fluent-bit.conf"
+    main.write_text(
+        f"""
+[SERVICE]
+    Flush        1
+    Parsers_File parsers.conf
+[INPUT]
+    Name   tail
+    Path   {log}
+    Tag    app.log
+    Parser kv
+[OUTPUT]
+    Name  null
+    Match *
+"""
+    )
+    pipe = build_classic_pipeline(spark, load_classic_conf(str(main)))
+    assert pipe.records.first()["a"] == "1"
+
+    yconf = tmp_path / "fb.yaml"
+    yconf.write_text(
+        f"""
+parsers:
+  - name: kv2
+    format: logfmt
+    keys: a b
+pipeline:
+  inputs:
+    - name: tail
+      path: {log}
+      tag: app.log
+      parser: kv2
+  outputs:
+    - name: "null"
+      match: '*'
+"""
+    )
+    pipe2 = build_classic_pipeline(spark, load_classic_conf(str(yconf)))
+    assert pipe2.records.first()["b"] == "x"
