@@ -77,6 +77,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
+        finally:
+            # operators register persisted intermediates; drop them
+            # after each query's final action (mirrors bench.py)
+            from fluent_bit_spark.cache import release_all
+
+            release_all()
         if name not in oracles:
             print(f"OK?  {name}: rows={len(srows)} (no oracle, rows-only)")
             continue
