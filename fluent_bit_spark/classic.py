@@ -9,7 +9,9 @@ outputs route by Match glob.
 
 Supported plugin surface (the SURVEY §2 in-scope set):
 
-- inputs: dummy (Dummy/Samples/Tag), tail (Path/Tag/Parser/Path_Key;
+- inputs: dummy (Dummy/Samples/Tag), tail (Path/Tag/Parser/Path_Key/
+  multiline.parser java|go|python|ruby|cri|docker — lines join per
+  file before the parser stage, the in_tail ml order;
   batch form reads the files, streaming handled by streaming/job.py),
   lib (caller-supplied DataFrame — the in_lib embedding analog, also
   the test harness hook)
@@ -371,6 +373,56 @@ def _input_df(
         if not path:
             raise ValueError("[INPUT] tail requires Path")
         df = spark.read.text(path).withColumnRenamed("value", "log")
+        ml = sec.get("multiline.parser")
+        if ml:
+            # in_tail multiline (plugins/in_tail: multiline.parser
+            # property): join lines per file BEFORE the parser stage,
+            # exactly the reference's tail -> ml -> parser order.
+            # Built-ins: java/go/python/ruby (rule DFAs), cri, docker.
+            from fluent_bit_spark.operators.multiline import (
+                BUILTIN_ML_RULES,
+                cri_join,
+                docker_join,
+                ml_rules_join,
+            )
+
+            names = [m.strip().lower() for m in ml.split(",") if m.strip()]
+            if len(names) != 1:
+                raise ValueError(
+                    "one multiline.parser per tail input is supported "
+                    f"(got {names!r}); chain via a rewrite pass instead"
+                )
+            mlname = names[0]
+            lined = df.withColumn("_file", F.input_file_name()).withColumn(
+                "_seq", F.monotonically_increasing_id()
+            )
+            if mlname == "cri":
+                joined = cri_join(lined, ["_file"], "_seq", "log")
+            elif mlname == "docker":
+                joined = docker_join(lined, ["_file"], "_seq", "log")
+            elif mlname in BUILTIN_ML_RULES:
+                joined = ml_rules_join(lined, ["_file"], "_seq", "log", mlname)
+            else:
+                raise ValueError(f"unknown multiline.parser {mlname!r}")
+            # ml_rules_join emits 'record'; cri/docker joins keep the
+            # original line column name
+            rec = "record" if "record" in joined.columns else "log"
+            keep = [F.col(rec).alias("log"), F.col("_file")]
+            if "stream" in joined.columns:  # cri/docker carry a stream col
+                keep.append(F.col("stream"))
+            df = joined.select(*keep)
+            if sec.get("path_key"):
+                df = df.withColumn(sec.get("path_key"), F.col("_file"))
+            df = df.drop("_file").withColumn("tag", F.lit(tag))
+            pname = sec.get("parser")
+            if pname:
+                if pname not in parsers:
+                    raise ValueError(f"unknown parser {pname!r} (pass parsers=)")
+                df = _expand_map(
+                    apply_parser(df, "log", parsers[pname]),
+                    keys=parsers[pname].declared_keys(),
+                )
+            return df
         if sec.get("path_key"):
             df = df.withColumn(sec.get("path_key"), F.input_file_name())
         df = df.withColumn("tag", F.lit(tag))

@@ -596,3 +596,53 @@ pipeline:
     )
     pipe2 = build_classic_pipeline(spark, load_classic_conf(str(yconf)))
     assert pipe2.records.first()["b"] == "x"
+
+
+def test_tail_multiline_parser_java(spark, tmp_path):
+    """[INPUT] tail with multiline.parser java: stacktrace lines join
+    into one record BEFORE the filter chain (in_tail multiline order)."""
+    log = tmp_path / "app.log"
+    log.write_text(
+        "plain one\n"
+        "Exception in thread main java.lang.RuntimeException: boom\n"
+        "     at com.example.A.run(A.java:1)\n"
+        "     at com.example.B.run(B.java:2)\n"
+        "plain two\n"
+    )
+    conf = f"""
+[INPUT]
+    Name              tail
+    Path              {log}
+    Tag               app.log
+    multiline.parser  java
+[OUTPUT]
+    Name  null
+    Match *
+"""
+    pipe = build_classic_pipeline(spark, conf)
+    recs = [r["log"] for r in pipe.records.orderBy("log").collect()]
+    assert len(recs) == 3
+    stack = [r for r in recs if r.startswith("Exception")][0]
+    assert stack.count("\n") == 2 and "B.run" in stack
+
+
+def test_tail_multiline_parser_cri(spark, tmp_path):
+    log = tmp_path / "cri.log"
+    log.write_text(
+        "2024-01-01T00:00:00.0Z stdout P partial \n"
+        "2024-01-01T00:00:01.0Z stdout F line\n"
+        "2024-01-01T00:00:02.0Z stdout F full\n"
+    )
+    conf = f"""
+[INPUT]
+    Name              tail
+    Path              {log}
+    Tag               cri.log
+    multiline.parser  cri
+[OUTPUT]
+    Name  null
+    Match *
+"""
+    pipe = build_classic_pipeline(spark, conf)
+    recs = sorted(r["log"] for r in pipe.records.collect())
+    assert recs == ["full", "partial line"]
