@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -833,6 +835,65 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(docs, every_n_bytes=256, max_frames=8)
 
 
+def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL pixel/sample decode round trip: per doc, a REAL solid-color
+    PNG (zlib deflate + filter-0 scanlines) or a REAL PCM WAV is
+    encoded in an Arrow UDF, then decode_pixel_stats inflates +
+    unfilters the PNG / walks the WAV chunks and reports pixel means /
+    sample RMS. Solid color and constant amplitude make the expected
+    stats pure doc_id arithmetic — the oracle recomputes them without
+    touching any codec. (JPEG/GIF stay header-only: entropy coding
+    needs codec tables; PNG/WAV are fully decodable stdlib-side.)"""
+    from pyspark.sql import types as T
+
+    from fluent_bit_spark.textprep.multimodal import decode_pixel_stats
+
+    @F.pandas_udf(T.BinaryType())
+    def make_payload(s: pd.Series) -> pd.Series:
+        import struct
+        import zlib
+
+        def chunk(t: bytes, d: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        out = []
+        for did in s:
+            did = int(did)
+            if did % 2 == 0:
+                w = did % 16 + 1
+                h = (did * 3) % 16 + 1
+                rgb = bytes([did % 256, (did * 5) % 256, (did * 11) % 256])
+                raw = (b"\x00" + rgb * w) * h
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                out.append(
+                    b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+                )
+            else:
+                amp = did % 100 + 1
+                n = did % 50 + 10
+                rate = 8000 + (did % 5) * 4000
+                data = struct.pack("<h", amp) * n
+                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                out.append(
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", 16) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+        return pd.Series(out)
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("payload", make_payload("doc_id"))
+        .select(F.col("doc_id").alias("id"), "payload")
+    )
+    return decode_pixel_stats(d)
+
+
 def q_ltm_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_spark.operators.log_to_metrics import counter_metric
 
@@ -1139,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_exact": q_dedup_embedding_exact,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "geoip2": q_geoip2,
+        "multimodal_pixels": q_multimodal_pixels,
         "pipeline_e2e": q_pipeline_e2e,
         "q1_pricing_summary": q_q1_pricing_summary,
         "enrich_broadcast": q_enrich_broadcast,
@@ -1363,6 +1425,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE user_id % 4 WHEN 0 THEN 'US'
                         WHEN 1 THEN 'DE' WHEN 2 THEN 'FR' END AS geo_iso
             FROM events
+        """,
+        "multimodal_pixels": """
+            SELECT doc_id AS id,
+              CASE WHEN doc_id % 2 = 0 THEN cast(doc_id % 16 + 1 as int) END AS width,
+              CASE WHEN doc_id % 2 = 0 THEN cast((doc_id*3) % 16 + 1 as int) END AS height,
+              CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS channels,
+              CASE WHEN doc_id % 2 = 0 THEN cast(doc_id % 256 as double) END AS mean_r,
+              CASE WHEN doc_id % 2 = 0 THEN cast((doc_id*5) % 256 as double) END AS mean_g,
+              CASE WHEN doc_id % 2 = 0 THEN cast((doc_id*11) % 256 as double) END AS mean_b,
+              CASE WHEN doc_id % 2 = 1 THEN cast(doc_id % 50 + 10 as bigint) END AS n_samples,
+              CASE WHEN doc_id % 2 = 1 THEN cast(8000 + (doc_id % 5) * 4000 as int) END AS sample_rate,
+              CASE WHEN doc_id % 2 = 1 THEN cast(doc_id % 100 + 1 as double) END AS rms
+            FROM documents
         """,
         "grep_and": """
             SELECT doc_id, lang FROM documents

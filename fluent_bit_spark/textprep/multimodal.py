@@ -1,17 +1,21 @@
 """Multimodal column handling: opaque binary payloads + typed metadata.
 
 Images/audio/video ride as ``binary`` columns with a metadata struct.
-The decode step itself needs codec libraries that are NOT in this
-environment, so it is stubbed (NotImplementedError / deterministic
-fake) — but all the Spark-side plumbing is real and tested:
 
-- schema: (id, payload binary, meta struct)
 - binary_meta: header sniffing (magic bytes -> media type) as pure
   Catalyst expressions — runs at full scan speed, no Python.
+- decode_header / decode_meta: REAL container-header decode
+  (PNG IHDR / GIF LSD / JPEG SOF / RIFF-WAVE fmt), stdlib-only.
+- decode_png_pixels / decode_wav_samples / decode_pixel_stats: REAL
+  pixel/sample decode for the formats the stdlib can carry — PNG
+  (zlib inflate + scanline unfilter) and PCM WAV — emitting pixel
+  means / sample RMS per payload. JPEG/GIF pixel decode stays behind
+  ``_decode_stub`` (entropy coding needs codec tables not present in
+  this environment); swap in PIL/ffmpeg there and nothing else
+  changes.
 - extract_features / sample_frames: Arrow-batched ``mapInPandas``
   with the correct batch shapes, partition-preserving, returning
-  typed rows. Swap `_decode_stub` for a real decoder (PIL/ffmpeg)
-  and nothing else changes.
+  typed rows.
 
 Scale: mapInPandas streams Arrow batches; memory is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` — for 100 MB video
@@ -143,6 +147,188 @@ def decode_meta(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, DECODE_SCHEMA)
+
+
+def decode_png_pixels(raw: bytes):
+    """REAL PNG pixel decode, stdlib+numpy only: IHDR parse, IDAT
+    concat, zlib inflate, per-scanline unfilter (None/Sub/Up/Average/
+    Paeth — the five filters of the PNG spec), returning an
+    (h, w, channels) uint8 array. Supports bit depth 8, color types
+    0/2/4/6, no interlace; returns None otherwise (palette and
+    interlaced images would need more table work, not codec libs).
+    The scanline loop is per-row Python but vectorized across the row
+    (numpy), the natural shape for a sequential filter chain."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not raw.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(raw):
+        (clen,) = struct.unpack(">I", raw[pos : pos + 4])
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None or depth != 8 or interlace != 0:
+        return None
+    try:
+        plain = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(plain) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = plain[off]
+        line = np.frombuffer(plain, dtype=np.uint8, count=stride, offset=off + 1).astype(
+            np.int32
+        )
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, channels)
+
+
+def decode_wav_samples(raw: bytes):
+    """REAL RIFF-WAVE PCM decode, stdlib+numpy: fmt + data chunk walk,
+    8-bit unsigned / 16-bit signed little-endian samples -> (samples
+    int32 array flattened over channels, sample_rate, channels); None
+    for non-PCM or other widths."""
+    import struct
+
+    import numpy as np
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(raw):
+        cid = raw[i : i + 4]
+        (sz,) = struct.unpack("<I", raw[i + 4 : i + 8])
+        if cid == b"fmt " and i + 8 + 16 <= len(raw):
+            fmt = struct.unpack("<HHIIHH", raw[i + 8 : i + 24])
+        elif cid == b"data":
+            data = raw[i + 8 : i + 8 + sz]
+        i += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        return None
+    audio_fmt, n_ch, rate, _bps, _align, bits = fmt
+    if audio_fmt != 1:  # PCM only
+        return None
+    if bits == 16:
+        samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.int32)
+    elif bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        return None
+    return samples, rate, n_ch
+
+
+PIXEL_SCHEMA = (
+    "id bigint, width int, height int, channels int, "
+    "mean_r double, mean_g double, mean_b double, "
+    "n_samples bigint, sample_rate int, rms double"
+)
+
+
+def decode_pixel_stats(
+    df: DataFrame, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """FULL decode over Arrow batches: PNG payloads -> per-channel
+    pixel means; WAV payloads -> sample count + RMS. Nulls where the
+    payload is neither (entropy-coded formats — JPEG/GIF — still need
+    codec tables; documented). This is the 'swap the stub for a real
+    decoder' path made real for the formats the stdlib can carry."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = {
+            k: []
+            for k in (
+                "id width height channels mean_r mean_g mean_b "
+                "n_samples sample_rate rms".split()
+            )
+        }
+        for pdf in batches:
+            for k in cols:
+                cols[k].clear()
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                row = dict.fromkeys(cols)
+                row["id"] = int(rid)
+                px = decode_png_pixels(raw)
+                if px is not None:
+                    hh, ww, cc = px.shape
+                    means = px.reshape(-1, cc).mean(axis=0)
+                    row.update(
+                        width=ww, height=hh, channels=cc,
+                        mean_r=round(float(means[0]), 6),
+                        mean_g=round(float(means[1 % cc]), 6),
+                        mean_b=round(float(means[2 % cc]), 6),
+                    )
+                else:
+                    wav = decode_wav_samples(raw)
+                    if wav is not None:
+                        samples, rate, n_ch = wav
+                        row.update(
+                            channels=n_ch,
+                            n_samples=len(samples),
+                            sample_rate=rate,
+                            rms=round(
+                                float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
+                                if len(samples)
+                                else 0.0,
+                                6,
+                            ),
+                        )
+                for k, v in row.items():
+                    cols[k].append(v)
+            out = pd.DataFrame({k: list(v) for k, v in cols.items()})
+            yield out.astype(
+                {
+                    "width": "Int32", "height": "Int32", "channels": "Int32",
+                    "n_samples": "Int64", "sample_rate": "Int32",
+                    "mean_r": "float64", "mean_g": "float64",
+                    "mean_b": "float64", "rms": "float64",
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, PIXEL_SCHEMA)
 
 
 def _decode_stub(payload: bytes, deterministic_fake: bool) -> dict[str, Any]:

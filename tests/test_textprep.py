@@ -389,3 +389,96 @@ def test_ivf_kmeans_centroids_recall(spark):
     r_seed, r_trained = recall(seed), recall(trained)
     assert r_trained >= r_seed
     assert r_trained >= 0.5
+
+
+def _mk_png(w, h, pixels):
+    """Minimal PNG encoder for tests: rows of (r,g,b) tuples,
+    filter type 0 rows."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(
+        b"\x00" + b"".join(bytes(p) for p in row) for row in pixels
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixel_decode_roundtrip():
+    import numpy as np
+
+    from fluent_bit_spark.textprep.multimodal import decode_png_pixels
+
+    pixels = [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (200, 210, 220)]]
+    px = decode_png_pixels(_mk_png(2, 2, pixels))
+    assert px.shape == (2, 2, 3)
+    assert px.tolist() == [[list(p) for p in row] for row in pixels]
+
+    # filtered scanlines: Sub (1) and Up (2) must invert correctly
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    row0 = [10, 20, 30, 15, 25, 35]
+    row1 = [12, 22, 32, 18, 28, 38]
+    sub0 = bytes([1]) + bytes(
+        [(row0[i] - (row0[i - 3] if i >= 3 else 0)) & 0xFF for i in range(6)]
+    )
+    up1 = bytes([2]) + bytes([(row1[i] - row0[i]) & 0xFF for i in range(6)])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(sub0 + up1))
+        + chunk(b"IEND", b"")
+    )
+    px = decode_png_pixels(png)
+    assert px.reshape(2, 6).tolist() == [row0, row1]
+    assert decode_png_pixels(b"not a png") is None
+    assert isinstance(px, np.ndarray)
+
+
+def test_wav_sample_decode():
+    import struct
+
+    from fluent_bit_spark.textprep.multimodal import decode_wav_samples
+
+    samples = [100, -100, 50, -50]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    out, rate, ch = decode_wav_samples(wav)
+    assert out.tolist() == samples and rate == 8000 and ch == 1
+    assert decode_wav_samples(b"RIFFxxxxWAVE") is None
+
+
+def test_decode_pixel_stats_spark(spark):
+    from fluent_bit_spark.textprep.multimodal import decode_pixel_stats
+
+    png = _mk_png(2, 1, [[(10, 20, 30), (30, 40, 50)]])
+    df = spark.createDataFrame([(1, bytearray(png)), (2, bytearray(b"junk"))],
+                               "id long, payload binary")
+    rows = {r["id"]: r for r in decode_pixel_stats(df).collect()}
+    assert rows[1]["mean_r"] == 20.0 and rows[1]["mean_b"] == 40.0
+    assert rows[1]["width"] == 2 and rows[1]["channels"] == 3
+    assert rows[2]["width"] is None and rows[2]["rms"] is None
