@@ -65,6 +65,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "multimodal_features",
     "multimodal_decode",
+    "multimodal_pixels",
 ]
 
 

@@ -851,6 +851,13 @@ def start_classic_stream(
             )
         path = sec.get("path")
         tag = sec.get("tag") or "tail.0"
+        if sec.get("multiline.parser"):
+            raise ValueError(
+                "streaming classic tail does not support multiline.parser "
+                "(a text file stream has no stable per-line order key); "
+                "use streaming/multiline.streaming_multiline with an "
+                "explicit sequence column, or the batch classic mode"
+            )
         stream = (
             spark.readStream.format("text")
             .option("recursiveFileLookup", "true")
