@@ -837,13 +837,16 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL pixel/sample decode round trip: per doc, a REAL solid-color
-    PNG (zlib deflate + filter-0 scanlines) or a REAL PCM WAV is
-    encoded in an Arrow UDF, then decode_pixel_stats inflates +
-    unfilters the PNG / walks the WAV chunks and reports pixel means /
-    sample RMS. Solid color and constant amplitude make the expected
-    stats pure doc_id arithmetic — the oracle recomputes them without
-    touching any codec. (JPEG/GIF stay header-only: entropy coding
-    needs codec tables; PNG/WAV are fully decodable stdlib-side.)"""
+    PNG (zlib deflate + filter-0 scanlines), a REAL solid-color GIF
+    (valid LZW stream + global color table), or a REAL PCM WAV is
+    encoded in an Arrow UDF, then decode_pixel_stats inflates+unfilters
+    the PNG / LZW-decompresses the GIF / walks the WAV chunks and
+    reports pixel means / sample RMS. Solid color and constant
+    amplitude make the expected stats pure doc_id arithmetic — the
+    oracle recomputes them without touching any codec, and PNG and GIF
+    share the same size/color formulas so one CASE covers both.
+    (JPEG stays header-only: baseline huffman/DCT needs codec
+    tables.)"""
     from pyspark.sql import types as T
 
     from fluent_bit_spark.textprep.multimodal import decode_pixel_stats
@@ -859,6 +862,32 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
             )
 
+        def gif(w: int, h: int, rgb: bytes) -> bytes:
+            # valid LZW stream, min code size 2: CLEAR before every
+            # literal keeps the table empty and the code width at 3
+            # bits — tiny and trivially spec-conformant
+            acc = nacc = 0
+            lzw = bytearray()
+            for code in [4] + [0, 4] * (w * h - 1) + [0, 5]:
+                acc |= code << nacc
+                nacc += 3
+                while nacc >= 8:
+                    lzw.append(acc & 0xFF)
+                    acc >>= 8
+                    nacc -= 8
+            if nacc:
+                lzw.append(acc & 0xFF)
+            blocks = b"".join(
+                bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+                for i in range(0, len(lzw), 255)
+            )
+            return (
+                b"GIF89a" + struct.pack("<HHBBB", w, h, 0x81, 0, 0)
+                + rgb + b"\x00" * 9  # 4-entry global color table
+                + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+                + b"\x02" + blocks + b"\x00\x3b"
+            )
+
         out = []
         for did in s:
             did = int(did)
@@ -866,6 +895,9 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w = did % 16 + 1
                 h = (did * 3) % 16 + 1
                 rgb = bytes([did % 256, (did * 5) % 256, (did * 11) % 256])
+                if did % 4 == 2:
+                    out.append(gif(w, h, rgb))
+                    continue
                 raw = (b"\x00" + rgb * w) * h
                 ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
                 out.append(

@@ -6,13 +6,14 @@ Images/audio/video ride as ``binary`` columns with a metadata struct.
   Catalyst expressions — runs at full scan speed, no Python.
 - decode_header / decode_meta: REAL container-header decode
   (PNG IHDR / GIF LSD / JPEG SOF / RIFF-WAVE fmt), stdlib-only.
-- decode_png_pixels / decode_wav_samples / decode_pixel_stats: REAL
-  pixel/sample decode for the formats the stdlib can carry — PNG
-  (zlib inflate + scanline unfilter) and PCM WAV — emitting pixel
-  means / sample RMS per payload. JPEG/GIF pixel decode stays behind
-  ``_decode_stub`` (entropy coding needs codec tables not present in
-  this environment); swap in PIL/ffmpeg there and nothing else
-  changes.
+- decode_png_pixels / decode_gif_pixels / decode_wav_samples /
+  decode_pixel_stats: REAL pixel/sample decode for the formats pure
+  Python can carry — PNG (zlib inflate + scanline unfilter), GIF
+  (LZW decompression + palette lookup), PCM WAV — emitting pixel
+  means / sample RMS per payload. JPEG pixel decode stays behind
+  ``_decode_stub`` (baseline huffman/DCT needs codec tables not
+  present in this environment); swap in PIL/ffmpeg there and nothing
+  else changes.
 - extract_features / sample_frames: Arrow-batched ``mapInPandas``
   with the correct batch shapes, partition-preserving, returning
   typed rows.
@@ -225,6 +226,120 @@ def decode_png_pixels(raw: bytes):
     return out.reshape(h, w, channels)
 
 
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-flavor LZW decode (LSB-first variable-width codes, CLEAR /
+    EOI, 12-bit cap). Returns the index stream as bytes, or None on a
+    corrupt code. Per-code Python loop — LZW is inherently sequential;
+    cost is bounded by the (small) compressed stream length."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev = None
+    acc = nbits = i = 0
+    while len(out) < max_pixels:
+        while nbits < code_size:
+            if i >= len(data):
+                return bytes(out)
+            acc |= data[i] << nbits
+            i += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out)
+
+
+def decode_gif_pixels(raw: bytes):
+    """REAL GIF pixel decode, pure Python+numpy: logical screen
+    descriptor, global/local color table, LZW decompression of the
+    first image descriptor, palette lookup -> (h, w, 3) uint8 RGB.
+    First frame only; interlaced images return None (they need the
+    four-pass row shuffle, not codec tables — add on demand)."""
+    import numpy as np
+
+    if raw[:6] not in (b"GIF87a", b"GIF89a") or len(raw) < 13:
+        return None
+    flags = raw[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(raw):
+            return None
+        gct = np.frombuffer(raw, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(raw):
+        block = raw[pos]
+        if block == 0x21:  # extension: label byte + data sub-blocks
+            pos += 2
+            while pos < len(raw) and raw[pos] != 0:
+                pos += 1 + raw[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(raw):
+                return None
+            w = raw[pos + 5] | raw[pos + 6] << 8
+            h = raw[pos + 7] | raw[pos + 8] << 8
+            iflags = raw[pos + 9]
+            pos += 10
+            if iflags & 0x40 or w == 0 or h == 0:  # interlaced
+                return None
+            pal = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                if pos + 3 * n > len(raw):
+                    return None
+                pal = np.frombuffer(
+                    raw, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None or pos >= len(raw):
+                return None
+            min_code = raw[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(raw) and raw[pos] != 0:
+                sz = raw[pos]
+                data += raw[pos + 1 : pos + 1 + sz]
+                pos += 1 + sz
+            idx = _lzw_decode(bytes(data), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            arr = np.frombuffer(idx[: w * h], dtype=np.uint8).astype(np.int64)
+            if (arr >= len(pal)).any():
+                return None
+            return pal[arr].reshape(h, w, 3)
+        else:  # 0x3B trailer or junk before any image
+            return None
+    return None
+
+
 def decode_wav_samples(raw: bytes):
     """REAL RIFF-WAVE PCM decode, stdlib+numpy: fmt + data chunk walk,
     8-bit unsigned / 16-bit signed little-endian samples -> (samples
@@ -269,11 +384,11 @@ PIXEL_SCHEMA = (
 def decode_pixel_stats(
     df: DataFrame, id_col: str = "id", payload_col: str = "payload"
 ) -> DataFrame:
-    """FULL decode over Arrow batches: PNG payloads -> per-channel
+    """FULL decode over Arrow batches: PNG/GIF payloads -> per-channel
     pixel means; WAV payloads -> sample count + RMS. Nulls where the
-    payload is neither (entropy-coded formats — JPEG/GIF — still need
-    codec tables; documented). This is the 'swap the stub for a real
-    decoder' path made real for the formats the stdlib can carry."""
+    payload is none of those (JPEG still needs codec tables;
+    documented). This is the 'swap the stub for a real decoder' path
+    made real for the formats pure Python can carry."""
     import numpy as np
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -292,6 +407,8 @@ def decode_pixel_stats(
                 row = dict.fromkeys(cols)
                 row["id"] = int(rid)
                 px = decode_png_pixels(raw)
+                if px is None:
+                    px = decode_gif_pixels(raw)
                 if px is not None:
                     hh, ww, cc = px.shape
                     means = px.reshape(-1, cc).mean(axis=0)

@@ -472,13 +472,95 @@ def test_wav_sample_decode():
     assert decode_wav_samples(b"RIFFxxxxWAVE") is None
 
 
+def _lzw_encode(indices, mcs):
+    """Real table-building GIF LZW encoder (test-side reference)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = mcs + 1
+    acc = nacc = 0
+    out = bytearray()
+
+    def emit(c):
+        nonlocal acc, nacc
+        acc |= c << nacc
+        nacc += code_size
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    wbuf = b""
+    for px in indices:
+        nxt = wbuf + bytes([px])
+        if nxt in table:
+            wbuf = nxt
+        else:
+            emit(table[wbuf])
+            table[nxt] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << code_size) and code_size < 12:
+                code_size += 1
+            wbuf = bytes([px])
+    if wbuf:
+        emit(table[wbuf])
+    emit(eoi)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _mk_gif(w, h, palette, indices, interlaced=False, extension=False):
+    import struct
+
+    lzw = _lzw_encode(indices, 2)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    pal = b"".join(bytes(p) for p in palette) + b"\x00" * (12 - 3 * len(palette))
+    ext = b"\x21\xfe\x05hello\x00" if extension else b""
+    iflags = 0x40 if interlaced else 0
+    return (
+        b"GIF89a" + struct.pack("<HHBBB", w, h, 0x81, 0, 0) + pal + ext
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+        + b"\x02" + blocks + b"\x00\x3b"
+    )
+
+
+def test_gif_pixel_decode_roundtrip():
+    import numpy as np
+
+    from fluent_bit_spark.textprep.multimodal import decode_gif_pixels
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    # checkerboard exercises the table-building decode path (dict
+    # entries + code-width bump), the comment extension the block skip
+    idx = [(x + y) % 4 for y in range(20) for x in range(20)]
+    px = decode_gif_pixels(_mk_gif(20, 20, pal, idx, extension=True))
+    exp = np.array(pal, dtype=np.uint8)[np.array(idx)].reshape(20, 20, 3)
+    assert px.shape == (20, 20, 3) and (px == exp).all()
+
+    assert decode_gif_pixels(b"not a gif") is None
+    assert decode_gif_pixels(_mk_gif(4, 4, pal, [0] * 16, interlaced=True)) is None
+    # truncated LZW stream (fewer indices than w*h) -> None, not junk
+    assert decode_gif_pixels(_mk_gif(4, 4, pal, [0] * 10)) is None
+
+
 def test_decode_pixel_stats_spark(spark):
     from fluent_bit_spark.textprep.multimodal import decode_pixel_stats
 
     png = _mk_png(2, 1, [[(10, 20, 30), (30, 40, 50)]])
-    df = spark.createDataFrame([(1, bytearray(png)), (2, bytearray(b"junk"))],
-                               "id long, payload binary")
+    gif = _mk_gif(2, 2, [(10, 20, 30), (50, 60, 70)], [0, 1, 1, 0])
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"junk")), (3, bytearray(gif))],
+        "id long, payload binary",
+    )
     rows = {r["id"]: r for r in decode_pixel_stats(df).collect()}
     assert rows[1]["mean_r"] == 20.0 and rows[1]["mean_b"] == 40.0
     assert rows[1]["width"] == 2 and rows[1]["channels"] == 3
     assert rows[2]["width"] is None and rows[2]["rms"] is None
+    assert rows[3]["width"] == 2 and rows[3]["mean_r"] == 30.0
+    assert rows[3]["mean_g"] == 40.0 and rows[3]["mean_b"] == 50.0
