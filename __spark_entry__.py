@@ -838,15 +838,14 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL pixel/sample decode round trip: per doc, a REAL solid-color
     PNG (zlib deflate + filter-0 scanlines), a REAL solid-color GIF
-    (valid LZW stream + global color table), or a REAL PCM WAV is
-    encoded in an Arrow UDF, then decode_pixel_stats inflates+unfilters
-    the PNG / LZW-decompresses the GIF / walks the WAV chunks and
-    reports pixel means / sample RMS. Solid color and constant
+    (valid LZW stream + global color table), a REAL flat grayscale
+    baseline JPEG (quant-1 DC-only blocks + canonical huffman), or a
+    REAL PCM WAV is encoded in an Arrow UDF, then decode_pixel_stats
+    inflates+unfilters the PNG / LZW-decompresses the GIF /
+    huffman+IDCT-decodes the JPEG / walks the WAV chunks and reports
+    pixel means / sample RMS. Solid color, flat blocks and constant
     amplitude make the expected stats pure doc_id arithmetic — the
-    oracle recomputes them without touching any codec, and PNG and GIF
-    share the same size/color formulas so one CASE covers both.
-    (JPEG stays header-only: baseline huffman/DCT needs codec
-    tables.)"""
+    oracle recomputes them without touching any codec."""
     from pyspark.sql import types as T
 
     from fluent_bit_spark.textprep.multimodal import decode_pixel_stats
@@ -888,6 +887,51 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + b"\x02" + blocks + b"\x00\x3b"
             )
 
+        def jpeg_gray(w: int, h: int, v: int) -> bytes:
+            # baseline grayscale, quant all-1s, flat canonical huffman
+            # tables (DC categories at 8 bits, full AC set at 16 bits);
+            # a flat image is DC-only, so quant-1 decode is EXACTLY v
+            dc = round(8 * (v - 128))
+            out = bytearray()
+            acc = nacc = 0
+
+            def emit(code: int, ln: int):
+                nonlocal acc, nacc
+                for i in range(ln - 1, -1, -1):
+                    acc = acc << 1 | (code >> i & 1)
+                    nacc += 1
+                    if nacc == 8:
+                        out.append(acc)
+                        if acc == 0xFF:
+                            out.append(0)
+                        acc = nacc = 0
+
+            for b in range(-(-w // 8) * -(-h // 8)):
+                diff = dc if b == 0 else 0
+                t = abs(diff).bit_length()
+                emit(t, 8)  # DC category code == category (flat table)
+                if t:
+                    emit(diff if diff > 0 else diff + (1 << t) - 1, t)
+                emit(0, 16)  # EOB (first AC symbol)
+            while nacc:
+                emit(1, 1)
+            ac_syms = bytes(
+                [0x00, 0xF0] + [(r << 4) | sz for r in range(16) for sz in range(1, 11)]
+            )
+            return (
+                b"\xff\xd8"
+                + b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1]) * 64
+                + b"\xff\xc4" + (31).to_bytes(2, "big") + b"\x00"
+                + bytes([0] * 7 + [12] + [0] * 8) + bytes(range(12))
+                + b"\xff\xc4" + (181).to_bytes(2, "big") + b"\x10"
+                + bytes([0] * 15 + [162]) + ac_syms
+                + b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8])
+                + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                + bytes([1, 1, 0x11, 0])
+                + b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
+                + bytes(out) + b"\xff\xd9"
+            )
+
         out = []
         for did in s:
             did = int(did)
@@ -897,6 +941,9 @@ def q_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rgb = bytes([did % 256, (did * 5) % 256, (did * 11) % 256])
                 if did % 4 == 2:
                     out.append(gif(w, h, rgb))
+                    continue
+                if did % 8 == 4:
+                    out.append(jpeg_gray(w, h, did % 256))
                     continue
                 raw = (b"\x00" + rgb * w) * h
                 ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
@@ -1462,10 +1509,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id,
               CASE WHEN doc_id % 2 = 0 THEN cast(doc_id % 16 + 1 as int) END AS width,
               CASE WHEN doc_id % 2 = 0 THEN cast((doc_id*3) % 16 + 1 as int) END AS height,
-              CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS channels,
+              CASE WHEN doc_id % 8 = 4 THEN 1
+                   WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS channels,
               CASE WHEN doc_id % 2 = 0 THEN cast(doc_id % 256 as double) END AS mean_r,
-              CASE WHEN doc_id % 2 = 0 THEN cast((doc_id*5) % 256 as double) END AS mean_g,
-              CASE WHEN doc_id % 2 = 0 THEN cast((doc_id*11) % 256 as double) END AS mean_b,
+              CASE WHEN doc_id % 8 = 4 THEN cast(doc_id % 256 as double)
+                   WHEN doc_id % 2 = 0 THEN cast((doc_id*5) % 256 as double) END AS mean_g,
+              CASE WHEN doc_id % 8 = 4 THEN cast(doc_id % 256 as double)
+                   WHEN doc_id % 2 = 0 THEN cast((doc_id*11) % 256 as double) END AS mean_b,
               CASE WHEN doc_id % 2 = 1 THEN cast(doc_id % 50 + 10 as bigint) END AS n_samples,
               CASE WHEN doc_id % 2 = 1 THEN cast(8000 + (doc_id % 5) * 4000 as int) END AS sample_rate,
               CASE WHEN doc_id % 2 = 1 THEN cast(doc_id % 100 + 1 as double) END AS rms

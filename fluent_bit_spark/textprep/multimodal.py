@@ -6,14 +6,14 @@ Images/audio/video ride as ``binary`` columns with a metadata struct.
   Catalyst expressions — runs at full scan speed, no Python.
 - decode_header / decode_meta: REAL container-header decode
   (PNG IHDR / GIF LSD / JPEG SOF / RIFF-WAVE fmt), stdlib-only.
-- decode_png_pixels / decode_gif_pixels / decode_wav_samples /
-  decode_pixel_stats: REAL pixel/sample decode for the formats pure
-  Python can carry — PNG (zlib inflate + scanline unfilter), GIF
-  (LZW decompression + palette lookup), PCM WAV — emitting pixel
-  means / sample RMS per payload. JPEG pixel decode stays behind
-  ``_decode_stub`` (baseline huffman/DCT needs codec tables not
-  present in this environment); swap in PIL/ffmpeg there and nothing
-  else changes.
+- decode_png_pixels / decode_gif_pixels / decode_jpeg_pixels /
+  decode_wav_samples / decode_pixel_stats: REAL pixel/sample decode,
+  pure Python+numpy — PNG (zlib inflate + scanline unfilter), GIF
+  (LZW decompression + palette lookup), baseline JPEG (canonical
+  huffman + dequant + IDCT + YCbCr), PCM WAV — emitting pixel means /
+  sample RMS per payload. Only exotic codecs (progressive JPEG,
+  video) stay behind ``_decode_stub``; swap in PIL/ffmpeg there and
+  nothing else changes.
 - extract_features / sample_frames: Arrow-batched ``mapInPandas``
   with the correct batch shapes, partition-preserving, returning
   typed rows.
@@ -340,6 +340,224 @@ def decode_gif_pixels(raw: bytes):
     return None
 
 
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    byte-unstuffing; raises EOFError at a marker or end of data."""
+
+    def __init__(self, raw: bytes, pos: int):
+        self.raw = raw
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.raw):
+                raise EOFError
+            b = self.raw[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.raw) and self.raw[self.pos] == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise EOFError  # real marker: segment over
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = v << 1 | self.bit()
+        return v
+
+
+def _jpeg_huffman(bits_counts: bytes, symbols: bytes) -> dict:
+    """Canonical JPEG huffman table: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits_counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = code << 1 | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v if t == 0 or v >= 1 << (t - 1) else v - (1 << t) + 1
+
+
+def decode_jpeg_pixels(raw: bytes):
+    """REAL baseline JPEG decode, pure Python+numpy: DQT/DHT/SOF0/SOS
+    segment walk, canonical huffman entropy decode (DC diff + AC
+    run-length), dequantization, zigzag, float IDCT (8x8 DCT-II basis
+    matmul), chroma upsample, JFIF YCbCr->RGB. Returns (h, w, 1) for
+    grayscale or (h, w, 3) uint8. Baseline sequential only —
+    progressive (SOF2), 12-bit, arithmetic coding and restart
+    intervals return None. The per-coefficient huffman loop is
+    sequential Python by nature; cost is bounded by the compressed
+    stream length (same shape as the PNG scanline walk)."""
+    import numpy as np
+
+    if raw[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, Any] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (h, w, [(comp_id, hsamp, vsamp, qt_id), ...])
+    pos = 2
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            return None
+        marker = raw[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            return None  # EOI before SOS
+        (seglen,) = (int.from_bytes(raw[pos + 2 : pos + 4], "big"),)
+        seg = raw[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0x0F
+                if prec != 0:
+                    return None  # 8-bit tables only
+                tbl = np.zeros(64, dtype=np.int32)
+                for z in range(64):
+                    tbl[_ZIGZAG[z]] = seg[i + 1 + z]
+                qt[tid] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0x0F
+                counts = seg[i + 1 : i + 17]
+                n = sum(counts)
+                syms = seg[i + 17 : i + 17 + n]
+                (huff_dc if cls == 0 else huff_ac)[tid] = _jpeg_huffman(counts, syms)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, qid))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF, 0xDD):
+            return None  # non-baseline frame or restart interval
+        elif marker == 0xDA:  # SOS: entropy-coded data follows
+            if frame is None:
+                return None
+            ncomp = seg[0]
+            scan = {}
+            for c in range(ncomp):
+                cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cid] = (tids >> 4, tids & 0x0F)
+            return _jpeg_scan(raw, pos + 2 + seglen, frame, scan, qt,
+                              huff_dc, huff_ac)
+        pos += 2 + seglen
+    return None
+
+
+def _jpeg_scan(raw, pos, frame, scan, qt, huff_dc, huff_ac):
+    import numpy as np
+
+    h, w, comps = frame
+    if not comps or h == 0 or w == 0:
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # orthonormal 8x8 DCT-II basis: spatial = M.T @ coefs @ M
+    u = np.arange(8)
+    M = 0.5 * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    M[0] *= 1 / np.sqrt(2)
+    planes = {}
+    for cid, hs, vs, _q in comps:
+        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+    reader = _JpegBits(raw, pos)
+    pred = dict.fromkeys(planes, 0)
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid, hs, vs, qid in comps:
+                    dc_t, ac_t = scan[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            coef = np.zeros(64, dtype=np.int32)
+                            t = _huff_decode(reader, huff_dc[dc_t])
+                            diff = _extend(reader.bits(t), t) if t else 0
+                            pred[cid] += diff
+                            coef[0] = pred[cid]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(reader, huff_ac[ac_t])
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    return None
+                                coef[_ZIGZAG[k]] = _extend(reader.bits(s), s)
+                                k += 1
+                            block = (
+                                coef.reshape(8, 8).astype(np.float64) * qt[qid]
+                            )
+                            px = M.T @ block @ M + 128.0
+                            y0 = (my * vs + by) * 8
+                            x0 = (mx * hs + bx) * 8
+                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+    except (EOFError, ValueError, KeyError):
+        return None
+    out = []
+    for cid, hs, vs, _q in comps:
+        p = planes[cid]
+        if hs != hmax or vs != vmax:  # chroma upsample
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        gray = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    if len(out) != 3:
+        return None
+    y, cb, cr = out
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_wav_samples(raw: bytes):
     """REAL RIFF-WAVE PCM decode, stdlib+numpy: fmt + data chunk walk,
     8-bit unsigned / 16-bit signed little-endian samples -> (samples
@@ -384,11 +602,11 @@ PIXEL_SCHEMA = (
 def decode_pixel_stats(
     df: DataFrame, id_col: str = "id", payload_col: str = "payload"
 ) -> DataFrame:
-    """FULL decode over Arrow batches: PNG/GIF payloads -> per-channel
-    pixel means; WAV payloads -> sample count + RMS. Nulls where the
-    payload is none of those (JPEG still needs codec tables;
-    documented). This is the 'swap the stub for a real decoder' path
-    made real for the formats pure Python can carry."""
+    """FULL decode over Arrow batches: PNG/GIF/baseline-JPEG payloads
+    -> per-channel pixel means; WAV payloads -> sample count + RMS.
+    Nulls where the payload is none of those. This is the 'swap the
+    stub for a real decoder' path made real for every image format in
+    the MAGIC table."""
     import numpy as np
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -409,6 +627,8 @@ def decode_pixel_stats(
                 px = decode_png_pixels(raw)
                 if px is None:
                     px = decode_gif_pixels(raw)
+                if px is None:
+                    px = decode_jpeg_pixels(raw)
                 if px is not None:
                     hh, ww, cc = px.shape
                     means = px.reshape(-1, cc).mean(axis=0)

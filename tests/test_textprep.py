@@ -549,6 +549,202 @@ def test_gif_pixel_decode_roundtrip():
     assert decode_gif_pixels(_mk_gif(4, 4, pal, [0] * 10)) is None
 
 
+class _JpegWriter:
+    """Test-side reference JPEG encoder (baseline, quant all-1s).
+
+    Huffman tables are flat canonical codes (all DC symbols at 8 bits,
+    all AC run/size symbols at 16 bits) — legal per the DHT spec and
+    trivially decodable, so the test exercises the decoder's canonical
+    code construction without replicating Annex K."""
+
+    DC_SYMS = list(range(12))
+    AC_SYMS = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+        self.dc_codes = {s: (8, i) for i, s in enumerate(self.DC_SYMS)}
+        self.ac_codes = {s: (16, i) for i, s in enumerate(self.AC_SYMS)}
+
+    def emit(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = self.acc << 1 | (code >> i & 1)
+            self.nacc += 1
+            if self.nacc == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nacc = 0
+
+    def flush(self):
+        while self.nacc:
+            self.emit(1, 1)
+
+    def block(self, coefs, pred):
+        """Encode one 8x8 block given zigzag-ordered int coefficients;
+        returns the new DC predictor."""
+        diff = coefs[0] - pred
+        t = abs(diff).bit_length()
+        length, code = self.dc_codes[t]
+        self.emit(code, length)
+        if t:
+            self.emit(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        for k in range(1, 64):
+            v = coefs[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = self.ac_codes[0xF0]
+                self.emit(code, length)
+                run -= 16
+            s = abs(v).bit_length()
+            length, code = self.ac_codes[(run << 4) | s]
+            self.emit(code, length)
+            self.emit(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            length, code = self.ac_codes[0x00]
+            self.emit(code, length)
+        return coefs[0]
+
+    def dht(self, cls, tid, syms, length):
+        counts = [0] * 16
+        counts[length - 1] = len(syms)
+        return (
+            b"\xff\xc4"
+            + (2 + 17 + len(syms)).to_bytes(2, "big")
+            + bytes([cls << 4 | tid])
+            + bytes(counts)
+            + bytes(syms)
+        )
+
+    def headers(self, w, h, comps):
+        """comps: list of (comp_id, hsamp, vsamp)."""
+        zz_q = bytes([1] * 64)
+        sof = (
+            b"\xff\xc0"
+            + (8 + 3 * len(comps)).to_bytes(2, "big")
+            + bytes([8])
+            + h.to_bytes(2, "big")
+            + w.to_bytes(2, "big")
+            + bytes([len(comps)])
+            + b"".join(bytes([cid, hs << 4 | vs, 0]) for cid, hs, vs in comps)
+        )
+        sos = (
+            b"\xff\xda"
+            + (6 + 2 * len(comps)).to_bytes(2, "big")
+            + bytes([len(comps)])
+            + b"".join(bytes([cid, 0x00]) for cid, _, _ in comps)
+            + bytes([0, 63, 0])
+        )
+        return (
+            b"\xff\xd8"
+            + b"\xff\xdb" + (2 + 65).to_bytes(2, "big") + b"\x00" + zz_q
+            + self.dht(0, 0, self.DC_SYMS, 8)
+            + self.dht(1, 0, self.AC_SYMS, 16)
+            + sof
+            + sos
+        )
+
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _fdct_quant1(block):
+    """Forward orthonormal 8x8 DCT, quant step 1, zigzag order ints."""
+    import numpy as np
+
+    u = np.arange(8)
+    M = 0.5 * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    M[0] *= 1 / np.sqrt(2)
+    F = M @ (block.astype(np.float64) - 128.0) @ M.T
+    flat = np.round(F).astype(int).reshape(64)
+    return [int(flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
+
+
+def _mk_jpeg_gray(img):
+    """Encode a grayscale uint8 array (h, w) as baseline JPEG."""
+    import numpy as np
+
+    h, w = img.shape
+    wr = _JpegWriter()
+    head = wr.headers(w, h, [(1, 1, 1)])
+    pred = 0
+    padded = np.pad(img, ((0, -h % 8), (0, -w % 8)), mode="edge")
+    for y0 in range(0, padded.shape[0], 8):
+        for x0 in range(0, padded.shape[1], 8):
+            pred = wr.block(_fdct_quant1(padded[y0 : y0 + 8, x0 : x0 + 8]), pred)
+    wr.flush()
+    return head + bytes(wr.out) + b"\xff\xd9"
+
+
+def _mk_jpeg_flat_color_420(w, h, ycbcr):
+    """Flat-color 4:2:0 three-component JPEG (all blocks DC-only)."""
+    wr = _JpegWriter()
+    head = wr.headers(w, h, [(1, 2, 2), (2, 1, 1), (3, 1, 1)])
+    mcux, mcuy = -(-w // 16), -(-h // 16)
+    dc = [round(8 * (v - 128)) for v in ycbcr]
+    pred = [0, 0, 0]
+    for _ in range(mcux * mcuy):
+        for comp, nblocks in ((0, 4), (1, 1), (2, 1)):
+            coefs = [0] * 64
+            coefs[0] = dc[comp]
+            for _b in range(nblocks):
+                pred[comp] = wr.block(coefs, pred[comp])
+    wr.flush()
+    return head + bytes(wr.out) + b"\xff\xd9"
+
+
+def test_jpeg_gray_roundtrip_exact():
+    import numpy as np
+
+    from fluent_bit_spark.textprep.multimodal import decode_jpeg_pixels
+
+    # block-flat image: every 8x8 block one value -> quant-1 encode is
+    # exact, so decode must return the source array bit-for-bit
+    blocks = np.array([[10, 200], [128, 255]], dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    px = decode_jpeg_pixels(_mk_jpeg_gray(img))
+    assert px is not None and px.shape == (16, 16, 1)
+    assert (px[:, :, 0] == img).all()
+
+    # non-flat image with odd dimensions: exercises the AC run-length
+    # path and edge cropping; quant-1 round-trip error is sub-half-LSB
+    rng = np.random.RandomState(7)
+    img2 = rng.randint(0, 256, size=(13, 11), dtype=np.uint8)
+    px2 = decode_jpeg_pixels(_mk_jpeg_gray(img2))
+    assert px2 is not None and px2.shape == (13, 11, 1)
+    assert int(np.abs(px2[:, :, 0].astype(int) - img2.astype(int)).max()) <= 1
+
+    assert decode_jpeg_pixels(b"\xff\xd8junk") is None
+
+
+def test_jpeg_color_420_flat():
+    import numpy as np
+
+    from fluent_bit_spark.textprep.multimodal import decode_jpeg_pixels
+
+    y, cb, cr = 120, 100, 160
+    px = decode_jpeg_pixels(_mk_jpeg_flat_color_420(20, 12, (y, cb, cr)))
+    assert px is not None and px.shape == (12, 20, 3)
+    exp_r = round(y + 1.402 * (cr - 128))
+    exp_g = round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    exp_b = round(y + 1.772 * (cb - 128))
+    flat = px.reshape(-1, 3)
+    assert (flat == np.array([exp_r, exp_g, exp_b])).all()
+
+
 def test_decode_pixel_stats_spark(spark):
     from fluent_bit_spark.textprep.multimodal import decode_pixel_stats
 
