@@ -153,12 +153,12 @@ def decode_meta(
 def decode_png_pixels(raw: bytes):
     """REAL PNG pixel decode, stdlib+numpy only: IHDR parse, IDAT
     concat, zlib inflate, per-scanline unfilter (None/Sub/Up/Average/
-    Paeth — the five filters of the PNG spec), returning an
-    (h, w, channels) uint8 array. Supports bit depth 8, color types
-    0/2/4/6, no interlace; returns None otherwise (palette and
-    interlaced images would need more table work, not codec libs).
-    The scanline loop is per-row Python but vectorized across the row
-    (numpy), the natural shape for a sequential filter chain."""
+    Paeth — the five filters of the PNG spec), palette expansion,
+    returning an (h, w, channels) uint8 array. Supports bit depth 8
+    for color types 0/2/4/6 and depths 1/2/4/8 for palette (type 3);
+    no interlace (Adam7 returns None). The scanline loop is per-row
+    Python but vectorized across the row (numpy), the natural shape
+    for a sequential filter chain."""
     import struct
     import zlib
 
@@ -166,13 +166,16 @@ def decode_png_pixels(raw: bytes):
 
     if not raw.startswith(b"\x89PNG\r\n\x1a\n"):
         return None
-    pos, idat, ihdr = 8, [], None
+    pos, idat, ihdr, plte = 8, [], None, None
     while pos + 8 <= len(raw):
         (clen,) = struct.unpack(">I", raw[pos : pos + 4])
         ctype = raw[pos + 4 : pos + 8]
         data = raw[pos + 8 : pos + 8 + clen]
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data[:13])
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data[: 3 * (len(data) // 3)], dtype=np.uint8)
+            plte = plte.reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -181,19 +184,28 @@ def decode_png_pixels(raw: bytes):
     if ihdr is None or not idat:
         return None
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-    if channels is None or depth != 8 or interlace != 0:
+    if interlace != 0:
         return None
+    if color == 3:
+        if plte is None or depth not in (1, 2, 4, 8):
+            return None
+        channels = 1
+        bits_px = depth
+    else:
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+        if channels is None or depth != 8:
+            return None
+        bits_px = 8 * channels
     try:
         plain = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * channels
+    stride = (w * bits_px + 7) // 8
     if len(plain) < h * (stride + 1):
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    bpp = channels
+    bpp = max(1, bits_px // 8)
     for y in range(h):
         off = y * (stride + 1)
         ftype = plain[off]
@@ -223,7 +235,16 @@ def decode_png_pixels(raw: bytes):
             return None
         out[y] = cur.astype(np.uint8)
         prev = cur
-    return out.reshape(h, w, channels)
+    if color != 3:
+        return out.reshape(h, w, channels)
+    if depth == 8:
+        idx = out[:, :w]
+    else:  # sub-byte palette indices: unpack and regroup depth bits
+        bits = np.unpackbits(out, axis=1)[:, : w * depth].reshape(h, w, depth)
+        idx = bits.dot(1 << np.arange(depth - 1, -1, -1))
+    if int(idx.max()) >= len(plte):
+        return None
+    return plte[idx.reshape(-1)].reshape(h, w, 3)
 
 
 def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
@@ -278,9 +299,9 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
 def decode_gif_pixels(raw: bytes):
     """REAL GIF pixel decode, pure Python+numpy: logical screen
     descriptor, global/local color table, LZW decompression of the
-    first image descriptor, palette lookup -> (h, w, 3) uint8 RGB.
-    First frame only; interlaced images return None (they need the
-    four-pass row shuffle, not codec tables — add on demand)."""
+    first image descriptor (including the four-pass interlace row
+    shuffle), palette lookup -> (h, w, 3) uint8 RGB. First frame
+    only."""
     import numpy as np
 
     if raw[:6] not in (b"GIF87a", b"GIF89a") or len(raw) < 13:
@@ -308,7 +329,7 @@ def decode_gif_pixels(raw: bytes):
             h = raw[pos + 7] | raw[pos + 8] << 8
             iflags = raw[pos + 9]
             pos += 10
-            if iflags & 0x40 or w == 0 or h == 0:  # interlaced
+            if w == 0 or h == 0:
                 return None
             pal = gct
             if iflags & 0x80:  # local color table
@@ -334,7 +355,16 @@ def decode_gif_pixels(raw: bytes):
             arr = np.frombuffer(idx[: w * h], dtype=np.uint8).astype(np.int64)
             if (arr >= len(pal)).any():
                 return None
-            return pal[arr].reshape(h, w, 3)
+            img = pal[arr].reshape(h, w, 3)
+            if iflags & 0x40:  # four-pass interlace: rows arrive in
+                order = np.concatenate(  # pass order, scatter them back
+                    [np.arange(start, h, step) for start, step in
+                     ((0, 8), (4, 8), (2, 4), (1, 2))]
+                )
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            return img
         else:  # 0x3B trailer or junk before any image
             return None
     return None
@@ -380,6 +410,18 @@ class _JpegBits:
             v = v << 1 | self.bit()
         return v
 
+    def restart(self) -> None:
+        """Consume an RSTn marker at a restart-interval boundary:
+        discard padding bits, expect 0xFF 0xD0-0xD7."""
+        self.n = 0
+        if (
+            self.pos + 2 > len(self.raw)
+            or self.raw[self.pos] != 0xFF
+            or not 0xD0 <= self.raw[self.pos + 1] <= 0xD7
+        ):
+            raise EOFError
+        self.pos += 2
+
 
 def _jpeg_huffman(bits_counts: bytes, symbols: bytes) -> dict:
     """Canonical JPEG huffman table: {(length, code): symbol}."""
@@ -414,9 +456,9 @@ def decode_jpeg_pixels(raw: bytes):
     segment walk, canonical huffman entropy decode (DC diff + AC
     run-length), dequantization, zigzag, float IDCT (8x8 DCT-II basis
     matmul), chroma upsample, JFIF YCbCr->RGB. Returns (h, w, 1) for
-    grayscale or (h, w, 3) uint8. Baseline sequential only —
-    progressive (SOF2), 12-bit, arithmetic coding and restart
-    intervals return None. The per-coefficient huffman loop is
+    grayscale or (h, w, 3) uint8. Baseline sequential only (restart
+    intervals supported) — progressive (SOF2), 12-bit and arithmetic
+    coding return None. The per-coefficient huffman loop is
     sequential Python by nature; cost is bounded by the compressed
     stream length (same shape as the PNG scanline walk)."""
     import numpy as np
@@ -427,6 +469,7 @@ def decode_jpeg_pixels(raw: bytes):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, [(comp_id, hsamp, vsamp, qt_id), ...])
+    restart_interval = 0
     pos = 2
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
@@ -468,9 +511,11 @@ def decode_jpeg_pixels(raw: bytes):
                 cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, qid))
             frame = (h, w, comps)
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            restart_interval = int.from_bytes(seg[:2], "big")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF, 0xDD):
-            return None  # non-baseline frame or restart interval
+                        0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame
         elif marker == 0xDA:  # SOS: entropy-coded data follows
             if frame is None:
                 return None
@@ -480,12 +525,12 @@ def decode_jpeg_pixels(raw: bytes):
                 cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cid] = (tids >> 4, tids & 0x0F)
             return _jpeg_scan(raw, pos + 2 + seglen, frame, scan, qt,
-                              huff_dc, huff_ac)
+                              huff_dc, huff_ac, restart_interval)
         pos += 2 + seglen
     return None
 
 
-def _jpeg_scan(raw, pos, frame, scan, qt, huff_dc, huff_ac):
+def _jpeg_scan(raw, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval=0):
     import numpy as np
 
     h, w, comps = frame
@@ -504,9 +549,14 @@ def _jpeg_scan(raw, pos, frame, scan, qt, huff_dc, huff_ac):
         planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
     reader = _JpegBits(raw, pos)
     pred = dict.fromkeys(planes, 0)
+    mcu_i = 0
     try:
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    reader.restart()
+                    pred = dict.fromkeys(pred, 0)
+                mcu_i += 1
                 for cid, hs, vs, qid in comps:
                     dc_t, ac_t = scan[cid]
                     for by in range(vs):

@@ -544,7 +544,6 @@ def test_gif_pixel_decode_roundtrip():
     assert px.shape == (20, 20, 3) and (px == exp).all()
 
     assert decode_gif_pixels(b"not a gif") is None
-    assert decode_gif_pixels(_mk_gif(4, 4, pal, [0] * 16, interlaced=True)) is None
     # truncated LZW stream (fewer indices than w*h) -> None, not junk
     assert decode_gif_pixels(_mk_gif(4, 4, pal, [0] * 10)) is None
 
@@ -704,6 +703,100 @@ def _mk_jpeg_flat_color_420(w, h, ycbcr):
                 pred[comp] = wr.block(coefs, pred[comp])
     wr.flush()
     return head + bytes(wr.out) + b"\xff\xd9"
+
+
+def test_gif_interlaced_decode():
+    import numpy as np
+
+    from fluent_bit_spark.textprep.multimodal import decode_gif_pixels
+
+    pal = [(1, 1, 1), (2, 2, 2), (3, 3, 3), (4, 4, 4)]
+    h, w = 10, 3
+    # source image: row y is palette index y % 4
+    img_idx = [[y % 4] * w for y in range(h)]
+    # interlaced streams carry rows in pass order 0::8, 4::8, 2::4, 1::2
+    pass_rows = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    stream = [i for y in pass_rows for i in img_idx[y]]
+    px = decode_gif_pixels(_mk_gif(w, h, pal, stream, interlaced=True))
+    exp = np.array(pal, dtype=np.uint8)[np.array(img_idx)].repeat(1, axis=1)
+    assert px is not None and (px == exp.reshape(h, w, 3)).all()
+
+
+def test_png_palette_decode():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fluent_bit_spark.textprep.multimodal import decode_png_pixels
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    plte = b"".join(bytes(p) for p in pal)
+
+    # depth 8: one index byte per pixel
+    idx8 = [[0, 1, 2], [3, 2, 1]]
+    raw8 = b"".join(b"\x00" + bytes(row) for row in idx8)
+    png8 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw8))
+        + chunk(b"IEND", b"")
+    )
+    px = decode_png_pixels(png8)
+    exp = np.array(pal, dtype=np.uint8)[np.array(idx8)]
+    assert px is not None and (px == exp).all()
+
+    # depth 2: four 2-bit indices packed per byte, MSB first
+    idx2 = [0, 1, 2, 3, 1]  # 5 pixels -> 2 bytes: 00011011 01xxxxxx
+    packed = bytes([0b00011011, 0b01000000])
+    png2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 1, 2, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(b"\x00" + packed))
+        + chunk(b"IEND", b"")
+    )
+    px2 = decode_png_pixels(png2)
+    exp2 = np.array(pal, dtype=np.uint8)[np.array(idx2)].reshape(1, 5, 3)
+    assert px2 is not None and (px2 == exp2).all()
+
+
+def test_jpeg_restart_interval():
+    import numpy as np
+
+    from fluent_bit_spark.textprep.multimodal import decode_jpeg_pixels
+
+    # block-flat 32x8 gray, DRI=2: RST after every 2 MCUs, predictors
+    # reset so each segment re-encodes its DC from zero
+    blocks = [40, 90, 140, 190]
+    img = np.repeat(np.repeat(np.array([blocks], dtype=np.uint8), 8, 0), 8, 1)
+    wr = _JpegWriter()
+    head = wr.headers(32, 8, [(1, 1, 1)])
+    dri = b"\xff\xdd\x00\x04\x00\x02"
+    head = head[:-10] + dri + head[-10:]  # insert before the 10-byte SOS
+    pred = 0
+    for i, v in enumerate(blocks):
+        if i and i % 2 == 0:
+            wr.flush()
+            wr.out += bytes([0xFF, 0xD0 + (i // 2 - 1) % 8])
+            pred = 0
+        coefs = [0] * 64
+        coefs[0] = round(8 * (v - 128))
+        pred = wr.block(coefs, pred)
+    wr.flush()
+    px = decode_jpeg_pixels(head + bytes(wr.out) + b"\xff\xd9")
+    assert px is not None and px.shape == (8, 32, 1)
+    assert (px[:, :, 0] == img).all()
 
 
 def test_jpeg_gray_roundtrip_exact():
