@@ -172,6 +172,8 @@ def decode_png_pixels(raw: bytes):
         ctype = raw[pos + 4 : pos + 8]
         data = raw[pos + 8 : pos + 8 + clen]
         if ctype == b"IHDR":
+            if len(data) < 13:
+                return None
             ihdr = struct.unpack(">IIBBBBB", data[:13])
         elif ctype == b"PLTE":
             plte = np.frombuffer(data[: 3 * (len(data) // 3)], dtype=np.uint8)
@@ -196,12 +198,17 @@ def decode_png_pixels(raw: bytes):
         if channels is None or depth != 8:
             return None
         bits_px = 8 * channels
+    stride = (w * bits_px + 7) // 8
+    need = h * (stride + 1)
+    if need > 1 << 28:
+        return None  # dimension guard: corrupt dims / decode bomb
     try:
-        plain = zlib.decompress(b"".join(idat))
+        # bounded inflate: a tiny IDAT can claim gigabytes (zlib bomb);
+        # stop at exactly the pixel bytes the header promises
+        plain = zlib.decompressobj().decompress(b"".join(idat), need)
     except zlib.error:
         return None
-    stride = (w * bits_px + 7) // 8
-    if len(plain) < h * (stride + 1):
+    if len(plain) < need:
         return None
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
@@ -252,6 +259,8 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
     EOI, 12-bit cap). Returns the index stream as bytes, or None on a
     corrupt code. Per-code Python loop — LZW is inherently sequential;
     cost is bounded by the (small) compressed stream length."""
+    if not 1 <= min_code_size <= 8:  # GIF pixel indices are bytes
+        return None
     clear = 1 << min_code_size
     eoi = clear + 1
     code_size = min_code_size + 1
@@ -329,8 +338,8 @@ def decode_gif_pixels(raw: bytes):
             h = raw[pos + 7] | raw[pos + 8] << 8
             iflags = raw[pos + 9]
             pos += 10
-            if w == 0 or h == 0:
-                return None
+            if w == 0 or h == 0 or w * h > 1 << 26:
+                return None  # incl. dimension guard (LZW expands)
             pal = gct
             if iflags & 0x80:  # local color table
                 n = 2 << (iflags & 0x07)
@@ -461,10 +470,17 @@ def decode_jpeg_pixels(raw: bytes):
     coding return None. The per-coefficient huffman loop is
     sequential Python by nature; cost is bounded by the compressed
     stream length (same shape as the PNG scanline walk)."""
-    import numpy as np
-
     if raw[:2] != b"\xff\xd8":
         return None
+    try:
+        return _jpeg_segments(raw)
+    except (IndexError, ValueError, KeyError, OverflowError, ZeroDivisionError):
+        return None  # malformed header bytes: skip, never raise
+
+
+def _jpeg_segments(raw: bytes):
+    import numpy as np
+
     qt: dict[int, Any] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
@@ -536,6 +552,8 @@ def _jpeg_scan(raw, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval=0):
     h, w, comps = frame
     if not comps or h == 0 or w == 0:
         return None
+    if any(not (1 <= c[1] <= 4 and 1 <= c[2] <= 4) for c in comps):
+        return None  # sampling factors are 1..4 per the spec
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -544,6 +562,11 @@ def _jpeg_scan(raw, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval=0):
     u = np.arange(8)
     M = 0.5 * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
     M[0] *= 1 / np.sqrt(2)
+    # dimension-bomb guard: corrupt 2-byte dims can claim a 65k x 65k
+    # frame; bound the decode buffers (~256 MB) — real photos up to
+    # ~32 MP pass, garbage headers don't OOM the executor
+    if sum((mcuy * vs * 8) * (mcux * hs * 8) for _, hs, vs, _q in comps) > 1 << 25:
+        return None
     planes = {}
     for cid, hs, vs, _q in comps:
         planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)

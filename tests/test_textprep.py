@@ -838,6 +838,61 @@ def test_jpeg_color_420_flat():
     assert (flat == np.array([exp_r, exp_g, exp_b])).all()
 
 
+def test_decoders_never_raise_on_malformed_bytes():
+    """The decoders run inside mapInPandas on untrusted payloads at
+    scale: malformed bytes must yield None, never an exception (one
+    raise kills the whole task). Seeded fuzz over random bytes,
+    magic-prefixed junk, and bit-flipped/truncated valid files."""
+    import random
+    import struct
+
+    import numpy as np
+
+    from fluent_bit_spark.textprep.multimodal import (
+        decode_gif_pixels,
+        decode_header,
+        decode_jpeg_pixels,
+        decode_png_pixels,
+        decode_wav_samples,
+    )
+
+    rng = random.Random(20260817)
+    wav_data = struct.pack("<h", 100) * 20
+    wav_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    seeds = [
+        _mk_png(3, 2, [[(1, 2, 3)] * 3, [(4, 5, 6)] * 3]),
+        _mk_gif(5, 4, [(1, 2, 3), (4, 5, 6), (7, 8, 9), (1, 1, 1)],
+                [i % 4 for i in range(20)]),
+        _mk_jpeg_gray(np.full((10, 9), 77, dtype=np.uint8)),
+        _mk_jpeg_flat_color_420(20, 12, (120, 100, 160)),
+        b"RIFF" + struct.pack("<I", 36 + len(wav_data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + wav_fmt
+        + b"data" + struct.pack("<I", len(wav_data)) + wav_data,
+    ]
+    decoders = (decode_png_pixels, decode_gif_pixels, decode_jpeg_pixels,
+                decode_wav_samples, decode_header)
+    for _ in range(4000):
+        choice = rng.random()
+        if choice < 0.25:
+            data = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        elif choice < 0.45:
+            magic = rng.choice(
+                [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8\xff\xe0", b"RIFF"]
+            )
+            data = magic + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(0, 200))
+            )
+        else:
+            base = bytearray(rng.choice(seeds))
+            for _ in range(rng.randrange(1, 10)):
+                base[rng.randrange(len(base))] = rng.randrange(256)
+            if rng.random() < 0.3 and len(base) > 4:
+                base = base[: rng.randrange(1, len(base))]
+            data = bytes(base)
+        for fn in decoders:
+            fn(data)  # must return (possibly None), never raise
+
+
 def test_decode_pixel_stats_spark(spark):
     from fluent_bit_spark.textprep.multimodal import decode_pixel_stats
 
