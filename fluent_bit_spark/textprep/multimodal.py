@@ -154,11 +154,10 @@ def decode_png_pixels(raw: bytes):
     """REAL PNG pixel decode, stdlib+numpy only: IHDR parse, IDAT
     concat, zlib inflate, per-scanline unfilter (None/Sub/Up/Average/
     Paeth — the five filters of the PNG spec), palette expansion,
-    returning an (h, w, channels) uint8 array. Supports bit depth 8
-    for color types 0/2/4/6 and depths 1/2/4/8 for palette (type 3);
-    no interlace (Adam7 returns None). The scanline loop is per-row
-    Python but vectorized across the row (numpy), the natural shape
-    for a sequential filter chain."""
+    Adam7 deinterlacing, returning an (h, w, channels) uint8 array
+    (16-bit samples keep their high byte). Supports bit depths 8/16
+    for color types 0/2/4/6 and depths 1/2/4/8 for palette (type
+    3)."""
     import struct
     import zlib
 
@@ -186,7 +185,7 @@ def decode_png_pixels(raw: bytes):
     if ihdr is None or not idat:
         return None
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if interlace != 0:
+    if interlace not in (0, 1):
         return None
     if color == 3:
         if plte is None or depth not in (1, 2, 4, 8):
@@ -195,13 +194,25 @@ def decode_png_pixels(raw: bytes):
         bits_px = depth
     else:
         channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-        if channels is None or depth != 8:
+        if channels is None or depth not in (8, 16):
             return None
-        bits_px = 8 * channels
-    stride = (w * bits_px + 7) // 8
-    need = h * (stride + 1)
-    if need > 1 << 28:
+        bits_px = depth * channels
+    if w == 0 or h == 0 or w * h * channels > 1 << 27:
         return None  # dimension guard: corrupt dims / decode bomb
+    passes = (
+        [(0, 0, 1, 1)]
+        if interlace == 0
+        else [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]  # Adam7
+    )
+    dims = []
+    need = 0
+    for x0, y0, xs, ys in passes:
+        wp = (w - x0 + xs - 1) // xs
+        hp = (h - y0 + ys - 1) // ys
+        dims.append((wp, hp))
+        if wp and hp:
+            need += hp * ((wp * bits_px + 7) // 8 + 1)
     try:
         # bounded inflate: a tiny IDAT can claim gigabytes (zlib bomb);
         # stop at exactly the pixel bytes the header promises
@@ -210,15 +221,54 @@ def decode_png_pixels(raw: bytes):
         return None
     if len(plain) < need:
         return None
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
     bpp = max(1, bits_px // 8)
-    for y in range(h):
-        off = y * (stride + 1)
+    img = np.zeros((h, w, channels), dtype=np.uint8)
+    off = 0
+    for (x0, y0, xs, ys), (wp, hp) in zip(passes, dims):
+        if not wp or not hp:
+            continue
+        stride = (wp * bits_px + 7) // 8
+        rows = _png_unfilter(plain, off, hp, stride, bpp)
+        if rows is None:
+            return None
+        off += hp * (stride + 1)
+        if color == 3:
+            if depth == 8:
+                px = rows[:, :wp, None]
+            else:  # sub-byte palette indices: unpack, regroup depth bits
+                bits = np.unpackbits(rows, axis=1)[:, : wp * depth]
+                px = bits.reshape(hp, wp, depth).dot(
+                    1 << np.arange(depth - 1, -1, -1)
+                ).astype(np.uint8)[:, :, None]
+        elif depth == 8:
+            px = rows[:, : wp * channels].reshape(hp, wp, channels)
+        else:  # 16-bit samples: keep the high byte (uint8 output contract)
+            px = rows[:, : wp * channels * 2].reshape(hp, wp, channels, 2)[..., 0]
+        img[y0::ys, x0::xs] = px
+    if color != 3:
+        return img
+    idx = img[:, :, 0]
+    if int(idx.max()) >= len(plte):
+        return None
+    return plte[idx.reshape(-1)].reshape(h, w, 3)
+
+
+def _png_unfilter(plain: bytes, off: int, hp: int, stride: int, bpp: int):
+    """Invert the five PNG scanline filters over one (sub-)image of
+    ``hp`` rows starting at byte ``off``; returns (hp, stride) uint8
+    or None on an unknown filter type. Per-row Python, vectorized
+    across the row — the natural shape for a sequential filter
+    chain."""
+    import numpy as np
+
+    rows = np.zeros((hp, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(hp):
         ftype = plain[off]
-        line = np.frombuffer(plain, dtype=np.uint8, count=stride, offset=off + 1).astype(
-            np.int32
-        )
+        line = np.frombuffer(
+            plain, dtype=np.uint8, count=stride, offset=off + 1
+        ).astype(np.int32)
+        off += stride + 1
         if ftype == 0:
             cur = line
         elif ftype == 2:  # Up
@@ -240,18 +290,9 @@ def decode_png_pixels(raw: bytes):
                     cur[x] = (cur[x] + pred) & 0xFF
         else:
             return None
-        out[y] = cur.astype(np.uint8)
+        rows[y] = cur.astype(np.uint8)
         prev = cur
-    if color != 3:
-        return out.reshape(h, w, channels)
-    if depth == 8:
-        idx = out[:, :w]
-    else:  # sub-byte palette indices: unpack and regroup depth bits
-        bits = np.unpackbits(out, axis=1)[:, : w * depth].reshape(h, w, depth)
-        idx = bits.dot(1 << np.arange(depth - 1, -1, -1))
-    if int(idx.max()) >= len(plte):
-        return None
-    return plte[idx.reshape(-1)].reshape(h, w, 3)
+    return rows
 
 
 def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):

@@ -771,6 +771,54 @@ def test_png_palette_decode():
     assert px2 is not None and (px2 == exp2).all()
 
 
+def test_png_adam7_and_16bit():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fluent_bit_spark.textprep.multimodal import decode_png_pixels
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    # Adam7-interlaced RGB 9x9 gradient: write each pass's sub-image
+    # as filter-0 scanlines in pass order, decoder must reassemble
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(9, 9, 3), dtype=np.uint8)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, xs, ys in passes:
+        sub = img[y0::ys, x0::xs]
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 9, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    px = decode_png_pixels(png)
+    assert px is not None and px.shape == (9, 9, 3) and (px == img).all()
+
+    # 16-bit grayscale: decoder keeps the high byte
+    img16 = np.array([[0x1234, 0xFF00], [0x0080, 0xABCD]], dtype=">u2")
+    raw16 = b"".join(b"\x00" + row.tobytes() for row in img16)
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw16))
+        + chunk(b"IEND", b"")
+    )
+    px16 = decode_png_pixels(png16)
+    exp = (img16.astype(np.uint32) >> 8).astype(np.uint8)
+    assert px16 is not None and (px16[:, :, 0] == exp).all()
+
+
 def test_jpeg_restart_interval():
     import numpy as np
 
