@@ -998,6 +998,67 @@ def q_ltm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_metrics_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_labels over a metrics table (labels.c:1871-1891
+    callback order): delete -> update($TAG) -> upsert -> insert ->
+    hash, all pure Catalyst map expressions."""
+    from fluent_bit_spark.operators.metrics_processors import apply_labels, labels_str
+
+    ev = _t(spark, sf_dir, "events")
+    metrics = (
+        ev.groupBy("event_type", (F.col("user_id") % 3).alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(
+            F.lit("fb_events_total").alias("metric_name"),
+            F.concat(F.lit("metrics."), F.col("event_type")).alias("tag"),
+            F.create_map(
+                F.lit("type"), F.col("event_type"),
+                F.lit("host"), F.concat(F.lit("h"), F.col("h")),
+                F.lit("svc"), F.substring("event_type", 1, 2),
+            ).alias("labels"),
+            "value",
+        )
+    )
+    out = apply_labels(
+        metrics,
+        delete=["host"],
+        update=[("svc", "$TAG")],
+        upsert=[("env", "prod")],
+        insert=[("type", "ignored"), ("stage", "agg")],
+        hash_keys=["svc"],
+        tag_col="tag",
+    )
+    return out.select("metric_name", labels_str().alias("labels_str"), "value")
+
+
+def q_metrics_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_metrics_selector (selector.c): regex include on
+    fqname, then context=delete_label_value dropping one label pair."""
+    from fluent_bit_spark.operators.metrics_processors import labels_str, select_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.round(F.sum("value"), 4).alias("vsum"),
+    )
+
+    def series(name: str, value_col: str) -> DataFrame:
+        return per_type.select(
+            F.lit(name).alias("metric_name"),
+            F.create_map(F.lit("type"), F.col("event_type")).alias("labels"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+
+    metrics = (
+        series("fb_events_total", "cnt")
+        .unionAll(series("fb_value_sum", "vsum"))
+        .unionAll(series("node_up", "cnt").withColumn("value", F.lit(1.0)))
+    )
+    out = select_metrics(metrics, metric_name="/^fb_/", action="include")
+    out = select_metrics(out, context="delete_label_value", label="type purchase")
+    return out.select("metric_name", labels_str().alias("labels_str"), "value")
+
+
 def q_snapshot_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_spark.operators.snapshot import snapshot_flush
 
@@ -1266,6 +1327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recorded rows for the first 50 only — these 12 passed the same
     # harness locally (tools/check_oracles.py) but need driver rows.
     return {
+        "metrics_labels": q_metrics_labels,
+        "metrics_selector": q_metrics_selector,
         "ltm_counter": q_ltm_counter,
         "ltm_gauge": q_ltm_gauge,
         "ltm_histogram": q_ltm_histogram,
@@ -1837,6 +1900,29 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN doc_id % 4 = 3
                          THEN 8000 + (doc_id % 5) * 4000 END)::int AS sample_rate
             FROM documents
+        """,
+        "metrics_labels": """
+            WITH m AS (
+              SELECT event_type, (user_id % 3) AS h, count(*)::double AS value
+              FROM events GROUP BY 1, 2)
+            SELECT 'fb_events_total' AS metric_name,
+                   'env=prod,stage=agg,svc=' || sha256('metrics.' || event_type)
+                     || ',type=' || event_type AS labels_str,
+                   value
+            FROM m
+        """,
+        "metrics_selector": """
+            WITH e AS (SELECT event_type, count(*)::double AS cnt,
+                              round(sum(value), 4) AS vsum
+                       FROM events GROUP BY 1)
+            SELECT * FROM (
+              SELECT 'fb_events_total' AS metric_name,
+                     'type=' || event_type AS labels_str, cnt AS value FROM e
+              UNION ALL
+              SELECT 'fb_value_sum', 'type=' || event_type, vsum FROM e
+              UNION ALL
+              SELECT 'node_up', 'type=' || event_type, 1.0 FROM e
+            ) WHERE metric_name LIKE 'fb_%' AND labels_str <> 'type=purchase'
         """,
         "ltm_counter": """
             SELECT event_type, count(*)::double AS value
