@@ -1059,6 +1059,25 @@ def q_metrics_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("metric_name", labels_str().alias("labels_str"), "value")
 
 
+def q_otel_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_opentelemetry_envelope marker-row form
+    (otel_envelope.c envelop_init/envelop_end): one OTLP group per
+    tag with start/end markers around the payload rows."""
+    from fluent_bit_spark.operators.otel_envelope import otel_envelope_rows
+
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_id") < 500).select(
+        F.concat(F.lit("app."), F.col("event_type")).alias("tag"),
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+    )
+    out = otel_envelope_rows(tagged, ["tag"])
+    return out.select(
+        "tag", "record_type", "otel_schema", "resource_id", "scope_id",
+        "seq", "event_id", "value",
+    )
+
+
 def q_snapshot_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_spark.operators.snapshot import snapshot_flush
 
@@ -1329,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "metrics_labels": q_metrics_labels,
         "metrics_selector": q_metrics_selector,
+        "otel_envelope": q_otel_envelope,
         "ltm_counter": q_ltm_counter,
         "ltm_gauge": q_ltm_gauge,
         "ltm_histogram": q_ltm_histogram,
@@ -1923,6 +1943,24 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'node_up', 'type=' || event_type, 1.0 FROM e
             ) WHERE metric_name LIKE 'fb_%' AND labels_str <> 'type=purchase'
+        """,
+        "otel_envelope": """
+            WITH tagged AS (
+              SELECT 'app.' || event_type AS tag, event_id,
+                     value::double AS value
+              FROM events WHERE event_id < 500),
+            g AS (SELECT DISTINCT tag FROM tagged)
+            SELECT tag, 'group_start' AS record_type,
+                   'otlp' AS otel_schema, 0::bigint AS resource_id,
+                   0::bigint AS scope_id, 0 AS seq,
+                   NULL::bigint AS event_id, NULL::double AS value
+            FROM g
+            UNION ALL
+            SELECT tag, 'normal', NULL, NULL, NULL, 1, event_id, value
+            FROM tagged
+            UNION ALL
+            SELECT tag, 'group_end', NULL, NULL, NULL, 2, NULL, NULL
+            FROM g
         """,
         "ltm_counter": """
             SELECT event_type, count(*)::double AS value
