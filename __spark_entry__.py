@@ -1059,6 +1059,30 @@ def q_metrics_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("metric_name", labels_str().alias("labels_str"), "value")
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule extraction invariant: assemble adversarial HTML
+    pages around documents.text (comments, style, a script whose body
+    contains '<' and quotes, attributes, entities), run the pure-JVM
+    extractor, and demand BYTE-IDENTICAL text back per doc."""
+    from fluent_bit_spark.textprep.html import escape_html_col, html_to_text_col
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit('<html><!-- crawler --><head><title>doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><style>p{color:red}</style>'
+              '<script>if(1<2){var x="</div>";}</script></head>'
+              '<body><p class="t">&quot;'),
+        escape_html_col(F.col("text")),
+        F.lit('&quot; &amp; more</p></body></html>'),
+    )
+    assembled = docs.select("doc_id", page.cast("binary").alias("html"))
+    return assembled.select(
+        "doc_id",
+        html_to_text_col(F.col("html"), keep="body").alias("extracted"),
+    )
+
+
 def q_otel_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_opentelemetry_envelope marker-row form
     (otel_envelope.c envelop_init/envelop_end): one OTLP group per
@@ -1349,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_labels": q_metrics_labels,
         "metrics_selector": q_metrics_selector,
         "otel_envelope": q_otel_envelope,
+        "html_extract": q_html_extract,
         "ltm_counter": q_ltm_counter,
         "ltm_gauge": q_ltm_gauge,
         "ltm_histogram": q_ltm_histogram,
@@ -1943,6 +1968,10 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'node_up', 'type=' || event_type, 1.0 FROM e
             ) WHERE metric_name LIKE 'fb_%' AND labels_str <> 'type=purchase'
+        """,
+        "html_extract": """
+            SELECT doc_id, '"' || text || '" & more' AS extracted
+            FROM documents
         """,
         "otel_envelope": """
             WITH tagged AS (
