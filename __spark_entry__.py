@@ -74,20 +74,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _pages_from_documents(docs: DataFrame) -> DataFrame:
     """Derive the north-rule ingest shape (url, warc_ts, html, text,
-    lang) deterministically from the documents table."""
+    lang) deterministically from the documents table.  ``html`` is a
+    real assembled page with the text HTML-escaped into the body, so
+    the pipeline's extraction stage must recover it byte-identically."""
+    from fluent_bit_spark.textprep.html import escape_html_col
+
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".com/"), F.col("doc_id"))
+    html = F.concat(
+        F.lit("<html><head><title>"), url,
+        F.lit("</title></head><body><pre>"), escape_html_col(F.col("text")),
+        F.lit("</pre></body></html>"),
+    )
     return docs.select(
-        F.concat(F.lit("https://"), F.col("source"), F.lit(".com/"), F.col("doc_id")).alias("url"),
+        url.alias("url"),
         (F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_dt_interval(secs=F.col("doc_id"))).alias("warc_ts"),
-        F.col("text").cast("binary").alias("html"),
+        html.cast("binary").alias("html"),
         F.col("text").alias("text"),
         F.col("lang").alias("lang"),
     )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship parse→enrich→route→aggregate pipeline on sf0.001."""
+    """Flagship extract→parse→enrich→route→aggregate pipeline on
+    sf0.001, consuming the raw html bytes (north-rule shape)."""
     docs = _t(spark, "/root/testdata/sf0.001", "documents")
-    result = build_pipeline(_pages_from_documents(docs))
+    result = build_pipeline(_pages_from_documents(docs), from_html=True)
     return result.aggregates
 
 
@@ -95,7 +106,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    result = build_pipeline(_pages_from_documents(docs))
+    result = build_pipeline(_pages_from_documents(docs), from_html=True)
     return result.aggregates.select(
         "sink",
         F.col("window_start").cast("long").alias("window_start"),

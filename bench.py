@@ -132,7 +132,7 @@ def main() -> None:
     # first so codegen compilation + JIT happen outside the timed
     # region (a long-running cluster job pays these once per executor
     # lifetime, not per 2M rows)
-    warm = build_pipeline(generate_pages(spark, 100_000))
+    warm = build_pipeline(generate_pages(spark, 100_000), from_html=True)
     force(warm.routed.drop("html"))
     force(warm.aggregates)
 
@@ -141,7 +141,7 @@ def main() -> None:
     pipe_times: list[float] = []
     for _rep in range(pipe_reps):
         t0 = time.perf_counter()
-        result = build_pipeline(pages)
+        result = build_pipeline(pages, from_html=True)
         if sink_mode == "noop":
             force(result.routed.drop("html"))
             force(result.aggregates)

@@ -125,9 +125,14 @@ def generate_pages(
         .otherwise(logfmt_line)
     )
 
+    # text is HTML-escaped into the page body so extraction
+    # (textprep/html.html_to_text_col) recovers it byte-identically —
+    # the north-rule per-url invariant (syslog lines start with '<')
+    from fluent_bit_spark.textprep.html import escape_html_col
+
     html = F.concat(
         F.lit("<html><head><title>"), fqdn,
-        F.lit("</title></head><body><pre>"), text,
+        F.lit("</title></head><body><pre>"), escape_html_col(text),
         F.lit("</pre></body></html>"),
     ).cast("binary")
 

@@ -202,8 +202,23 @@ def build_pipeline(
     rewrites: list[RewriteTagRule] | None = None,
     ref_year: int = 2026,
     agg_window: str = "1 minute",
+    from_html: bool = False,
 ) -> PipelineResult:
-    """Assemble the full logical plan (no actions)."""
+    """Assemble the full logical plan (no actions).
+
+    from_html=True derives ``text`` from the raw ``html`` bytes via
+    the JVM extraction chain (textprep/html.html_to_text_col) before
+    parsing — the north-rule shape where the pipeline consumes the
+    page bytes, with byte-identical extracted text per url. The
+    extractor is a narrow codegen projection, so the plan gains no
+    exchange and no Python stage.
+    """
+    if from_html:
+        from fluent_bit_spark.textprep.html import html_to_text_col
+
+        pages = pages.withColumn(
+            "text", html_to_text_col(F.col("html"), keep="body")
+        )
     parsed = parse_stage(pages, ref_year=ref_year)
     tagged = tag_stage(parsed)
 

@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--checkpoint")
     ap.add_argument("--synthetic-rows", type=int)
+    ap.add_argument("--from-html", action="store_true",
+                    help="derive text from the raw html bytes (north-rule shape)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -64,7 +66,7 @@ def main() -> None:
         pages = generate_pages(spark, args.synthetic_rows)
     else:
         pages = read_pages(spark, args.input)
-    counts = run_to_sinks(build_pipeline(pages), args.output, fmt=args.format)
+    counts = run_to_sinks(build_pipeline(pages, from_html=args.from_html), args.output, fmt=args.format)
     print({"per_sink_counts": counts})
 
 

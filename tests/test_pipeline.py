@@ -170,3 +170,27 @@ def test_resume_no_duplicates(spark, pages, tmp_path):
     # full coverage equal to a clean one-shot run
     clean = build_pipeline(pages).routed
     assert sinks.count() == clean.count()
+
+
+def test_from_html_extraction_byte_identical(spark, pages):
+    # north-rule invariant: the extraction stage recovers text from
+    # the assembled html bytes byte-identically for every url
+    from fluent_bit_spark.textprep.html import html_to_text_col
+
+    diff = pages.withColumn(
+        "ext", html_to_text_col(F.col("html"), keep="body")
+    ).filter(F.col("ext") != F.col("text"))
+    assert diff.count() == 0
+
+
+def test_pipeline_from_html_matches_text_path(spark, pages):
+    from fluent_bit_spark.pipeline import build_pipeline
+
+    a = build_pipeline(pages).aggregates
+    b = build_pipeline(pages, from_html=True).aggregates
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # extraction stays narrow: same number of exchanges as text path
+    pa = a._jdf.queryExecution().executedPlan().toString()
+    pb = b._jdf.queryExecution().executedPlan().toString()
+    assert pa.count("Exchange") == pb.count("Exchange")
+    assert "Python" not in pb and "ArrowEval" not in pb
