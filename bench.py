@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_simhash",
     "fingerprint",
     "token_count",
+    "html_extract",
     "quality_score",
     "lang_id",
     "ann_cosine_topk",

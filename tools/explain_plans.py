@@ -72,10 +72,12 @@ def main() -> int:
         # count unique tree nodes "Exchange (N)"
         return len(set(re.findall(r"Exchange \((\d+)\)", plan)))
 
-    res = build_pipeline(generate_pages(spark, 1000))
+    res = build_pipeline(generate_pages(spark, 1000), from_html=True)
     p_routed = plan_of(res.routed.drop("html"))
     n_ex = n_exchanges(p_routed)
     checks.append(("routed fan-out is shuffle-free (0 Exchange)", n_ex == 0, f"{n_ex} exchanges"))
+    ok = "Python" not in p_routed and "ArrowEval" not in p_routed
+    checks.append(("html extraction stage fully JVM (no Python in routed plan)", ok, ""))
     p_aggs = plan_of(res.aggregates)
     n_ex = n_exchanges(p_aggs)
     checks.append(("aggregate path: single hash exchange", n_ex == 1, f"{n_ex} exchanges"))
@@ -147,6 +149,26 @@ def main() -> int:
     # Arrow stage == exactly one "(n) ArrowEvalPython" detail header
     ok = len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) == 1
     checks.append(("geoip2: ONE Arrow lookup pass per lookup key", ok, ""))
+
+    # 11. html_extract: the whole extract chain is a codegen projection
+    p = plan_of(qs["html_extract"](spark, sf_dir))
+    ok = (
+        n_exchanges(p) == 0
+        and "Python" not in p
+        and "codegen id" in p
+    )
+    checks.append(("html_extract: zero-exchange codegen projection", ok, ""))
+    sections.append(("html_extract (JVM extraction chain)", p, []))
+
+    # 12. metrics_labels: label-map rewrite adds no exchange beyond
+    #     the metric aggregation's own
+    p = plan_of(qs["metrics_labels"](spark, sf_dir))
+    n_ex = n_exchanges(p)
+    ok = n_ex == 1 and "Python" not in p
+    checks.append(
+        ("processor_labels: map rewrite is projection-only (1 agg exchange)",
+         ok, f"{n_ex} exchanges")
+    )
 
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
