@@ -1094,6 +1094,55 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite LLM-corpus-prep showcase over the north-rule page
+    shape: synthesize (url, warc_ts, html, text, lang) pages, extract
+    text from the raw html bytes (byte-identical invariant — the
+    oracle starts from documents.text, so any extraction drift
+    hash-mismatches), exact-dedup keeping the lexicographically first
+    url per digest, apply integer quality gates (ws_tokens >= 3,
+    alpha chars >= half the text), language-ID the survivors, and
+    emit a per-language corpus card. All aggregates are integer sums
+    so the comparison is exact (no float summation-order hazard).
+
+    Scale notes: one digest-key shuffle for the dedup groupBy, one
+    digest equi-join back (AQE-broadcastable when the survivor set is
+    small), one pred_lang shuffle for the final card — everything
+    else is whole-stage-codegen string work in a single pass."""
+    from fluent_bit_spark.textprep.html import html_to_text_col
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = _pages_from_documents(docs)
+    base = pages.select(
+        "url", html_to_text_col(F.col("html"), keep="body").alias("text")
+    )
+    groups = exact_dedup(base, text_col="text", id_col="url")
+    kept = base.join(
+        groups,
+        (F.md5(base["text"]) == groups["digest"])
+        & (base["url"] == groups["keep_id"]),
+        "inner",
+    ).select(base["url"], base["text"], groups["n_dups"])
+    kept = lang_id_col(token_count_cols(kept))
+    kept = kept.withColumn(
+        "alpha_chars",
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("bigint"),
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+    gated = kept.filter(
+        (F.col("ws_tokens") >= 3) & (F.col("alpha_chars") * 2 >= F.col("n_chars"))
+    )
+    gated = gated.withColumn(
+        "domain", F.regexp_extract("url", "https://([^/]+)/", 1)
+    )
+    return gated.groupBy("domain", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_dups") - 1).alias("dups_removed"),
+        F.sum("ws_tokens").cast("bigint").alias("total_ws_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("alpha_chars").alias("total_alpha_chars"),
+    )
+
+
 def q_otel_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_opentelemetry_envelope marker-row form
     (otel_envelope.c envelop_init/envelop_end): one OTLP group per
@@ -1381,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recorded rows for the first 50 only — these 12 passed the same
     # harness locally (tools/check_oracles.py) but need driver rows.
     return {
+        "corpus_prep": q_corpus_prep,
         "metrics_labels": q_metrics_labels,
         "metrics_selector": q_metrics_selector,
         "otel_envelope": q_otel_envelope,
@@ -1581,6 +1631,51 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "corpus_prep": f"""
+            WITH pages AS (
+              SELECT 'https://' || source || '.com/' || cast(doc_id as varchar) AS url,
+                     text
+              FROM documents
+            ),
+            grp AS (
+              SELECT md5(text) AS digest, min(url) AS keep_url,
+                     count(*)::bigint AS n_dups
+              FROM pages GROUP BY md5(text)
+            ),
+            kept AS (
+              SELECT p.url, p.text, g.n_dups
+              FROM pages p
+              JOIN grp g ON md5(p.text) = g.digest AND p.url = g.keep_url
+            ),
+            tok AS (
+              SELECT url, n_dups, text, {tokens} AS tk,
+                     length(text)::bigint AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::bigint
+                       AS alpha_chars
+              FROM kept
+            ),
+            scored AS (
+              SELECT url, n_dups, len(tk)::int AS ws_tokens, n_chars, alpha_chars,
+                     [{lang_scores}] AS scores
+              FROM tok
+            ),
+            stats AS (
+              SELECT url, n_dups, ws_tokens, n_chars, alpha_chars,
+                     ([{lang_arr}])[list_position(scores, list_max(scores))]
+                       AS pred_lang
+              FROM scored
+            )
+            SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+                   pred_lang,
+                   count(*)::bigint AS n_docs,
+                   cast(sum(n_dups - 1) as bigint) AS dups_removed,
+                   cast(sum(ws_tokens) as bigint) AS total_ws_tokens,
+                   cast(sum(n_chars) as bigint) AS total_chars,
+                   cast(sum(alpha_chars) as bigint) AS total_alpha_chars
+            FROM stats
+            WHERE ws_tokens >= 3 AND alpha_chars * 2 >= n_chars
+            GROUP BY 1, 2
+        """,
         "pipeline_e2e": """
             WITH routed AS (
               SELECT d.doc_id, d.lang, d.n_chars, s.sink

@@ -956,3 +956,35 @@ def test_decode_pixel_stats_spark(spark):
     assert rows[2]["width"] is None and rows[2]["rms"] is None
     assert rows[3]["width"] == 2 and rows[3]["mean_r"] == 30.0
     assert rows[3]["mean_g"] == 40.0 and rows[3]["mean_b"] == 50.0
+
+
+def test_corpus_prep_composite(spark, tmp_path):
+    """Composite corpus-prep card: dedup keeps the min-url survivor and
+    counts its duplicates; the token gate drops short docs; totals are
+    integer-exact."""
+    from __spark_entry__ import q_corpus_prep
+
+    rows = [
+        # source, doc_id, text, lang
+        ("alpha", 1, "the quick brown fox jumps over the lazy dog", "en"),
+        ("alpha", 2, "the quick brown fox jumps over the lazy dog", "en"),  # dup of 1
+        ("beta", 3, "the quick brown fox jumps over the lazy dog", "en"),   # dup of 1
+        ("alpha", 4, "an entirely different document about the sea", "en"),
+        ("alpha", 5, "hi", "en"),  # fails ws_tokens >= 3 gate
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, text string, lang string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["domain"], r["pred_lang"]): r
+        for r in q_corpus_prep(spark, str(tmp_path)).collect()
+    }
+    # survivor of the 3-way dup group is min url: https://alpha.com/1
+    card = got[("alpha.com", "en")]
+    assert card["n_docs"] == 2  # doc 1 (survivor) + doc 4; doc 5 gated out
+    assert card["dups_removed"] == 2  # docs 2 and 3 folded into doc 1
+    assert card["total_ws_tokens"] == 9 + 7
+    assert ("beta.com", "en") not in got  # beta's only doc lost dedup
+    total_chars = sum(len(t) for _, d, t, _ in rows if d in (1, 4))
+    assert card["total_chars"] == total_chars

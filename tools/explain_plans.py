@@ -160,6 +160,20 @@ def main() -> int:
     checks.append(("html_extract: zero-exchange codegen projection", ok, ""))
     sections.append(("html_extract (JVM extraction chain)", p, []))
 
+    # 11b. corpus_prep: the full extract->dedup->gate->lang-ID->card
+    #      composite stays JVM-side end to end; shuffles are exactly
+    #      the dedup groupBy, the survivor join, and the final card
+    #      aggregate (AQE may collapse/broadcast some at runtime)
+    p = plan_of(qs["corpus_prep"](spark, sf_dir))
+    n_ex = n_exchanges(p)
+    ok = "Python" not in p and n_ex <= 4 and "BroadcastHashJoin" in p
+    checks.append(
+        ("corpus_prep: all-JVM composite, broadcast survivor join, "
+         "bounded shuffles (dedup+card aggs)",
+         ok, f"{n_ex} exchanges")
+    )
+    sections.append(("corpus_prep (composite corpus card)", p, []))
+
     # 12. metrics_labels: label-map rewrite adds no exchange beyond
     #     the metric aggregation's own
     p = plan_of(qs["metrics_labels"](spark, sf_dir))
