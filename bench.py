@@ -37,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "pipeline_e2e",
+    "corpus_prep",
     "q1_pricing_summary",
     "enrich_broadcast",
     "geoip2",
@@ -161,9 +162,11 @@ def main() -> None:
             force(aggs)
             shutil.rmtree(sink_dir, ignore_errors=True)
         pipe_times.append(round(time.perf_counter() - t0, 3))
-    pipeline_sec = min(pipe_times)
-    rep_times["pipeline_synthetic"] = pipe_times
-    timings["pipeline_synthetic"] = round(pipeline_sec, 3)
+    # BENCH_PIPELINE_REPS=0 skips the synthetic pipeline (query-only runs)
+    pipeline_sec = min(pipe_times) if pipe_times else None
+    if pipe_times:
+        rep_times["pipeline_synthetic"] = pipe_times
+        timings["pipeline_synthetic"] = round(pipeline_sec, 3)
     # text bytes processed (deterministic datagen; measured once, cheap)
     total_bytes = pages.selectExpr("sum(length(text)) b").first()["b"]
 
@@ -179,8 +182,12 @@ def main() -> None:
                 "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pipeline_rows": n_rows,
-                "pipeline_docs_per_sec": round(n_rows / pipeline_sec, 1),
-                "pipeline_mb_per_sec": round(total_bytes / 1e6 / pipeline_sec, 2),
+                "pipeline_docs_per_sec": (
+                    round(n_rows / pipeline_sec, 1) if pipeline_sec else None
+                ),
+                "pipeline_mb_per_sec": (
+                    round(total_bytes / 1e6 / pipeline_sec, 2) if pipeline_sec else None
+                ),
                 "cpus": spark.sparkContext.defaultParallelism,
             }
         )
