@@ -130,16 +130,17 @@ def main() -> None:
     import shutil
     import tempfile
 
+    pipe_reps = int(os.environ.get("BENCH_PIPELINE_REPS", "2"))
     # steady-state methodology: run the SAME plan once at small scale
     # first so codegen compilation + JIT happen outside the timed
     # region (a long-running cluster job pays these once per executor
     # lifetime, not per 2M rows)
-    warm = build_pipeline(generate_pages(spark, 100_000), from_html=True)
-    force(warm.routed.drop("html"))
-    force(warm.aggregates)
+    if pipe_reps:
+        warm = build_pipeline(generate_pages(spark, 100_000), from_html=True)
+        force(warm.routed.drop("html"))
+        force(warm.aggregates)
 
     pages = generate_pages(spark, n_rows)
-    pipe_reps = int(os.environ.get("BENCH_PIPELINE_REPS", "2"))
     pipe_times: list[float] = []
     for _rep in range(pipe_reps):
         t0 = time.perf_counter()
@@ -168,7 +169,9 @@ def main() -> None:
         rep_times["pipeline_synthetic"] = pipe_times
         timings["pipeline_synthetic"] = round(pipeline_sec, 3)
     # text bytes processed (deterministic datagen; measured once, cheap)
-    total_bytes = pages.selectExpr("sum(length(text)) b").first()["b"]
+    total_bytes = (
+        pages.selectExpr("sum(length(text)) b").first()["b"] if pipe_times else 0
+    )
 
     total = round(sum(timings.values()), 3)
     print(

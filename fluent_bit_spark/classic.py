@@ -142,7 +142,10 @@ def parse_classic_conf(
                 inc = _expand_vars(params, variables)
                 if not os.path.isabs(inc):
                     inc = os.path.join(base_dir, inc)
-                paths = sorted(globmod.glob(inc)) if "*" in inc else [inc]
+                # glob(3) semantics like read_glob (flb_config.c):
+                # '*', '?' and '[...]' all trigger expansion
+                is_glob = any(ch in inc for ch in "*?[")
+                paths = sorted(globmod.glob(inc)) if is_glob else [inc]
                 if not paths:
                     raise ValueError(f"@INCLUDE glob matched nothing: {params!r}")
                 for p in paths:

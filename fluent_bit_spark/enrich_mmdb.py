@@ -192,9 +192,15 @@ class MMDBReader:
         # (libmaxminddb's ipv4_start shortcut, done literally here)
         if addr.version == 4 and self.ip_version == 6:
             for _ in range(96):
-                node = self._read_record(node, 0)
-                if node >= self.node_count:
-                    return None
+                rec = self._read_record(node, 0)
+                if rec == self.node_count:
+                    return None  # empty record: not found
+                if rec > self.node_count:
+                    # a covering record above the v4-mapped range
+                    # (e.g. ::/0) matches every IPv4 address
+                    val, _ = self._decode(self.tree_size + (rec - self.node_count))
+                    return val
+                node = rec
         for i in range(nbits):
             bit = (bits[i >> 3] >> (7 - (i & 7))) & 1
             rec = self._read_record(node, bit)
@@ -299,6 +305,17 @@ class MMDBWriter:
         nodes: list[list] = [[None, None]]
 
         def add(net: int, plen: int, doff: int) -> None:
+            if plen == 0:
+                # default route (0.0.0.0/0): both root branches carry
+                # the record; inserted first (shortest prefix), so any
+                # longer prefix later overwrites/splits its side
+                for bit in (0, 1):
+                    if not (
+                        isinstance(nodes[0][bit], tuple)
+                        and nodes[0][bit][0] == "node"
+                    ):
+                        nodes[0][bit] = ("data", doff)
+                return
             cur = 0
             for d in range(plen):
                 bit = (net >> (31 - d)) & 1
@@ -386,14 +403,11 @@ def geoip2_filter(
         by_lookup.setdefault(lk, []).append((nk, path))
 
     for lk, items in by_lookup.items():
+        names = [nk for nk, _ in items]
         paths = [p for _, p in items]
-        schema = T.StructType(
-            [T.StructField(nk, T.StringType()) for nk, _ in items]
-        )
+        schema = T.StructType([T.StructField(nk, T.StringType()) for nk in names])
 
-        lookup_udf = _make_lookup_udf(
-            bc, [p for _, p in items], [nk for nk, _ in items], schema
-        )
+        lookup_udf = _make_lookup_udf(bc, paths, names, schema)
 
         if lk in out.columns:
             src = F.col(lk).cast("string")

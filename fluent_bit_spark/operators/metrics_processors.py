@@ -73,8 +73,20 @@ def apply_labels(
     Applies the five rule lists in the reference's fixed order
     (labels.c:1871-1891).  Within a list, rules apply in config
     order, matching FLB_CONFIG_MAP_MULT iteration.
+
+    Upsert/insert rules reference the accumulated map three times
+    (contains-check, rewrite, concat), so each one is flushed through
+    a projection barrier — the expression tree stays LINEAR in the
+    rule count instead of growing ~3^k (the optimizer does not
+    re-inline non-cheap expressions referenced more than once).
     """
+    out = df
     labels = F.col(labels_col)
+
+    def _barrier() -> Column:
+        nonlocal out
+        out = out.withColumn(labels_col, labels)
+        return F.col(labels_col)
 
     def _not_key(k: Column):
         return lambda mk, mv: mk != k
@@ -101,17 +113,19 @@ def apply_labels(
         labels = F.when(F.map_contains_key(labels, k), updated).otherwise(
             F.map_concat(labels, F.create_map(k, v))
         )
+        labels = _barrier()
 
     for key, value in insert or []:
         k, v = F.lit(key), _value_expr(value, tag_col)
         labels = F.when(F.map_contains_key(labels, k), labels).otherwise(
             F.map_concat(labels, F.create_map(k, v))
         )
+        labels = _barrier()
 
     for key in hash_keys or []:
         labels = F.transform_values(labels, _hash_if_key(F.lit(key)))
 
-    return df.withColumn(labels_col, labels)
+    return out.withColumn(labels_col, labels)
 
 
 def select_metrics(

@@ -55,8 +55,10 @@ class ParserSpec:
 
     def declared_keys(self) -> list[str] | None:
         """Statically-known output keys, or None if only a data
-        sample can tell. Order: regex capture order / Keys order; the
-        Types declaration alone also counts (every typed key listed)."""
+        sample can tell. Order: regex capture order / Keys order. A
+        ``Types`` declaration deliberately does NOT count: it types
+        SOME keys, it does not enumerate the record — treating it as
+        the full key set would silently drop every untyped key."""
         if self.format == "regex":
             return self.named_groups()
         if self.keys is not None:

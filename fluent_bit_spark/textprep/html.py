@@ -74,9 +74,14 @@ def html_to_text_col(
     s = F.regexp_replace(s, r"(?s)<!--.*?-->", "")
     s = F.regexp_replace(s, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", "")
     if keep == "body":
-        body = F.regexp_extract(s, r"(?is)<body[^>]*>(.*?)</body\s*>", 1)
-        # pages without a <body> element fall back to the whole doc
-        s = F.when(F.length(body) > 0, body).otherwise(s)
+        body_rx = r"(?is)<body[^>]*>(.*?)</body\s*>"
+        body = F.regexp_extract(s, body_rx, 1)
+        # pages without a <body> element fall back to the whole doc;
+        # regexp_extract returns '' for BOTH no-match and an empty
+        # body, so presence is tested explicitly (an empty <body> must
+        # yield '', not leak head/title text — html_to_text_arrow
+        # distinguishes the same way via re.search)
+        s = F.when(s.rlike(body_rx), body).otherwise(s)
     elif keep != "all":
         raise ValueError(f"keep must be 'body' or 'all', got {keep!r}")
     s = F.regexp_replace(s, r"<[^>]+>", "")

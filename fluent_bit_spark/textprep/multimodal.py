@@ -746,11 +746,18 @@ def decode_pixel_stats(
                 if px is not None:
                     hh, ww, cc = px.shape
                     means = px.reshape(-1, cc).mean(axis=0)
+                    # channel layouts: 1=gray, 2=gray+alpha, 3=RGB,
+                    # 4=RGBA — gray replicates into r/g/b; alpha is
+                    # never reported as a color mean
+                    if cc >= 3:
+                        m_r, m_g, m_b = means[0], means[1], means[2]
+                    else:
+                        m_r = m_g = m_b = means[0]
                     row.update(
                         width=ww, height=hh, channels=cc,
-                        mean_r=round(float(means[0]), 6),
-                        mean_g=round(float(means[1 % cc]), 6),
-                        mean_b=round(float(means[2 % cc]), 6),
+                        mean_r=round(float(m_r), 6),
+                        mean_g=round(float(m_g), 6),
+                        mean_b=round(float(m_b), 6),
                     )
                 else:
                     wav = decode_wav_samples(raw)

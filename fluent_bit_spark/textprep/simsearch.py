@@ -152,11 +152,32 @@ def ivf_assign_expr(vec_col: str, centroids: list[list[float]]) -> str:
 _CHUNK = 4096  # rows per numpy slab: bounds (rows, cells, dim) temporaries
 
 
-def _vec_mat(s: pd.Series) -> np.ndarray:
-    """(n, dim) float64 matrix from an Arrow list column. float32 ->
-    float64 widening is exact, so downstream arithmetic matches the
-    SQL ``cast(x as double)`` path bit-for-bit."""
-    return np.stack([np.asarray(v, dtype=np.float64) for v in s.values])
+def _vec_mat(s: pd.Series, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n, dim) float64 matrix + validity mask from an Arrow list
+    column. float32 -> float64 widening is exact, so downstream
+    arithmetic matches the SQL ``cast(x as double)`` path bit-for-bit.
+
+    Null or wrong-length vectors get a zero row and valid=False —
+    callers emit SQL NULL for those rows, matching the null-propagating
+    interpreted expression forms these UDFs replace (a single bad row
+    must degrade, not kill the task)."""
+    vals = s.values
+    try:  # fast path: every row present and well-shaped
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+        if mat.ndim == 2 and mat.shape[1] == dim:
+            return mat, np.ones(len(vals), dtype=bool)
+    except (ValueError, TypeError):
+        pass
+    mat = np.zeros((len(vals), dim), dtype=np.float64)
+    valid = np.zeros(len(vals), dtype=bool)
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        if a.shape == (dim,):
+            mat[i] = a
+            valid[i] = True
+    return mat, valid
 
 
 def _seq_dots(vecs: np.ndarray, mat: np.ndarray) -> np.ndarray:
@@ -177,12 +198,15 @@ def cell_assign_udf(centroids: list[list[float]]):
     @F.pandas_udf(T.IntegerType())
     def assign(s: pd.Series) -> pd.Series:
         out = np.empty(len(s), dtype=np.int32)
+        ok = np.empty(len(s), dtype=bool)
         for lo in range(0, len(s), _CHUNK):
             chunk = s.iloc[lo : lo + _CHUNK]
-            out[lo : lo + len(chunk)] = np.argmax(
-                _seq_dots(_vec_mat(chunk), C), axis=1
-            )
-        return pd.Series(out)
+            mat, valid = _vec_mat(chunk, C.shape[1])
+            out[lo : lo + len(chunk)] = np.argmax(_seq_dots(mat, C), axis=1)
+            ok[lo : lo + len(chunk)] = valid
+        res = pd.array(out, dtype="Int32")
+        res[~ok] = pd.NA
+        return pd.Series(res)
 
     return assign
 
@@ -194,12 +218,16 @@ def probe_cells_udf(centroids: list[list[float]], n_probe: int):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probes(s: pd.Series) -> pd.Series:
-        out: list[list[int]] = []
+        out: list[list[int] | None] = []
         for lo in range(0, len(s), _CHUNK):
             chunk = s.iloc[lo : lo + _CHUNK]
-            dots = _seq_dots(_vec_mat(chunk), C)
+            mat, valid = _vec_mat(chunk, C.shape[1])
+            dots = _seq_dots(mat, C)
             idx = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
-            out.extend(row.tolist() for row in idx.astype(np.int32))
+            out.extend(
+                row.tolist() if v else None
+                for row, v in zip(idx.astype(np.int32), valid)
+            )
         return pd.Series(out)
 
     return probes
@@ -214,11 +242,16 @@ def bucket_udf(planes: list[list[float]]):
     @F.pandas_udf(T.IntegerType())
     def bucket(s: pd.Series) -> pd.Series:
         out = np.empty(len(s), dtype=np.int64)
+        ok = np.empty(len(s), dtype=bool)
         for lo in range(0, len(s), _CHUNK):
             chunk = s.iloc[lo : lo + _CHUNK]
-            bits = _seq_dots(_vec_mat(chunk), Pm) >= 0
+            mat, valid = _vec_mat(chunk, Pm.shape[1])
+            bits = _seq_dots(mat, Pm) >= 0
             out[lo : lo + len(chunk)] = (bits * pow2).sum(axis=1)
-        return pd.Series(out.astype(np.int32))
+            ok[lo : lo + len(chunk)] = valid
+        res = pd.array(out.astype(np.int32), dtype="Int32")
+        res[~ok] = pd.NA
+        return pd.Series(res)
 
     return bucket
 

@@ -646,3 +646,23 @@ def test_tail_multiline_parser_cri(spark, tmp_path):
     pipe = build_classic_pipeline(spark, conf)
     recs = sorted(r["log"] for r in pipe.records.collect())
     assert recs == ["full", "partial line"]
+
+
+def test_include_question_mark_glob(tmp_path):
+    """'?' and '[...]' are glob triggers like the reference's glob(3)
+    read_glob, not just '*'."""
+    from fluent_bit_spark.classic import load_classic_conf
+
+    (tmp_path / "conf.d").mkdir()
+    (tmp_path / "conf.d" / "filter-1.conf").write_text(
+        "[FILTER]\n  Name grep\n  Match *\n  Regex k ^a$\n"
+    )
+    (tmp_path / "conf.d" / "filter-2.conf").write_text(
+        "[FILTER]\n  Name grep\n  Match *\n  Regex k ^b$\n"
+    )
+    main = tmp_path / "main.conf"
+    main.write_text(
+        "[INPUT]\n  Name dummy\n@INCLUDE conf.d/filter-?.conf\n"
+    )
+    secs = load_classic_conf(str(main))
+    assert [s.kind for s in secs] == ["input", "filter", "filter"]

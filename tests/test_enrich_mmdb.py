@@ -109,3 +109,17 @@ def test_geoip2_missing_lookup_column(spark):
     df = spark.createDataFrame([(1,)], ["id"])
     out = geoip2_filter(df, fixture_db(), [("iso", "nope", "%{country.iso_code}")])
     assert out.first()["iso"] is None
+
+
+def test_default_route_and_longest_prefix():
+    """A 0.0.0.0/0 entry matches every address not covered by a more
+    specific network (geoip2's catch-all case)."""
+    from fluent_bit_spark.enrich_mmdb import MMDBReader, MMDBWriter
+
+    w = MMDBWriter(ip_version=4)
+    w.insert("0.0.0.0/0", {"country": {"iso_code": "ZZ"}})
+    w.insert("10.0.0.0/8", {"country": {"iso_code": "AA"}})
+    r = MMDBReader(w.to_bytes())
+    assert r.lookup("10.1.2.3") == {"country": {"iso_code": "AA"}}
+    assert r.lookup("8.8.8.8") == {"country": {"iso_code": "ZZ"}}
+    assert r.lookup("192.168.1.1") == {"country": {"iso_code": "ZZ"}}

@@ -67,3 +67,14 @@ def test_jvm_path_stays_jvm(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_empty_body_yields_empty_not_head_leak(spark):
+    """<body></body> present-but-empty must extract '', not fall back
+    to the whole document (which would leak head/title text); the JVM
+    and Arrow variants must agree."""
+    page = "<html><head><title>Chrome</title></head><body></body></html>"
+    assert _extract(spark, page) == ""
+    df = spark.createDataFrame([(page.encode(),)], "html binary")
+    got = df.select(html_to_text_arrow(F.col("html")).alias("t")).first().t
+    assert got == ""

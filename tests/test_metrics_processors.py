@@ -117,3 +117,27 @@ def test_labels_plan_is_narrow(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_labels_many_rules_linear_plan(spark):
+    """15 chained upsert/insert rules must not blow up the expression
+    tree (~3^k without the projection barrier); construction + plan
+    analysis completes instantly and semantics hold."""
+    import time
+
+    from fluent_bit_spark.operators.metrics_processors import apply_labels
+
+    df = spark.createDataFrame(
+        [("m", {"l0": "v0"})], "metric_name string, labels map<string,string>"
+    )
+    ups = [(f"k{i}", f"v{i}") for i in range(8)]
+    ins = [(f"j{i}", f"w{i}") for i in range(7)]
+    t0 = time.perf_counter()
+    out = apply_labels(df, upsert=ups, insert=ins)
+    row = out.collect()[0]
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 30  # 3^15 trees hang for minutes / OOM
+    labels = row["labels"]
+    assert labels["l0"] == "v0"
+    assert all(labels[f"k{i}"] == f"v{i}" for i in range(8))
+    assert all(labels[f"j{i}"] == f"w{i}" for i in range(7))

@@ -988,3 +988,74 @@ def test_corpus_prep_composite(spark, tmp_path):
     assert ("beta.com", "en") not in got  # beta's only doc lost dedup
     total_chars = sum(len(t) for _, d, t, _ in rows if d in (1, 4))
     assert card["total_chars"] == total_chars
+
+
+def _mk_png_ga(w, h, pixels):
+    """Gray+alpha (color type 4) PNG: rows of (gray, alpha) tuples."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(
+        b"\x00" + b"".join(bytes(p) for p in row) for row in pixels
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_pixel_stats_gray_alpha_channels(spark):
+    """2-channel gray+alpha: gray replicates into r/g/b means; the
+    alpha plane must never be reported as a color mean."""
+    from fluent_bit_spark.textprep.multimodal import decode_pixel_stats
+
+    ga = _mk_png_ga(2, 1, [[(10, 255), (30, 255)]])
+    df = spark.createDataFrame([(1, bytearray(ga))], "id long, payload binary")
+    row = decode_pixel_stats(df).collect()[0]
+    assert row["channels"] == 2
+    assert row["mean_r"] == row["mean_g"] == row["mean_b"] == 20.0
+
+
+def test_lsh_and_ivf_udfs_null_safe(spark):
+    """A null or ragged embedding degrades to a null bucket/cell/probe
+    (rows drop out of candidate joins), never a task crash."""
+    from fluent_bit_spark.textprep.simsearch import (
+        bucket_udf,
+        cell_assign_udf,
+        hyperplanes,
+        probe_cells_udf,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, None),
+        (3, [0.5, 0.5]),  # ragged: wrong dim
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = hyperplanes(4, 4)
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    got = {
+        r["vec_id"]: r
+        for r in df.select(
+            "vec_id",
+            bucket_udf(planes)(F.col("embedding")).alias("bucket"),
+            cell_assign_udf(cents)(F.col("embedding")).alias("cell"),
+            probe_cells_udf(cents, 2)(F.col("embedding")).alias("probes"),
+        ).collect()
+    }
+    assert got[2]["bucket"] is None and got[3]["bucket"] is None
+    assert got[2]["cell"] is None and got[3]["cell"] is None
+    assert got[2]["probes"] is None and got[3]["probes"] is None
+    assert got[1]["cell"] == 0 and got[4]["cell"] == 1
+    assert got[1]["bucket"] is not None and got[1]["probes"] is not None
