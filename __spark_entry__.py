@@ -712,6 +712,36 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup run to completion: the documents table is
+    replayed as two micro-batches (originals first, then a duplicated
+    slice re-keyed past 1e9), maxFilesPerTrigger=1 so the duplicates
+    genuinely cross the state store between batches. Survivors are
+    deterministically the originals (mtime-ordered replay), and the
+    documents table has no internal text dups, so the oracle is the
+    identity projection of the batch table.
+    """
+    import tempfile
+
+    from fluent_bit_spark.streaming.dedup import (
+        dedup_available_now,
+        write_duplicated_stream_input,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    d = tempfile.mkdtemp(prefix="dedup_stream_")
+    write_duplicated_stream_input(
+        docs, d, F.col("doc_id") % 10 == 0, id_col="doc_id"
+    )
+    out = dedup_available_now(
+        spark,
+        d,
+        "doc_id long, text string, lang string",
+        max_files_per_trigger=1,
+    )
+    return out.select("doc_id", "digest", "lang")
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
@@ -1431,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # harness locally (tools/check_oracles.py) but need driver rows.
     return {
         "corpus_prep": q_corpus_prep,
+        "dedup_exact_stream": q_dedup_exact_stream,
         "metrics_labels": q_metrics_labels,
         "metrics_selector": q_metrics_selector,
         "otel_envelope": q_otel_envelope,
@@ -1950,6 +1981,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keep_id, count(*)::bigint AS n_dups,
                    md5(text) AS digest
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_exact_stream": """
+            SELECT doc_id, md5(text) AS digest, lang FROM documents
         """,
         "dedup_ngram_jaccard": f"""
             WITH s AS (SELECT doc_id AS id, lang, {hs} AS hs FROM documents)
