@@ -742,6 +742,99 @@ def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "digest", "lang")
 
 
+# ---- web-corpus curation ops (Gopher/C4-style, webtext axis) ----
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.textprep.webfilters import gopher_quality_cols
+
+    return gopher_quality_cols(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "alpha_word_ratio",
+        "gopher_pass",
+    )
+
+
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.textprep.webfilters import (
+        line_repetition_cols,
+        spark_chunk_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "lines", F.expr(spark_chunk_lines("text"))
+    )
+    return line_repetition_cols(docs).select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac"
+    )
+
+
+def q_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.textprep.webfilters import top_ngram_coverage
+
+    return top_ngram_coverage(_t(spark, sf_dir, "documents"), n=2)
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.textprep.webfilters import domain_cap
+
+    return domain_cap(
+        _t(spark, sf_dir, "documents"), max_per_domain=10
+    ).withColumn("domain_rank", F.col("domain_rank").cast("long"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.textprep.webfilters import pii_scrub_cols
+
+    # the fixture corpus has no PII; synthesize it deterministically
+    # (same construction in the oracle) so the scrub has real work
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (415) 555-01"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 end"),
+        ),
+    )
+    return pii_scrub_cols(docs, "text2").select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        F.md5("scrubbed").alias("scrub_digest"),
+    )
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.textprep.webfilters import (
+        c4_clean_cols,
+        spark_chunk_lines,
+    )
+
+    # chunked pseudo-lines with content-keyed terminal punctuation so
+    # the keep-rule has signal on the newline-free fixture corpus
+    lines = spark_chunk_lines("text")
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "lines",
+        F.expr(
+            f"transform({lines}, l -> IF(length(l) % 3 = 0, concat(l, '.'), l))"
+        ),
+    )
+    return c4_clean_cols(docs).select(
+        "doc_id",
+        "n_kept_lines",
+        F.md5("clean_text").alias("clean_digest"),
+        "c4_keep",
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
@@ -1462,6 +1555,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "corpus_prep": q_corpus_prep,
         "dedup_exact_stream": q_dedup_exact_stream,
+        "gopher_quality": q_gopher_quality,
+        "line_repetition": q_line_repetition,
+        "top_bigram": q_top_bigram,
+        "domain_cap": q_domain_cap,
+        "pii_scrub": q_pii_scrub,
+        "c4_line_filter": q_c4_line_filter,
         "metrics_labels": q_metrics_labels,
         "metrics_selector": q_metrics_selector,
         "otel_envelope": q_otel_envelope,
@@ -1644,6 +1743,12 @@ def _duck_embedding_lsh_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from fluent_bit_spark.textprep import webfilters as WF
+
+    WF_G = WF.duck_gopher_quality("text")
+    WF_L = WF.duck_line_repetition("lines")
+    WF_P = WF.duck_pii_scrub("text2")
+    WF_C = WF.duck_c4_clean("lines")
     h32_doc = "('0x'||substr(md5(cast(doc_id as varchar)),1,8))::bigint"
     tokens = P.duck_tokens("text")
     th = P.duck_hash_array(tokens)
@@ -1984,6 +2089,87 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact_stream": """
             SELECT doc_id, md5(text) AS digest, lang FROM documents
+        """,
+        "gopher_quality": f"""
+            WITH sig AS (
+                SELECT doc_id,
+                       {WF_G["n_words"]} AS n_words,
+                       {WF_G["mean_word_len"]} AS mean_word_len,
+                       {WF_G["symbol_word_ratio"]} AS symbol_word_ratio,
+                       {WF_G["alpha_word_ratio"]} AS alpha_word_ratio
+                FROM (SELECT doc_id, {WF_G["prelude"]} FROM documents)
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                   alpha_word_ratio,
+                   (n_words BETWEEN {WF.GOPHER_MIN_WORDS} AND {WF.GOPHER_MAX_WORDS}
+                    AND mean_word_len BETWEEN {WF.GOPHER_MIN_MEAN_LEN} AND {WF.GOPHER_MAX_MEAN_LEN}
+                    AND symbol_word_ratio <= {WF.GOPHER_MAX_SYMBOL_RATIO}
+                    AND alpha_word_ratio >= {WF.GOPHER_MIN_ALPHA_RATIO}) AS gopher_pass
+            FROM sig
+        """,
+        "line_repetition": f"""
+            WITH l AS (SELECT doc_id, {WF.duck_chunk_lines("text")} AS lines
+                       FROM documents),
+                 s AS (SELECT doc_id, lines, {WF_L["prelude"]} FROM l)
+            SELECT doc_id,
+                   {WF_L["n_lines"]} AS n_lines,
+                   {WF_L["dup_line_frac"]} AS dup_line_frac,
+                   {WF_L["dup_line_char_frac"]} AS dup_line_char_frac
+            FROM s
+        """,
+        "top_bigram": f"""
+            WITH tk AS (SELECT doc_id, len(text)::bigint AS _len,
+                               {tokens} AS _tk FROM documents),
+                 g AS (SELECT doc_id, _len,
+                              unnest([array_to_string(list_slice(_tk, i, i+1), ' ')
+                                      for i in generate_series(1, greatest(len(_tk)-1, 1))]) AS gram
+                       FROM tk),
+                 c AS (SELECT doc_id, _len, gram, count(*)::bigint AS cnt
+                       FROM g GROUP BY 1, 2, 3),
+                 r AS (SELECT *, row_number() OVER (
+                           PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+                       FROM c)
+            SELECT doc_id, gram AS top_gram, cnt AS top_gram_count,
+                   round((cnt * len(gram))::double / greatest(_len, 1), 6)
+                       AS top_gram_char_frac
+            FROM r WHERE rn = 1
+        """,
+        "domain_cap": """
+            SELECT doc_id, source, domain_rank FROM (
+                SELECT doc_id, source, row_number() OVER (
+                    PARTITION BY source ORDER BY doc_id) AS domain_rank
+                FROM documents
+            ) WHERE domain_rank <= 10
+        """,
+        "pii_scrub": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id::varchar ||
+                       '@example.com or +1 (415) 555-01' || (doc_id % 100)::varchar ||
+                       ' at 10.0.' || (doc_id % 256)::varchar || '.7 end' AS text2
+                FROM documents
+            )
+            SELECT doc_id,
+                   {WF_P["n_email"]} AS n_email,
+                   {WF_P["n_ip"]} AS n_ip,
+                   {WF_P["n_phone"]} AS n_phone,
+                   md5({WF_P["scrubbed"]}) AS scrub_digest
+            FROM t
+        """,
+        "c4_line_filter": f"""
+            WITH l AS (
+                SELECT doc_id,
+                       list_transform({WF.duck_chunk_lines("text")},
+                           l -> CASE WHEN len(l) % 3 = 0 THEN l || '.' ELSE l END)
+                           AS lines
+                FROM documents
+            ),
+                 k AS (SELECT doc_id, lines, {WF_C["prelude"]} FROM l)
+            SELECT doc_id,
+                   {WF_C["n_kept_lines"]} AS n_kept_lines,
+                   md5({WF_C["clean_text"]}) AS clean_digest,
+                   ({WF_C["c4_keep"]}) AS c4_keep
+            FROM k
         """,
         "dedup_ngram_jaccard": f"""
             WITH s AS (SELECT doc_id AS id, lang, {hs} AS hs FROM documents)

@@ -62,6 +62,13 @@ HEADLINE = [
     "html_extract",
     "quality_score",
     "lang_id",
+    "gopher_quality",
+    "line_repetition",
+    "top_bigram",
+    "domain_cap",
+    "pii_scrub",
+    "c4_line_filter",
+    "dedup_exact_stream",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

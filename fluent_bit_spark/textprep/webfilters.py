@@ -1,0 +1,368 @@
+"""Web-corpus curation filters: Gopher-style quality gates, line
+repetition signals, top n-gram coverage, per-domain frequency caps,
+PII scrubbing, and C4-style line cleaning.
+
+These are the standard published heuristics for LLM training-data
+curation over web text (Gopher: Rae et al. 2021 §A1.1; C4: Raffel et
+al. 2020 §2.2) re-expressed as Catalyst expressions with exact DuckDB
+oracle renderings (portable.py discipline: every metric is a pure
+function of the input string computed identically in both dialects).
+
+Scale shape (100 TB):
+- gopher signals / line repetition / PII scrub / C4 clean: map-only,
+  whole-stage-codegen, zero shuffles until a downstream aggregate.
+  The line-duplication char fraction uses an array_sort + adjacent-
+  equality scan, O(L log L) per row — NOT the naive O(L^2)
+  count-each-line-in-list.
+- top n-gram coverage: explode -> (doc, gram) count -> per-doc argmax
+  via a single min(struct(-cnt, gram)) aggregate — two map-side-
+  combinable shuffles, no window, no skew (grams are per-doc keys).
+- domain cap: one shuffle on the domain key; rank cutoff via
+  row_number. Skewed domains are bounded by the cutoff itself (state
+  per domain is the cap, not the domain size) but the sort within a
+  huge domain still pays — AQE skew-split applies (session default).
+
+There is no fluent-bit analog (the reference has no corpus surface);
+this is the LLM-pipeline axis of the task brief, sitting beside
+textstats.py in the corpus_prep path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.textprep import portable as P
+
+# ------------------------------------------------------- lines array
+
+WORDS_PER_LINE = 8
+
+
+def spark_chunk_lines(text_col: str, wpl: int = WORDS_PER_LINE) -> str:
+    """Pseudo-line array: whitespace tokens joined in chunks of
+    ``wpl``. Harness for line-based ops over corpora with no
+    newlines; real web text uses :func:`spark_newline_lines`."""
+    tk = P.spark_tokens(text_col)
+    return (
+        f"transform(sequence(0, greatest(cast(ceil(size({tk})/{wpl}.0) as int)-1, 0)),"
+        f" i -> array_join(slice({tk}, i*{wpl}+1, {wpl}), ' '))"
+    )
+
+
+def duck_chunk_lines(text_col: str, wpl: int = WORDS_PER_LINE) -> str:
+    tk = P.duck_tokens(text_col)
+    return (
+        f"[array_to_string(list_slice({tk}, i*{wpl}+1, i*{wpl}+{wpl}), ' ') for i in "
+        f"generate_series(0, greatest(cast(ceil(len({tk})/{wpl}.0) as int)-1, 0))]"
+    )
+
+
+def spark_newline_lines(text_col: str) -> str:
+    return f"split({text_col}, '\\n')"
+
+
+# --------------------------------------------- line repetition stats
+
+def line_repetition_cols(df: DataFrame, lines_col: str = "lines") -> DataFrame:
+    """Gopher-style line-duplication signals over a lines array:
+
+    - n_lines
+    - dup_line_frac: excess copies / total (1 - distinct/total)
+    - dup_line_char_frac: chars in ANY line whose content occurs more
+      than once, / total line chars.
+
+    The char fraction sorts the array once and scans adjacent
+    equality (O(L log L)), map-only.
+    """
+    sl = f"array_sort({lines_col})"
+    dup_chars = (
+        f"aggregate(sequence(1, size(_sl)), cast(0 as bigint), (acc, i) -> acc + "
+        f"IF((i > 1 AND element_at(_sl, i) = element_at(_sl, i-1)) OR "
+        f"(i < size(_sl) AND element_at(_sl, i) = element_at(_sl, i+1)), "
+        f"length(element_at(_sl, i)), cast(0 as bigint)))"
+    )
+    tot_chars = (
+        "aggregate(_sl, cast(0 as bigint), (acc, l) -> acc + length(l))"
+    )
+    return (
+        df.withColumn("_sl", F.expr(sl))
+        .withColumn("n_lines", F.expr(f"size({lines_col})").cast("bigint"))
+        .withColumn(
+            "dup_line_frac",
+            F.expr(
+                f"round(1.0 - cast(size(array_distinct({lines_col})) as double)"
+                f" / greatest(size({lines_col}), 1), 6)"
+            ),
+        )
+        .withColumn(
+            "dup_line_char_frac",
+            F.expr(
+                f"round(cast({dup_chars} as double) / greatest({tot_chars}, 1), 6)"
+            ),
+        )
+        .drop("_sl")
+    )
+
+
+def duck_line_repetition(lines: str) -> dict[str, str]:
+    """DuckDB renderings of the three line_repetition_cols outputs,
+    parameterized by a lines-array expression."""
+    dup_chars = (
+        "list_reduce(list_prepend(0::bigint, "
+        "[i for i in generate_series(1, len(_sl))]), (acc, i) -> acc + "
+        "CASE WHEN (i > 1 AND _sl[i] = _sl[i-1]) OR "
+        "(i < len(_sl) AND _sl[i] = _sl[i+1]) "
+        "THEN len(_sl[i])::bigint ELSE 0::bigint END)"
+    )
+    tot_chars = (
+        "list_reduce(list_prepend(0::bigint, "
+        "list_transform(_sl, l -> len(l)::bigint)), (acc, x) -> acc + x)"
+    )
+    return {
+        "prelude": f"list_sort({lines}) AS _sl",
+        "n_lines": f"len({lines})::bigint",
+        "dup_line_frac": (
+            f"round(1.0 - len(list_distinct({lines}))::double"
+            f" / greatest(len({lines}), 1), 6)"
+        ),
+        "dup_line_char_frac": (
+            f"round(({dup_chars})::double / greatest({tot_chars}, 1), 6)"
+        ),
+    }
+
+
+# ------------------------------------------------ gopher word signals
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+
+
+def gopher_quality_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-level Gopher quality signals + the combined pass gate
+    (word count / mean word length / symbol-word ratio / alpha-word
+    ratio thresholds from the published rules). Map-only."""
+    df = df.withColumn("_tk", F.expr(P.spark_tokens(text_col)))
+    return (
+        df.withColumn("n_words", F.expr("size(_tk)").cast("bigint"))
+        .withColumn(
+            "mean_word_len",
+            F.expr(
+                "round(aggregate(_tk, cast(0 as double), (a, t) -> a + length(t))"
+                " / greatest(size(_tk), 1), 6)"
+            ),
+        )
+        .withColumn(
+            "symbol_word_ratio",
+            F.expr(
+                "round(cast(size(filter(_tk, t -> t like '%#%' OR t like '%...%'))"
+                " as double) / greatest(size(_tk), 1), 6)"
+            ),
+        )
+        .withColumn(
+            "alpha_word_ratio",
+            F.expr(
+                "round(cast(size(filter(_tk, t -> t rlike '[A-Za-z]')) as double)"
+                " / greatest(size(_tk), 1), 6)"
+            ),
+        )
+        .withColumn(
+            "gopher_pass",
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= GOPHER_MAX_WORDS)
+            & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_LEN)
+            & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_LEN)
+            & (F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+            & (F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_RATIO),
+        )
+        .drop("_tk")
+    )
+
+
+def duck_gopher_quality(text_col: str) -> dict[str, str]:
+    tk = P.duck_tokens(text_col)
+    return {
+        "prelude": f"{tk} AS _tk",
+        "n_words": "len(_tk)::bigint",
+        "mean_word_len": (
+            "round(list_reduce(list_prepend(0.0, list_transform(_tk, "
+            "t -> len(t)::double)), (a, x) -> a + x) / greatest(len(_tk), 1), 6)"
+        ),
+        "symbol_word_ratio": (
+            "round(len(list_filter(_tk, t -> contains(t, '#') OR "
+            "contains(t, '...')))::double / greatest(len(_tk), 1), 6)"
+        ),
+        "alpha_word_ratio": (
+            "round(len(list_filter(_tk, t -> regexp_matches(t, '[A-Za-z]')))"
+            "::double / greatest(len(_tk), 1), 6)"
+        ),
+        # the pass gate is composed over these (rounded) columns by the
+        # caller's outer SELECT, mirroring gopher_quality_cols exactly
+    }
+
+
+# --------------------------------------------- top n-gram coverage
+
+def top_ngram_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Most frequent word n-gram per doc and the fraction of the
+    document's characters it covers (occurrences * gram length /
+    text length) — the Gopher top-n-gram repetition signal.
+
+    Distributed shape: explode grams -> partial-agg count on
+    (doc, gram) -> per-doc argmax via min(struct(-cnt, gram)) (count
+    desc, gram asc tie-break). Two map-side-combinable shuffles; no
+    window, no per-doc quadratic work.
+    """
+    tk = P.spark_tokens(text_col)
+    grams = (
+        f"transform(sequence(1, greatest(size(_tk)-{n - 1}, 1)),"
+        f" i -> array_join(slice(_tk, i, {n}), ' '))"
+    )
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.length(text_col).cast("bigint").alias("_len"),
+            F.expr(tk).alias("_tk"),
+        )
+        .withColumn("gram", F.explode(F.expr(grams)))
+        .drop("_tk")
+    )
+    counted = exploded.groupBy(id_col, "_len", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = counted.groupBy(id_col, "_len").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("gram"))).alias("_t")
+    )
+    return top.select(
+        id_col,
+        F.col("_t.gram").alias("top_gram"),
+        (-F.col("_t.neg")).cast("bigint").alias("top_gram_count"),
+        F.expr(
+            "round(cast((0 - _t.neg) * length(_t.gram) as double)"
+            " / greatest(_len, 1), 6)"
+        ).alias("top_gram_char_frac"),
+    )
+
+
+# ------------------------------------------------------- domain cap
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    max_per_domain: int = 10,
+) -> DataFrame:
+    """Keep at most N documents per domain (deterministic: lowest ids
+    win). The standard crawl-balance step before training-corpus
+    assembly. One shuffle on the domain key; output keeps the rank so
+    downstream can re-cut cheaper."""
+    w = Window.partitionBy(domain_col).orderBy(F.col(id_col))
+    return (
+        df.select(id_col, domain_col)
+        .withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= max_per_domain)
+    )
+
+
+# -------------------------------------------------------- PII scrub
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, regex, replacement) — RE2-safe (no lookaround), identical
+    # semantics in Java regex and DuckDB RE2
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9()\- ]{6,14}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails / IPv4s / intl phone numbers with typed tokens;
+    emit per-kind match counts and the scrubbed text. Map-only, pure
+    regexp (patterns applied in list order, so an email's host part
+    is consumed before the IP rule can see it)."""
+    out = df
+    scrubbed = F.col(text_col)
+    for name, rx, rep in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.expr(f"regexp_extract_all({text_col}, r'{rx}', 0)")).cast(
+                "bigint"
+            ),
+        )
+        scrubbed = F.regexp_replace(scrubbed, rx, rep)
+    return out.withColumn("scrubbed", scrubbed)
+
+
+def duck_pii_scrub(text_col: str) -> dict[str, str]:
+    exprs: dict[str, str] = {}
+    scrubbed = text_col
+    for name, rx, rep in PII_PATTERNS:
+        exprs[f"n_{name}"] = (
+            f"len(regexp_extract_all({text_col}, '{rx}'))::bigint"
+        )
+        scrubbed = f"regexp_replace({scrubbed}, '{rx}', '{rep}', 'g')"
+    exprs["scrubbed"] = scrubbed
+    return exprs
+
+
+# ------------------------------------------------- C4 line cleaning
+
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_KEPT_LINES = 3
+C4_BANNED_SUBSTRINGS = ["lorem ipsum", "{", "javascript"]
+
+
+def c4_clean_cols(df: DataFrame, lines_col: str = "lines") -> DataFrame:
+    """C4-style cleaning over a lines array: keep lines that end in
+    terminal punctuation and have >= 3 words; a doc survives if >= 3
+    lines remain and no banned substring appears anywhere. Emits the
+    cleaned text, kept-line count, and the keep flag. Map-only."""
+    kept = (
+        f"filter({lines_col}, l -> "
+        f"l rlike '[.!?\"]$' AND size(split(l, ' ')) >= {C4_MIN_WORDS_PER_LINE}"
+        f" AND NOT contains(lower(l), 'javascript'))"
+    )
+    banned = " OR ".join(
+        f"contains(lower(array_join({lines_col}, '\\n')), '{s}')"
+        for s in C4_BANNED_SUBSTRINGS
+    )
+    return (
+        df.withColumn("_kept", F.expr(kept))
+        .withColumn("n_kept_lines", F.expr("size(_kept)").cast("bigint"))
+        .withColumn("clean_text", F.expr("array_join(_kept, '\\n')"))
+        .withColumn(
+            "c4_keep",
+            F.expr(
+                f"size(_kept) >= {C4_MIN_KEPT_LINES} AND NOT ({banned})"
+            ),
+        )
+        .drop("_kept")
+    )
+
+
+def duck_c4_clean(lines: str) -> dict[str, str]:
+    kept = (
+        f"list_filter({lines}, l -> regexp_matches(l, '[.!?\"]$') AND "
+        f"len(string_split(l, ' ')) >= {C4_MIN_WORDS_PER_LINE} AND "
+        f"NOT contains(lower(l), 'javascript'))"
+    )
+    banned = " OR ".join(
+        f"contains(lower(array_to_string({lines}, chr(10))), '{s}')"
+        for s in C4_BANNED_SUBSTRINGS
+    )
+    return {
+        "prelude": f"{kept} AS _kept",
+        "n_kept_lines": "len(_kept)::bigint",
+        # duck array_to_string([]) is NULL; Spark array_join([]) is ''
+        "clean_text": "coalesce(array_to_string(_kept, chr(10)), '')",
+        "c4_keep": f"len(_kept) >= {C4_MIN_KEPT_LINES} AND NOT ({banned})",
+    }

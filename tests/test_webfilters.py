@@ -1,0 +1,137 @@
+"""Web-corpus curation filters: hand-computed goldens for the
+Gopher/C4-style signals, top-n-gram coverage, domain caps, PII scrub."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.textprep.webfilters import (
+    c4_clean_cols,
+    domain_cap,
+    gopher_quality_cols,
+    line_repetition_cols,
+    pii_scrub_cols,
+    spark_chunk_lines,
+    top_ngram_coverage,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_repetition_golden(spark):
+    df = spark.createDataFrame(
+        [(1, ["aa", "bb", "aa", "cc"]), (2, ["x", "y"])],
+        "doc_id long, lines array<string>",
+    )
+    out = {
+        r.doc_id: r
+        for r in line_repetition_cols(df, "lines").collect()
+    }
+    # doc 1: 4 lines, 3 distinct -> dup_line_frac = 1 - 3/4 = 0.25;
+    # duplicated content 'aa' covers 2 lines * 2 chars of 8 total
+    assert out[1].n_lines == 4
+    assert out[1].dup_line_frac == pytest.approx(0.25)
+    assert out[1].dup_line_char_frac == pytest.approx(0.5)
+    assert out[2].dup_line_frac == 0.0
+    assert out[2].dup_line_char_frac == 0.0
+
+
+def test_chunk_lines_expr(spark):
+    df = _docs(spark, [(1, "a b c d e f g h i j")])
+    lines = df.select(
+        F.expr(spark_chunk_lines("text", wpl=4)).alias("l")
+    ).first().l
+    assert lines == ["a b c d", "e f g h", "i j"]
+
+
+def test_gopher_gate_golden(spark):
+    good = " ".join(["word"] * 60)  # 60 words, mean len 4, all alpha
+    short = "tiny doc"  # word count below the floor
+    symbolic = " ".join(["word"] * 30 + ["###"] * 30)  # symbol ratio 0.5
+    out = {
+        r.doc_id: r
+        for r in gopher_quality_cols(
+            _docs(spark, [(1, good), (2, short), (3, symbolic)])
+        ).collect()
+    }
+    assert out[1].gopher_pass is True
+    assert out[1].n_words == 60 and out[1].mean_word_len == 4.0
+    assert out[2].gopher_pass is False
+    assert out[3].gopher_pass is False
+    assert out[3].symbol_word_ratio == pytest.approx(0.5)
+
+
+def test_top_bigram_and_tiebreak(spark):
+    # 'b c' occurs twice; 'a b' and 'c a'... construct: a b c b c
+    # bigrams: 'a b','b c','c b','b c' -> top 'b c' x2
+    df = _docs(spark, [(1, "a b c b c"), (2, "x y")])
+    out = {r.doc_id: r for r in top_ngram_coverage(df).collect()}
+    assert out[1].top_gram == "b c" and out[1].top_gram_count == 2
+    # coverage: 2 occurrences * 3 chars / 9 chars
+    assert out[1].top_gram_char_frac == pytest.approx(round(6 / 9, 6))
+    # single bigram doc
+    assert out[2].top_gram == "x y" and out[2].top_gram_count == 1
+    # tie: 'p q' and 'q p' both once -> lexicographically smallest wins
+    df2 = _docs(spark, [(3, "p q p")])
+    r3 = top_ngram_coverage(df2).first()
+    assert r3.top_gram == "p q"
+
+
+def test_domain_cap(spark):
+    rows = [(i, f"d{i % 2}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_cap(df, max_per_domain=3).collect()
+    assert len(out) == 6
+    kept = sorted(r.doc_id for r in out)
+    assert kept == [0, 1, 2, 3, 4, 5]  # lowest ids per domain
+    assert all(r.domain_rank <= 3 for r in out)
+
+
+def test_pii_scrub_golden(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at jo.doe+x@site.org or call +1 (415) 555-0134"),
+            (2, "server 192.168.0.1 and 10.0.0.7 up"),
+            (3, "clean text only"),
+        ],
+    )
+    out = {r.doc_id: r for r in pii_scrub_cols(df).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1 and out[1].n_ip == 0
+    assert "<EMAIL>" in out[1].scrubbed and "<PHONE>" in out[1].scrubbed
+    assert "jo.doe" not in out[1].scrubbed and "555" not in out[1].scrubbed
+    assert out[2].n_ip == 2
+    assert out[2].scrubbed == "server <IP> and <IP> up"
+    assert out[3].scrubbed == "clean text only"
+
+
+def test_c4_clean_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                [
+                    "this line ends properly.",
+                    "so does this one!",
+                    "and a third one?",
+                    "no punctuation here",
+                    "short.",
+                ],
+            ),
+            (2, ["only one good line.", "and javascript cookies here."]),
+            (3, ["lorem ipsum dolor sit amet.", "keeps lines otherwise.",
+                 "three words here.", "four good words here."]),
+        ],
+        "doc_id long, lines array<string>",
+    )
+    out = {r.doc_id: r for r in c4_clean_cols(df).collect()}
+    # doc 1: 3 lines survive (>=3 words + terminal punct) -> keep
+    assert out[1].n_kept_lines == 3 and out[1].c4_keep is True
+    assert out[1].clean_text.count("\n") == 2
+    # doc 2: javascript line dropped, only 1 kept -> below floor
+    assert out[2].n_kept_lines == 1 and out[2].c4_keep is False
+    # doc 3: enough kept lines but 'lorem ipsum' bans the whole doc
+    assert out[3].n_kept_lines >= 3 and out[3].c4_keep is False

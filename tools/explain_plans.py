@@ -184,6 +184,42 @@ def main() -> int:
          ok, f"{n_ex} exchanges")
     )
 
+    # 13. web-corpus filters: the per-row signal ops are zero-exchange
+    #     codegen projections (map-only at 100 TB)
+    for qname in ("gopher_quality", "line_repetition", "pii_scrub",
+                  "c4_line_filter"):
+        p = plan_of(qs[qname](spark, sf_dir))
+        n_ex = n_exchanges(p)
+        ok = n_ex == 0 and "Python" not in p and "codegen id" in p
+        checks.append(
+            (f"{qname}: zero-exchange all-JVM projection", ok,
+             f"{n_ex} exchanges")
+        )
+    sections.append(
+        ("gopher_quality (map-only web filter)",
+         plan_of(qs["gopher_quality"](spark, sf_dir)), [])
+    )
+
+    # 14. top_bigram: explode -> two map-side-combinable aggregates,
+    #     no window, no Python
+    p = plan_of(qs["top_bigram"](spark, sf_dir))
+    n_ex = n_exchanges(p)
+    ok = n_ex == 2 and "Window" not in p and "Python" not in p
+    checks.append(
+        ("top_bigram: explode + 2 partial-agg exchanges, no window",
+         ok, f"{n_ex} exchanges")
+    )
+    sections.append(("top_bigram (distributed argmax)", p, []))
+
+    # 15. domain_cap: single exchange on the domain key
+    p = plan_of(qs["domain_cap"](spark, sf_dir))
+    n_ex = n_exchanges(p)
+    ok = n_ex == 1 and "Python" not in p
+    checks.append(
+        ("domain_cap: one exchange (domain-key window)", ok,
+         f"{n_ex} exchanges")
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
