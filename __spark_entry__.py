@@ -835,6 +835,15 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.textprep.webfilters import benchmark_ngram_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    # deterministic stand-in benchmark corpus: every 50th document
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    return benchmark_ngram_overlap(docs, bench, n=8)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
@@ -1561,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "pii_scrub": q_pii_scrub,
         "c4_line_filter": q_c4_line_filter,
+        "decontam": q_decontam,
         "metrics_labels": q_metrics_labels,
         "metrics_selector": q_metrics_selector,
         "otel_envelope": q_otel_envelope,
@@ -2155,6 +2165,16 @@ def oracle_sql() -> dict[str, str]:
                    {WF_P["n_phone"]} AS n_phone,
                    md5({WF_P["scrubbed"]}) AS scrub_digest
             FROM t
+        """,
+        "decontam": f"""
+            WITH dt AS (SELECT doc_id, {tokens} AS _tk FROM documents),
+                 dh AS (SELECT doc_id, {WF.duck_ngram_hash_list(8)} AS gs
+                        FROM dt),
+                 dg AS (SELECT doc_id, unnest(gs) AS gh FROM dh),
+                 bg AS (SELECT DISTINCT unnest(gs) AS gh FROM dh
+                        WHERE doc_id % 50 = 0)
+            SELECT doc_id, count(*)::bigint AS n_hits
+            FROM dg JOIN bg USING (gh) GROUP BY doc_id
         """,
         "c4_line_filter": f"""
             WITH l AS (

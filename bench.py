@@ -68,6 +68,7 @@ HEADLINE = [
     "domain_cap",
     "pii_scrub",
     "c4_line_filter",
+    "decontam",
     "dedup_exact_stream",
     "ann_cosine_topk",
     "ann_lsh_topk",

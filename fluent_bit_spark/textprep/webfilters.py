@@ -314,6 +314,58 @@ def duck_pii_scrub(text_col: str) -> dict[str, str]:
     return exprs
 
 
+# -------------------------------------------- benchmark decontamination
+
+def benchmark_ngram_overlap(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-set decontamination: flag documents sharing any word
+    n-gram with a benchmark/eval corpus (the published PaLM/GPT-3
+    13-gram-overlap method, parameterized n).
+
+    Distributed shape: both sides hash their distinct n-grams to
+    int64 (h32, portable) — the doc side explodes to (doc, hash) and
+    inner-joins the BROADCAST benchmark hash set, so the 100 TB side
+    never shuffles until the final per-doc count (which only carries
+    matching rows, normally a tiny fraction). Emits (doc_id, n_hits =
+    distinct contaminated grams); clean docs are absent (inner join).
+    """
+    tk = P.spark_tokens(text_col)
+    gram = f"array_join(slice(_tk, i, {n}), ' ')"
+    gexpr = (
+        f"array_distinct(transform(sequence(1, greatest(size(_tk)-{n - 1}, 1)),"
+        f" i -> {P.spark_h32(gram)}))"
+    )
+    doc_g = (
+        docs.withColumn("_tk", F.expr(tk))
+        .select(F.col(id_col), F.explode(F.expr(gexpr)).alias("gh"))
+    )
+    bench_g = (
+        bench.withColumn("_tk", F.expr(tk))
+        .select(F.explode(F.expr(gexpr)).alias("gh"))
+        .distinct()
+    )
+    return (
+        doc_g.join(F.broadcast(bench_g), "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def duck_ngram_hash_list(n: int = 8) -> str:
+    """Distinct word-n-gram h32 hashes over a bound ``_tk`` token
+    array, identical to the Spark side's gexpr."""
+    gram = f"array_to_string(list_slice(_tk, i, i+{n - 1}), ' ')"
+    return (
+        f"list_distinct([{P.duck_h32(gram)} for i in "
+        f"generate_series(1, greatest(len(_tk)-{n - 1}, 1))])"
+    )
+
+
 # ------------------------------------------------- C4 line cleaning
 
 C4_MIN_WORDS_PER_LINE = 3

@@ -135,3 +135,19 @@ def test_c4_clean_golden(spark):
     assert out[2].n_kept_lines == 1 and out[2].c4_keep is False
     # doc 3: enough kept lines but 'lorem ipsum' bans the whole doc
     assert out[3].n_kept_lines >= 3 and out[3].c4_keep is False
+
+
+def test_benchmark_decontam(spark):
+    from fluent_bit_spark.textprep.webfilters import benchmark_ngram_overlap
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h i j"),          # contains the bench 8-gram
+            (2, "z y x w v u t s r q"),          # clean
+            (3, "x a b c d e f g h tail words"), # bench gram shifted inside
+        ],
+    )
+    bench = spark.createDataFrame([("a b c d e f g h",)], "text string")
+    out = {r.doc_id: r.n_hits for r in benchmark_ngram_overlap(docs, bench, n=8).collect()}
+    assert out == {1: 1, 3: 1}  # doc 2 clean -> absent

@@ -211,6 +211,19 @@ def main() -> int:
     )
     sections.append(("top_bigram (distributed argmax)", p, []))
 
+    # 14b. decontam: benchmark hash set is BROADCAST — the corpus side
+    #      never shuffles until the per-doc count of matches
+    p = plan_of(qs["decontam"](spark, sf_dir))
+    ok = (
+        "BroadcastHashJoin" in p
+        and "SortMergeJoin" not in p
+        and "Python" not in p
+    )
+    checks.append(
+        ("decontam: broadcast benchmark n-gram join, no sort-merge", ok, "")
+    )
+    sections.append(("decontam (broadcast benchmark overlap)", p, []))
+
     # 15. domain_cap: single exchange on the domain key
     p = plan_of(qs["domain_cap"](spark, sf_dir))
     n_ex = n_exchanges(p)
