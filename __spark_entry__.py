@@ -1275,6 +1275,56 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus pipeline under Structured Streaming: digest-unique
+    originals (min-url survivor, matching the batch rule) replay as
+    micro-batch 0, a re-keyed duplicated slice 30 minutes later as
+    batch 1 (dropped by cross-batch dedup state, NOT by the
+    watermark), and a far-future advancer page as batch 2 whose
+    watermark finalizes every real card window. The oracle is the
+    batch card over the digest-unique originals."""
+    import tempfile
+
+    from fluent_bit_spark.streaming.corpus import (
+        corpus_card_available_now,
+        write_replay_batches,
+    )
+
+    pages = _pages_from_documents(_t(spark, sf_dir, "documents"))
+    w = Window.partitionBy(F.md5("text")).orderBy("url")
+    originals = (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    dups = (
+        originals.filter(F.crc32("url") % 4 == 0)
+        .withColumn("url", F.concat("url", F.lit("?dup")))
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    adv = originals.limit(1).select(
+        F.lit("https://adv.example/x").alias("url"),
+        (F.col("warc_ts") + F.expr("INTERVAL 48 HOURS")).alias("warc_ts"),
+        F.lit("<html><body><pre>advancer</pre></body></html>")
+        .cast("binary")
+        .alias("html"),
+        F.lit("advancer").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    d = tempfile.mkdtemp(prefix="corpus_stream_")
+    write_replay_batches([originals, dups, adv], d)
+    out = corpus_card_available_now(spark, d, max_files_per_trigger=1)
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start"),
+        "domain",
+        "pred_lang",
+        "n_docs",
+        "total_ws_tokens",
+        "total_chars",
+        "total_alpha_chars",
+    )
+
+
 def q_otel_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_opentelemetry_envelope marker-row form
     (otel_envelope.c envelop_init/envelop_end): one OTLP group per
@@ -1563,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # harness locally (tools/check_oracles.py) but need driver rows.
     return {
         "corpus_prep": q_corpus_prep,
+        "corpus_stream": q_corpus_stream,
         "dedup_exact_stream": q_dedup_exact_stream,
         "gopher_quality": q_gopher_quality,
         "line_repetition": q_line_repetition,
@@ -2099,6 +2150,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact_stream": """
             SELECT doc_id, md5(text) AS digest, lang FROM documents
+        """,
+        "corpus_stream": f"""
+            WITH pages AS (
+              SELECT doc_id,
+                     'https://' || source || '.com/' || cast(doc_id as varchar)
+                       AS url,
+                     text
+              FROM documents
+            ),
+            grp AS (
+              SELECT md5(text) AS digest, min(url) AS keep_url
+              FROM pages GROUP BY md5(text)
+            ),
+            kept AS (
+              SELECT p.doc_id, p.url, p.text
+              FROM pages p
+              JOIN grp g ON md5(p.text) = g.digest AND p.url = g.keep_url
+            ),
+            tok AS (
+              SELECT doc_id, url, text, {tokens} AS tk,
+                     length(text)::bigint AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::bigint
+                       AS alpha_chars
+              FROM kept
+            ),
+            scored AS (
+              SELECT doc_id, url, len(tk)::bigint AS ws_tokens, n_chars,
+                     alpha_chars, [{lang_scores}] AS scores
+              FROM tok
+            ),
+            stats AS (
+              SELECT doc_id, url, ws_tokens, n_chars, alpha_chars,
+                     ([{lang_arr}])[list_position(scores, list_max(scores))]
+                       AS pred_lang
+              FROM scored
+              WHERE ws_tokens >= 3 AND alpha_chars * 2 >= n_chars
+            )
+            SELECT (e + doc_id - (e + doc_id) % 3600)::bigint AS window_start,
+                   regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+                   pred_lang,
+                   count(*)::bigint AS n_docs,
+                   cast(sum(ws_tokens) as bigint) AS total_ws_tokens,
+                   cast(sum(n_chars) as bigint) AS total_chars,
+                   cast(sum(alpha_chars) as bigint) AS total_alpha_chars
+            FROM stats,
+                 (SELECT epoch(TIMESTAMP '2026-01-01 00:00:00')::bigint AS e)
+            GROUP BY 1, 2, 3
         """,
         "gopher_quality": f"""
             WITH sig AS (

@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "pipeline_e2e",
     "corpus_prep",
+    "corpus_stream",
     "q1_pricing_summary",
     "enrich_broadcast",
     "geoip2",
