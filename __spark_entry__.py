@@ -1325,6 +1325,34 @@ def q_corpus_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (F.session_window; the
+    window-family completion next to sp tumbling/hopping). Oracle is
+    the classic gaps-and-islands SQL."""
+    from fluent_bit_spark.operators.sessionize import sessionize
+
+    # whole-second timestamps on both sides: sub-second precision
+    # would make epoch casts (floor vs round) and gap comparisons
+    # diverge between the engines
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", F.col("ts"))
+    )
+    out = sessionize(
+        ev,
+        ["user_id"],
+        ts_col="ts",
+        gap="4 hours",
+        aggs=[F.round(F.sum("value"), 4).alias("sum_value")],
+    )
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_start"),
+        F.col("session_end").cast("long").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_otel_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_opentelemetry_envelope marker-row form
     (otel_envelope.c envelop_init/envelop_end): one OTLP group per
@@ -1622,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "c4_line_filter": q_c4_line_filter,
         "decontam": q_decontam,
+        "sessionize": q_sessionize,
         "metrics_labels": q_metrics_labels,
         "metrics_selector": q_metrics_selector,
         "otel_envelope": q_otel_envelope,
@@ -2263,6 +2292,37 @@ def oracle_sql() -> dict[str, str]:
                    {WF_P["n_phone"]} AS n_phone,
                    md5({WF_P["scrubbed"]}) AS scrub_digest
             FROM t
+        """,
+        "sessionize": """
+            WITH trunc AS (
+                SELECT user_id, date_trunc('second', ts) AS ts, value
+                FROM events
+            ),
+            ordered AS (
+                SELECT user_id, ts, value,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_t
+                FROM trunc
+            ),
+            marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN prev_t IS NULL
+                                 OR date_diff('second', prev_t, ts) > 14400
+                            THEN 1 ELSE 0 END AS new_session
+                FROM ordered
+            ),
+            islands AS (
+                SELECT user_id, ts, value,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            )
+            SELECT user_id,
+                   epoch(min(ts))::bigint AS session_start,
+                   (epoch(max(ts)) + 14400)::bigint AS session_end,
+                   count(*)::bigint AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM islands GROUP BY user_id, sid
         """,
         "decontam": f"""
             WITH dt AS (SELECT doc_id, {tokens} AS _tk FROM documents),

@@ -47,6 +47,7 @@ HEADLINE = [
     "sp_aggregate",
     "sp_tumbling",
     "sp_hopping",
+    "sessionize",
     "sp_create_stream",
     "multiline_java",
     "decoder_chain",

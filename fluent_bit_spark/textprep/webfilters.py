@@ -29,7 +29,7 @@ textstats.py in the corpus_prep path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fluent_bit_spark.textprep import portable as P

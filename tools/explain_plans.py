@@ -224,6 +224,15 @@ def main() -> int:
     )
     sections.append(("decontam (broadcast benchmark overlap)", p, []))
 
+    # 14c. sessionize: one exchange on the session key, no Python
+    p = plan_of(qs["sessionize"](spark, sf_dir))
+    n_ex = n_exchanges(p)
+    ok = n_ex == 1 and "Python" not in p
+    checks.append(
+        ("sessionize: one exchange (session-key aggregate)", ok,
+         f"{n_ex} exchanges")
+    )
+
     # 15. domain_cap: single exchange on the domain key
     p = plan_of(qs["domain_cap"](spark, sf_dir))
     n_ex = n_exchanges(p)
