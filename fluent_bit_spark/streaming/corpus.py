@@ -109,6 +109,38 @@ def write_replay_batches(dfs: list[DataFrame], out_dir: str) -> None:
                 os.utime(p, (st.st_atime + 60 * i, st.st_mtime + 60 * i))
 
 
+def corpus_card_start(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark_delay: str = "2 hours",
+    window_duration: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+):
+    """Durable form: append finalized card windows to parquet with a
+    checkpoint. A killed/restarted run resumes from the checkpoint —
+    already-processed source files are not re-read and the dedup +
+    window STATE carries over (the resume test proves a duplicate
+    arriving after restart is still dropped by pre-restart state)."""
+    reader = spark.readStream.schema(PAGES_SCHEMA).option(
+        "recursiveFileLookup", "true"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    card = corpus_card_stream(
+        reader.parquet(source_dir), watermark_delay, window_duration
+    )
+    return (
+        card.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def corpus_card_available_now(
     spark: SparkSession,
     source_dir: str,

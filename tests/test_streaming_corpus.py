@@ -25,6 +25,79 @@ def _write(df, path, bump):
             os.utime(p, (st.st_atime + bump, st.st_mtime + bump))
 
 
+def test_corpus_checkpoint_resume_preserves_dedup_state(spark, tmp_path):
+    """Kill/restart between micro-batches: the restarted run must not
+    re-read processed files, and duplicates arriving after the
+    restart must still be dropped by the dedup state written BEFORE
+    the restart."""
+    from fluent_bit_spark.streaming.corpus import corpus_card_start
+    from fluent_bit_spark.streaming.job import run_stream_to_completion
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "card")
+    ckpt = str(tmp_path / "ckpt")
+    pages = generate_pages(spark, 200, partitions=2)
+    w = Window.partitionBy(F.md5("text")).orderBy("url")
+    originals = (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .select("url", "warc_ts", "html", "text", "lang")
+    )
+    _write(originals, os.path.join(src, "b0"), 0)
+
+    # run 1 drains b0, then the "job" dies
+    q = corpus_card_start(spark, src, out, ckpt)
+    run_stream_to_completion(q)
+
+    # while down: duplicates (30 min later, new urls) + an advancer
+    dups = (
+        originals.filter(F.crc32("url") % 3 == 0)
+        .withColumn("url", F.concat("url", F.lit("?dup")))
+        .withColumn(
+            "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 30 MINUTES")
+        )
+    )
+    _write(dups, os.path.join(src, "b1"), 60)
+    adv = originals.limit(1).select(
+        F.lit("https://adv.example/x").alias("url"),
+        (F.col("warc_ts") + F.expr("INTERVAL 48 HOURS")).alias("warc_ts"),
+        "html",
+        F.lit("advancer").alias("text"),
+        "lang",
+    )
+    _write(adv, os.path.join(src, "b2"), 120)
+
+    # run 2 resumes from the checkpoint
+    q = corpus_card_start(spark, src, out, ckpt)
+    run_stream_to_completion(q)
+    # resumed run read only the new files' rows, not b0 again
+    n_new = dups.count() + 1
+    read_rows = sum(p["numInputRows"] for p in q.recentProgress)
+    assert read_rows == n_new
+
+    got = spark.read.parquet(out)
+    expected = (
+        corpus_gates(originals.select("url", "warc_ts", "text"))
+        .groupBy(
+            F.window("warc_ts", "1 hour").alias("w"), "domain", "pred_lang"
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("domain", "pred_lang", "n_docs")
+    )
+    g = {(r.domain, r.pred_lang): r.n_docs for r in got.collect()}
+    e = {(r.domain, r.pred_lang): r.n_docs for r in expected.collect()}
+    # aggregate across windows per (domain, lang) for the compare
+    agg_g: dict = {}
+    for (d, l), n in g.items():
+        agg_g[(d, l)] = agg_g.get((d, l), 0) + n
+    agg_e: dict = {}
+    for (d, l), n in e.items():
+        agg_e[(d, l)] = agg_e.get((d, l), 0) + n
+    # every duplicate was dropped by state restored from run 1
+    assert agg_g == agg_e
+
+
 def test_streaming_card_matches_batch(spark, tmp_path):
     src = str(tmp_path / "pages")
     pages = generate_pages(spark, 400, partitions=4)
