@@ -771,6 +771,23 @@ def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.textprep.webfilters import (
+        dedup_lines_cols,
+        spark_chunk_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "lines", F.expr(spark_chunk_lines("text"))
+    )
+    return dedup_lines_cols(docs).select(
+        "doc_id",
+        "n_lines_in",
+        "n_lines_out",
+        F.md5("clean_text").alias("clean_digest"),
+    )
+
+
 def q_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_spark.textprep.webfilters import top_ngram_coverage
 
@@ -1645,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_stream": q_dedup_exact_stream,
         "gopher_quality": q_gopher_quality,
         "line_repetition": q_line_repetition,
+        "dedup_lines": q_dedup_lines,
         "top_bigram": q_top_bigram,
         "domain_cap": q_domain_cap,
         "pii_scrub": q_pii_scrub,
@@ -1837,6 +1855,7 @@ def oracle_sql() -> dict[str, str]:
 
     WF_G = WF.duck_gopher_quality("text")
     WF_L = WF.duck_line_repetition("lines")
+    WF_DL = WF.duck_dedup_lines("lines")
     WF_P = WF.duck_pii_scrub("text2")
     WF_C = WF.duck_c4_clean("lines")
     h32_doc = "('0x'||substr(md5(cast(doc_id as varchar)),1,8))::bigint"
@@ -2253,6 +2272,16 @@ def oracle_sql() -> dict[str, str]:
                    {WF_L["dup_line_frac"]} AS dup_line_frac,
                    {WF_L["dup_line_char_frac"]} AS dup_line_char_frac
             FROM s
+        """,
+        "dedup_lines": f"""
+            WITH l AS (SELECT doc_id, {WF.duck_chunk_lines("text")} AS lines
+                       FROM documents),
+                 k AS (SELECT doc_id, lines, {WF_DL["prelude"]} FROM l)
+            SELECT doc_id,
+                   {WF_DL["n_lines_in"]} AS n_lines_in,
+                   {WF_DL["n_lines_out"]} AS n_lines_out,
+                   md5({WF_DL["clean_text"]}) AS clean_digest
+            FROM k
         """,
         "top_bigram": f"""
             WITH tk AS (SELECT doc_id, len(text)::bigint AS _len,

@@ -66,6 +66,7 @@ HEADLINE = [
     "lang_id",
     "gopher_quality",
     "line_repetition",
+    "dedup_lines",
     "top_bigram",
     "domain_cap",
     "pii_scrub",

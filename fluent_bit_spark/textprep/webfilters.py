@@ -132,6 +132,43 @@ def duck_line_repetition(lines: str) -> dict[str, str]:
     }
 
 
+# ------------------------------------------- in-doc line dedup (clean)
+
+def dedup_lines_cols(df: DataFrame, lines_col: str = "lines") -> DataFrame:
+    """Remove repeated lines WITHIN a document, keeping the first
+    occurrence in order (the cleaning transform behind the
+    line_repetition signals — Gopher-style paragraph dedup).
+
+    Map-only; per-row cost is bounded by array_position's first-match
+    scan (worst-case O(L^2) on pathological all-distinct docs, but
+    the scan short-circuits at the first hit which for the common
+    duplicate-heavy case is far below that).
+    """
+    kept = (
+        f"filter({lines_col}, (l, i) -> "
+        f"array_position({lines_col}, l) = i + 1)"
+    )
+    return (
+        df.withColumn("_kept", F.expr(kept))
+        .withColumn("n_lines_in", F.expr(f"size({lines_col})").cast("bigint"))
+        .withColumn("n_lines_out", F.expr("size(_kept)").cast("bigint"))
+        .withColumn("clean_text", F.expr("array_join(_kept, '\\n')"))
+        .drop("_kept")
+    )
+
+
+def duck_dedup_lines(lines: str) -> dict[str, str]:
+    # duck lambda index i is 1-based; Spark's is 0-based (hence i+1
+    # above) — list_position/array_position are both first-match
+    kept = f"list_filter({lines}, (l, i) -> list_position({lines}, l) = i)"
+    return {
+        "prelude": f"{kept} AS _kept",
+        "n_lines_in": f"len({lines})::bigint",
+        "n_lines_out": "len(_kept)::bigint",
+        "clean_text": "coalesce(array_to_string(_kept, chr(10)), '')",
+    }
+
+
 # ------------------------------------------------ gopher word signals
 
 GOPHER_MIN_WORDS = 50

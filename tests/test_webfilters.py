@@ -151,3 +151,16 @@ def test_benchmark_decontam(spark):
     bench = spark.createDataFrame([("a b c d e f g h",)], "text string")
     out = {r.doc_id: r.n_hits for r in benchmark_ngram_overlap(docs, bench, n=8).collect()}
     assert out == {1: 1, 3: 1}  # doc 2 clean -> absent
+
+
+def test_dedup_lines_golden(spark):
+    from fluent_bit_spark.textprep.webfilters import dedup_lines_cols
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "a", "c", "b", "a"]), (2, ["x"])],
+        "doc_id long, lines array<string>",
+    )
+    out = {r.doc_id: r for r in dedup_lines_cols(df).collect()}
+    assert out[1].n_lines_in == 6 and out[1].n_lines_out == 3
+    assert out[1].clean_text == "a\nb\nc"  # first occurrences, in order
+    assert out[2].clean_text == "x"
