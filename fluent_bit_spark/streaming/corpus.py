@@ -148,9 +148,14 @@ def corpus_card_available_now(
     window_duration: str = "1 hour",
     max_files_per_trigger: int | None = None,
     timeout_sec: int = 300,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain a page directory through the streaming corpus pipeline
-    and return the finalized card windows as a batch DataFrame."""
+    and return the finalized card windows as a batch DataFrame.
+
+    ``state_partitions`` bounds the two stateful operators' per-batch
+    state-store fixed cost for small drains (captured at first start;
+    pass None on a real cluster). Restored after completion."""
     reader = spark.readStream.schema(PAGES_SCHEMA).option(
         "recursiveFileLookup", "true"
     )
@@ -160,12 +165,19 @@ def corpus_card_available_now(
         reader.parquet(source_dir), watermark_delay, window_duration
     )
     name = "corpus_" + uuid.uuid4().hex[:12]
-    q = (
-        card.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    run_stream_to_completion(q, timeout_sec)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            card.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_stream_to_completion(q, timeout_sec)
+    finally:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

@@ -85,6 +85,7 @@ def dedup_available_now(
     delay: str = "10 minutes",
     max_files_per_trigger: int | None = None,
     timeout_sec: int = 300,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a streaming exact dedup to completion over a directory of
     parquet files and return the survivors as a batch DataFrame.
@@ -97,6 +98,11 @@ def dedup_available_now(
 
     ``ts_col=None`` selects the global (unbounded-state) form;
     naming a timestamp column selects the watermarked form.
+
+    ``state_partitions`` bounds the per-micro-batch state-store fixed
+    cost for small drains (the shuffle-partition count is captured
+    into the checkpoint at first start; a real 100 TB run passes
+    None to keep the session's width). Restored after completion.
     """
     reader = spark.readStream.schema(schema).option(
         "recursiveFileLookup", "true"
@@ -109,14 +115,21 @@ def dedup_available_now(
     else:
         deduped = dedup_stream_watermarked(src, text_col, ts_col, delay)
     name = "dedup_" + uuid.uuid4().hex[:12]
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    run_stream_to_completion(q, timeout_sec)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_stream_to_completion(q, timeout_sec)
+    finally:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
