@@ -802,6 +802,24 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("domain_rank", F.col("domain_rank").cast("long"))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.textprep.webfilters import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), ["source"], n_per_stratum=5
+    )
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.textprep.webfilters import token_budget_pack
+    from fluent_bit_spark.textprep.textstats import token_count_cols
+
+    docs = token_count_cols(_t(spark, sf_dir, "documents"))
+    return token_budget_pack(
+        docs, budget=500, key_cols=["lang"], token_col="ws_tokens"
+    ).withColumn("ws_tokens", F.col("ws_tokens").cast("bigint"))
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_spark.textprep.webfilters import pii_scrub_cols
 
@@ -1669,6 +1687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "decontam": q_decontam,
         "sessionize": q_sessionize,
+        "stratified_sample": q_stratified_sample,
+        "token_budget": q_token_budget,
         "metrics_labels": q_metrics_labels,
         "metrics_selector": q_metrics_selector,
         "otel_envelope": q_otel_envelope,
@@ -2352,6 +2372,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM islands GROUP BY user_id, sid
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, source, sample_rank FROM (
+                SELECT doc_id, source, row_number() OVER (
+                    PARTITION BY source ORDER BY {h32_doc}, doc_id
+                )::bigint AS sample_rank
+                FROM documents
+            ) WHERE sample_rank <= 5
+        """,
+        "token_budget": f"""
+            WITH tok AS (
+                SELECT doc_id, lang, len({tokens})::bigint AS ws_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, lang, ws_tokens,
+                       sum(ws_tokens) OVER (
+                           PARTITION BY lang ORDER BY {h32_doc}, doc_id
+                           ROWS UNBOUNDED PRECEDING)::bigint AS cum_tokens
+                FROM tok
+            )
+            SELECT doc_id, lang, ws_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= 500
         """,
         "decontam": f"""
             WITH dt AS (SELECT doc_id, {tokens} AS _tk FROM documents),

@@ -69,6 +69,8 @@ HEADLINE = [
     "dedup_lines",
     "top_bigram",
     "domain_cap",
+    "stratified_sample",
+    "token_budget",
     "pii_scrub",
     "c4_line_filter",
     "decontam",

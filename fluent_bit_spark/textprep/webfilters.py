@@ -310,6 +310,54 @@ def domain_cap(
     )
 
 
+# ---------------------------------------------- corpus assembly ops
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic pseudo-random N-per-stratum sample: rank rows
+    within each stratum by h32(id) (hash order = stable shuffle; task
+    retries and cluster size never change the sample) and keep the
+    first N. One shuffle on the strata key."""
+    h = f"{P.spark_h32(f'cast({id_col} as string)')}"
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.expr(h), F.col(id_col)
+    )
+    return (
+        df.select(id_col, *strata_cols)
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def token_budget_pack(
+    df: DataFrame,
+    budget: int,
+    key_cols: list[str],
+    token_col: str = "ws_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assemble a training mix under a per-key token budget: walk
+    each key's documents in deterministic hash order, accumulate
+    token counts, keep documents while the running total stays
+    within budget. The standard dataset-assembly cut. One shuffle on
+    the key; the cumulative sum is a running window frame (no
+    per-key collect)."""
+    h = f"{P.spark_h32(f'cast({id_col} as string)')}"
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.expr(h), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(id_col, *key_cols, token_col).withColumn(
+        "cum_tokens", F.sum(token_col).over(w).cast("bigint")
+    )
+    return out.filter(F.col("cum_tokens") <= budget)
+
+
 # -------------------------------------------------------- PII scrub
 
 PII_PATTERNS: list[tuple[str, str, str]] = [

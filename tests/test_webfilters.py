@@ -164,3 +164,35 @@ def test_dedup_lines_golden(spark):
     assert out[1].n_lines_in == 6 and out[1].n_lines_out == 3
     assert out[1].clean_text == "a\nb\nc"  # first occurrences, in order
     assert out[2].clean_text == "x"
+
+
+def test_stratified_sample_deterministic(spark):
+    from fluent_bit_spark.textprep.webfilters import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "doc_id long, source string"
+    )
+    a = {(r.doc_id, r.sample_rank) for r in stratified_sample(df, ["source"], 4).collect()}
+    b = {(r.doc_id, r.sample_rank) for r in
+         stratified_sample(df.repartition(7), ["source"], 4).collect()}
+    assert a == b  # partitioning never changes the sample
+    assert len(a) == 12  # 4 per stratum x 3 strata
+
+
+def test_token_budget_pack(spark):
+    from fluent_bit_spark.textprep.webfilters import token_budget_pack
+
+    df = spark.createDataFrame(
+        [(i, "en", 10) for i in range(10)] + [(100, "de", 25), (101, "de", 30)],
+        "doc_id long, lang string, ws_tokens int",
+    )
+    out = token_budget_pack(df, budget=35, key_cols=["lang"]).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    # en: 10 tokens each -> exactly 3 fit within 35
+    assert len(by_lang["en"]) == 3
+    assert max(r.cum_tokens for r in by_lang["en"]) == 30
+    # de: hash order decides which of 25/30 goes first; either way
+    # only the first fits (25 or 30 <= 35, adding the second exceeds)
+    assert len(by_lang["de"]) == 1
