@@ -897,6 +897,109 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_col(_t(spark, sf_dir, "documents")).select("doc_id", "simhash")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair graph -> connected components -> one canonical doc per
+    cluster (min-label propagation; oracle = recursive-CTE reachability)."""
+    from fluent_bit_spark.textprep.clusters import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.2, est_margin=0.125).select(
+        "id_a", "id_b"
+    )
+    return dedup_clusters(docs, pairs)
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-crawl-batch dedup against the accepted corpus index (exact
+    digest anti-join + LSH band probe), never index x index."""
+    from fluent_bit_spark.textprep.clusters import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_dedup(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        sim_threshold=0.25,
+    )
+
+
+def _spans_docs(docs: DataFrame) -> DataFrame:
+    # the fixture corpus has no repeated 8-gram runs; splice in
+    # deterministic boilerplate (license suffix / newsletter prefix)
+    # exactly as a real crawl would carry it, same construction in SQL
+    suffix = (
+        " end of document this content is licensed under the creative"
+        " commons attribution license version four point zero"
+    )
+    prefix = "subscribe to our newsletter for updates and offers today "
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.when(F.col("doc_id") % 6 == 0, F.lit(prefix)).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(suffix)).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated n-gram span removal (Lee et al. hashed
+    approximation): count -> join-back -> per-doc span merge."""
+    from fluent_bit_spark.textprep.spans import duplicated_spans
+
+    docs = _spans_docs(_t(spark, sf_dir, "documents"))
+    return duplicated_spans(docs, n=8, min_count=2, broadcast_dups=True)
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_spark.textprep.lmscore import lm_score
+
+    return lm_score(_t(spark, sf_dir, "documents"))
+
+
+def _url_pages(docs: DataFrame) -> DataFrame:
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.element_at(
+            F.expr("array('.co.uk', '.com', '.org', '.net')"),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/doc"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("/casino")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("?utm_source=feed")).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL gate: host/registrable-domain parse, normalization, broadcast
+    blocklist join, path-keyword regex (C4/RefinedWeb-style)."""
+    from fluent_bit_spark.textprep.urltools import url_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.expr(P.spark_h32("source"))
+    bl = (
+        docs.select("source").distinct()
+        .select(
+            F.when(h % 5 == 0, F.concat(F.col("source"), F.lit(".com")))
+            .when(h % 5 == 1, F.concat(F.col("source"), F.lit(".co.uk")))
+            .alias("reg_domain")
+        )
+        .filter(F.col("reg_domain").isNotNull())
+    )
+    return url_filter(_url_pages(docs), bl).select(
+        "doc_id", "host", "reg_domain", "path", "norm_url",
+        "blocked_domain", "blocked_path", "url_allow",
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_col(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
 
@@ -1675,6 +1778,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recorded rows for the first 50 only — these 12 passed the same
     # harness locally (tools/check_oracles.py) but need driver rows.
     return {
+        "dedup_clusters": q_dedup_clusters,
+        "incremental_dedup": q_incremental_dedup,
+        "substring_dedup": q_substring_dedup,
+        "lm_score": q_lm_score,
+        "url_filter": q_url_filter,
         "corpus_prep": q_corpus_prep,
         "corpus_stream": q_corpus_stream,
         "dedup_exact_stream": q_dedup_exact_stream,
@@ -1870,6 +1978,74 @@ def _duck_embedding_lsh_sql() -> str:
     )
 
 
+def _duck_substring_dedup() -> str:
+    from fluent_bit_spark.textprep.spans import duck_duplicated_spans
+
+    # same deterministic boilerplate splice as _spans_docs
+    suffix = (
+        " end of document this content is licensed under the creative"
+        " commons attribution license version four point zero"
+    )
+    prefix = "subscribe to our newsletter for updates and offers today "
+    src = (
+        "(SELECT doc_id,"
+        f" (CASE WHEN doc_id % 6 = 0 THEN '{prefix}' ELSE '' END)"
+        " || text ||"
+        f" (CASE WHEN doc_id % 4 = 0 THEN '{suffix}' ELSE '' END) AS text"
+        " FROM documents)"
+    )
+    return duck_duplicated_spans(n=8, min_count=2, source=src)
+
+
+def _duck_lm_score_sql() -> str:
+    from fluent_bit_spark.textprep.lmscore import duck_lm_score
+
+    return duck_lm_score()
+
+
+def _duck_url_filter() -> str:
+    from fluent_bit_spark.textprep.urltools import duck_url_parts
+
+    u = duck_url_parts("url")
+    h32s = P.duck_h32("source")
+    return f"""
+        WITH pages AS (
+          SELECT doc_id,
+                 'https://'
+                 || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                 || source
+                 || (['.co.uk', '.com', '.org', '.net'])[(doc_id % 4 + 1)]
+                 || '/' || lang || '/doc' || cast(doc_id as varchar)
+                 || (CASE WHEN doc_id % 17 = 0 THEN '/casino' ELSE '' END)
+                 || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END)
+                 || (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END)
+                   AS url
+          FROM documents
+        ),
+        bl AS (
+          SELECT reg_domain FROM (
+            SELECT CASE WHEN {h32s} % 5 = 0 THEN source || '.com'
+                        WHEN {h32s} % 5 = 1 THEN source || '.co.uk' END AS reg_domain
+            FROM (SELECT DISTINCT source FROM documents)
+          ) WHERE reg_domain IS NOT NULL
+        ),
+        p AS (
+          SELECT doc_id, {u['host']} AS host, {u['reg_domain']} AS reg_domain,
+                 {u['path']} AS path, {u['norm_url']} AS norm_url
+          FROM pages
+        ),
+        flagged AS (
+          SELECT p.*, bl.reg_domain IS NOT NULL AS blocked_domain,
+                 regexp_matches(p.path, '{u['blocked_path_pat']}') AS blocked_path
+          FROM p LEFT JOIN bl ON p.reg_domain = bl.reg_domain
+        )
+        SELECT doc_id, host, reg_domain, path, norm_url,
+               blocked_domain, blocked_path,
+               (NOT blocked_domain AND NOT blocked_path) AS url_allow
+        FROM flagged
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from fluent_bit_spark.textprep import webfilters as WF
 
@@ -1885,6 +2061,33 @@ def oracle_sql() -> dict[str, str]:
     hs = P.duck_hash_array(shingles)
     sig = P.duck_minhash_sig("hs")
     bands = P.duck_band_keys("sig")
+    # minhash-LSH pair CTE chain, shared by dedup_minhash_lsh (plain
+    # SELECT) and dedup_clusters (recursive-CTE connected components)
+    mh_ctes = f"""s AS (SELECT doc_id AS id, {hs} AS hs FROM documents),
+            sigs AS (SELECT id, hs, {sig} AS sig FROM s),
+            bands AS (SELECT id, bi AS band, ({bands})[bi + 1] AS bkey
+                      FROM sigs CROSS JOIN unnest(generate_series(0, {P.N_BANDS - 1})) AS t(bi)),
+            sized AS (SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= 1000),
+            b2 AS (SELECT bands.* FROM bands JOIN sized USING (band, bkey)),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM b2 a JOIN b2 b
+                     ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+            scored AS (SELECT c.id_a, c.id_b,
+                   len(list_filter(generate_series(1, {P.N_HASHES}),
+                       i -> qa.sig[i] = qb.sig[i]))::double / {P.N_HASHES} AS est
+                   FROM cand c JOIN sigs qa ON c.id_a = qa.id
+                               JOIN sigs qb ON c.id_b = qb.id),
+            mh_pairs AS MATERIALIZED (SELECT sc.id_a, sc.id_b,
+                   CASE WHEN sc.est >= 0.325 THEN round(sc.est, 6)
+                        ELSE round(len(list_intersect(sa.hs, sb.hs))::double
+                             / len(list_distinct(list_concat(sa.hs, sb.hs))), 6)
+                   END AS jacc
+            FROM scored sc JOIN s sa ON sc.id_a = sa.id
+                           JOIN s sb ON sc.id_b = sb.id
+            WHERE sc.est >= 0.325
+               OR (sc.est > 0.075 AND
+                   round(len(list_intersect(sa.hs, sb.hs))::double
+                         / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) >= 0.2))"""
     sw = ",".join(f"'{w}'" for w in STOPWORDS)
     langs = list(LANG_PROFILES)
     lang_arr = ",".join(f"'{x}'" for x in langs)
@@ -2431,32 +2634,57 @@ def oracle_sql() -> dict[str, str]:
                         / len(list_distinct(list_concat(a.hs, b.hs))), 6) >= 0.2
         """,
         "dedup_minhash_lsh": f"""
-            WITH s AS (SELECT doc_id AS id, {hs} AS hs FROM documents),
-            sigs AS (SELECT id, hs, {sig} AS sig FROM s),
-            bands AS (SELECT id, bi AS band, ({bands})[bi + 1] AS bkey
-                      FROM sigs CROSS JOIN unnest(generate_series(0, {P.N_BANDS - 1})) AS t(bi)),
-            sized AS (SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= 1000),
-            b2 AS (SELECT bands.* FROM bands JOIN sized USING (band, bkey)),
-            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                     FROM b2 a JOIN b2 b
-                     ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
-            scored AS (SELECT c.id_a, c.id_b,
-                   len(list_filter(generate_series(1, {P.N_HASHES}),
-                       i -> qa.sig[i] = qb.sig[i]))::double / {P.N_HASHES} AS est
-                   FROM cand c JOIN sigs qa ON c.id_a = qa.id
-                               JOIN sigs qb ON c.id_b = qb.id)
-            SELECT sc.id_a, sc.id_b,
-                   CASE WHEN sc.est >= 0.325 THEN round(sc.est, 6)
-                        ELSE round(len(list_intersect(sa.hs, sb.hs))::double
-                             / len(list_distinct(list_concat(sa.hs, sb.hs))), 6)
-                   END AS jacc
-            FROM scored sc JOIN s sa ON sc.id_a = sa.id
-                           JOIN s sb ON sc.id_b = sb.id
-            WHERE sc.est >= 0.325
-               OR (sc.est > 0.075 AND
-                   round(len(list_intersect(sa.hs, sb.hs))::double
-                         / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) >= 0.2)
+            WITH {mh_ctes}
+            SELECT id_a, id_b, jacc FROM mh_pairs
         """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {mh_ctes},
+            edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM mh_pairs
+                      UNION ALL SELECT id_b, id_a FROM mh_pairs),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ),
+            labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                       FROM reach GROUP BY src)
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                   doc_id = cluster_id AS keep
+            FROM labels
+        """,
+        "incremental_dedup": f"""
+            WITH s AS (SELECT doc_id AS id, doc_id % 5 = 0 AS is_batch,
+                              md5(text) AS digest, {hs} AS hs FROM documents),
+            sigs AS (SELECT id, is_batch, digest, {sig} AS sig FROM s),
+            ib AS (SELECT id AS iid, digest, sig FROM sigs WHERE NOT is_batch),
+            nb AS (SELECT id AS nid, digest, sig FROM sigs WHERE is_batch),
+            ibands AS (SELECT iid, bi AS band, ({bands})[bi + 1] AS bkey
+                       FROM ib CROSS JOIN unnest(generate_series(0, {P.N_BANDS - 1})) AS t(bi)),
+            iok AS (SELECT band, bkey FROM ibands GROUP BY band, bkey
+                    HAVING count(*) <= 1000),
+            ib2 AS (SELECT ibands.* FROM ibands JOIN iok USING (band, bkey)),
+            nbands AS (SELECT nid, bi AS band, ({bands})[bi + 1] AS bkey
+                       FROM nb CROSS JOIN unnest(generate_series(0, {P.N_BANDS - 1})) AS t(bi)),
+            cand AS (SELECT DISTINCT n.nid, i.iid
+                     FROM nbands n JOIN ib2 i USING (band, bkey)),
+            near AS (SELECT c.nid, min(c.iid) AS near_dup_of
+                     FROM cand c JOIN nb ON c.nid = nb.nid
+                                 JOIN ib ON c.iid = ib.iid
+                     WHERE len(list_filter(generate_series(1, {P.N_HASHES}),
+                           i -> nb.sig[i] = ib.sig[i]))::double / {P.N_HASHES} >= 0.25
+                     GROUP BY c.nid),
+            idix AS (SELECT DISTINCT digest FROM ib)
+            SELECT nb.nid AS doc_id,
+                   idix.digest IS NULL AS is_new_exact,
+                   near.near_dup_of,
+                   (idix.digest IS NULL AND near.near_dup_of IS NULL) AS kept
+            FROM nb LEFT JOIN idix ON nb.digest = idix.digest
+                    LEFT JOIN near ON nb.nid = near.nid
+        """,
+        "substring_dedup": _duck_substring_dedup(),
+        "lm_score": _duck_lm_score_sql(),
+        "url_filter": _duck_url_filter(),
         "dedup_simhash": f"""
             WITH t AS (SELECT doc_id, {th} AS th FROM documents)
             SELECT doc_id, {P.duck_simhash('th')} AS simhash FROM t

@@ -58,12 +58,17 @@ HEADLINE = [
     "throttle",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    "incremental_dedup",
+    "substring_dedup",
     "dedup_simhash",
     "fingerprint",
     "token_count",
     "html_extract",
     "quality_score",
     "lang_id",
+    "lm_score",
+    "url_filter",
     "gopher_quality",
     "line_repetition",
     "dedup_lines",

@@ -15,7 +15,7 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
-_LIVE: list[DataFrame] = []
+_LIVE: list = []
 
 
 def track(df: DataFrame) -> DataFrame:
@@ -25,12 +25,26 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_releaser(fn) -> None:
+    """Register an arbitrary zero-arg release callback — for storage
+    that isn't a cached DataFrame (e.g. localCheckpoint RDDs held by
+    iterative operators)."""
+    _LIVE.append(fn)
+
+
+def _release(item) -> None:
+    if callable(item):
+        item()
+    else:
+        item.unpersist(blocking=False)
+
+
 def release_all() -> int:
-    """Unpersist every tracked intermediate (non-blocking). Returns
+    """Release every tracked intermediate (non-blocking). Returns
     the number released. Safe to call when nothing is tracked."""
     n = len(_LIVE)
     while _LIVE:
-        _LIVE.pop().unpersist(blocking=False)
+        _release(_LIVE.pop())
     return n
 
 
@@ -43,4 +57,4 @@ def pinned():
         yield
     finally:
         while len(_LIVE) > mark:
-            _LIVE.pop().unpersist(blocking=False)
+            _release(_LIVE.pop())

@@ -1,0 +1,265 @@
+"""Duplicate-cluster resolution and incremental corpus dedup.
+
+Near-dup *pairs* (textprep.dedup) are only half of a dedup decision:
+a training-data pipeline must turn the pair graph into disjoint
+clusters and keep exactly one canonical document per cluster, and it
+must dedup each *new* crawl batch against the already-accepted corpus
+without re-clustering everything. Both live here.
+
+Scale notes (100 TB):
+
+- ``connected_components`` is min-label propagation over the edge
+  list: O(graph diameter) rounds, each round one join + one
+  partial-aggregated ``min`` groupBy, both hash-partitioned on the
+  vertex id so successive rounds reuse the same partitioning. Near-dup
+  graphs have tiny diameters (dup clusters are dense blobs, not long
+  chains), so this converges in a handful of rounds; for adversarial
+  chain-shaped graphs the same primitive slots into the
+  large-star/small-star rounds of Kiveris et al., "Connected
+  Components in MapReduce and Beyond" (SOCC'14). Every round persists
+  only the current label table (the previous round is unpersisted as
+  soon as the new one is materialized), so state is O(V) no matter how
+  many rounds run.
+
+- ``incremental_dedup`` never touches accepted-corpus *text*: the
+  index side is the digest + MinHash signature table (~1% the width of
+  the corpus, the same table minhash_lsh_pairs persists), so a daily
+  batch joins against a compact index, not 100 TB of history. Exact
+  dedup is one left-anti join on the text digest; near-dup is the
+  standard LSH band equi-join restricted to batch x index (never
+  index x index — history was already deduped).
+
+The reference has no corpus-wide dedup (fluent-bit filters see one
+record at a time); these extend the SURVEY.md training-data set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import cache
+from fluent_bit_spark.textprep import portable as P
+from fluent_bit_spark.textprep.dedup import ensure_parallelism, minhash_signatures
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph.
+
+    ``edges`` holds one row per pair; ``vertices`` (one ``id`` column)
+    optionally supplies the full vertex set so isolated documents come
+    back as singleton components. Returns ``(id, component)`` where
+    ``component`` is the minimum vertex id reachable from ``id`` —
+    deterministic regardless of executor count or round count.
+
+    Implementation notes (the two classic iterative-Spark traps are
+    both handled):
+
+    - every round ends in ``localCheckpoint(eager=True)``, because
+      persist() does NOT truncate the *logical* plan — without the
+      checkpoint each round re-analyzes a strictly deeper tree and
+      round time grows super-linearly. On a real cluster swap in
+      reliable ``checkpoint()`` (localCheckpoint is not
+      executor-loss-tolerant); the loop shape is identical.
+
+    - propagation is hash-min WITH pointer jumping: each round a
+      vertex takes the min over its own label, its neighbors' labels,
+      and *its label's label* (lab joined to itself). The self-join
+      doubles label-path lengths, so convergence is O(log diameter)
+      rounds, not O(diameter) — a 2^25-long chain converges inside
+      the default max_iter.
+
+    Checkpoint blocks of finished rounds are freed as soon as the next
+    round materializes; the final one is registered with
+    cache.track_releaser for the caller's cache.release_all().
+
+    Raises ``RuntimeError`` if not converged after ``max_iter`` rounds.
+    """
+    spark = edges.sparkSession
+    jsc = spark.sparkContext._jsc
+
+    def _rdd_ids() -> set[int]:
+        # getPersistentRDDs returns a fresh snapshot each call
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _free(ids: set[int]) -> None:
+        m = jsc.getPersistentRDDs()
+        for k in list(m.keySet().toArray()):
+            if int(k) in ids:
+                m.get(k).unpersist(False)
+
+    sym = edges.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    if vertices is None:
+        vertices = sym.select(F.col("src").alias("id")).distinct()
+    pre_ids = _rdd_ids()
+    sym = ensure_parallelism(sym).localCheckpoint(eager=True)
+    sym_ids = _rdd_ids() - pre_ids
+    lab = (
+        vertices.select(F.col("id").cast("long"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    lab_ids = _rdd_ids() - pre_ids - sym_ids
+    converged = False
+    for _ in range(max_iter):
+        # neighbor labels flow along edges; min with own label keeps
+        # the per-vertex label monotonically non-increasing
+        msgs = sym.join(lab, sym["src"] == lab["id"]).select(
+            F.col("dst").alias("id"), "comp"
+        )
+        # pointer jump: label of my label (path doubling)
+        jump = (
+            lab.alias("x")
+            .join(lab.alias("y"), F.col("x.comp") == F.col("y.id"))
+            .select(F.col("x.id").alias("id"), F.col("y.comp").alias("comp"))
+        )
+        before = _rdd_ids()
+        new = (
+            lab.select("id", "comp")
+            .unionByName(msgs)
+            .unionByName(jump)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        new_ids = _rdd_ids() - before
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        # previous round's label checkpoint is no longer referenced —
+        # free it now so loop state stays O(V + E)
+        _free(lab_ids)
+        lab_ids = new_ids
+        lab = new
+        if changed == 0:
+            converged = True
+            break
+
+    def _release_final(ids=sym_ids | lab_ids):
+        _free(ids)
+
+    if not converged:
+        _release_final()
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    cache.track_releaser(_release_final)
+    return lab
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Canonical-document selection over a near-dup pair graph.
+
+    Output per document: ``(doc_id, cluster_id, cluster_size, keep)``
+    — ``cluster_id`` is the min doc id in the component, ``keep`` is
+    true for exactly that document (the deterministic survivor), and
+    singleton documents form their own cluster with keep=true.
+    """
+    comp = connected_components(
+        pairs, vertices=docs.select(F.col(id_col).alias("id")), max_iter=max_iter
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.select(F.col("id").alias(id_col), F.col("comp").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
+def incremental_dedup(
+    index_docs: DataFrame,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sim_threshold: float = 0.25,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Dedup a new batch against an already-accepted corpus index.
+
+    Per batch document: ``(doc_id, is_new_exact, near_dup_of, kept)``.
+    ``is_new_exact`` is false when the exact text digest already exists
+    in the index; ``near_dup_of`` is the smallest index doc id whose
+    MinHash-estimated Jaccard >= sim_threshold (null if none);
+    ``kept`` = new exact AND no near-dup.
+
+    The near-dup join is batch-bands x index-bands on (band, bkey) —
+    an equi-join LSH probe, with the same ``max_bucket`` skew guard as
+    minhash_lsh_pairs applied to the *index* side (degenerate buckets,
+    e.g. empty-text clusters, would otherwise fan every batch doc out
+    against them). Similarity here is the signature estimate (unbiased,
+    sd ~ sqrt(J(1-J)/32)); callers wanting exact-Jaccard confirmation
+    can join text back for the accepted pairs, as minhash_lsh_pairs
+    does with est_margin.
+    """
+    idx_sigs = cache.track(
+        minhash_signatures(index_docs, text_col, id_col).withColumnRenamed("id", "iid")
+    )
+    new_sigs = cache.track(
+        minhash_signatures(batch_docs, text_col, id_col).withColumnRenamed("id", "nid")
+    )
+
+    def _bands(sigs: DataFrame, idc: str) -> DataFrame:
+        return sigs.select(
+            idc, F.posexplode(F.expr(P.spark_band_keys("sig"))).alias("band", "bkey")
+        )
+
+    idx_bands = _bands(idx_sigs, "iid")
+    big = (
+        idx_bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("band", "bkey")
+    )
+    idx_bands = idx_bands.join(big, ["band", "bkey"], "left_anti")
+    cand = (
+        _bands(new_sigs, "nid")
+        .join(idx_bands, ["band", "bkey"])
+        .select("nid", "iid")
+        .distinct()
+    )
+    est = (
+        "cast(size(filter(sequence(1, {n}), i -> element_at(a.sig, i) ="
+        " element_at(b.sig, i))) as double) / {n}"
+    ).format(n=P.N_HASHES)
+    near = (
+        cand.join(new_sigs.alias("a"), "nid")
+        .join(idx_sigs.alias("b"), "iid")
+        .withColumn("est", F.expr(est))
+        .filter(F.col("est") >= sim_threshold)
+        .groupBy("nid")
+        .agg(F.min("iid").alias("near_dup_of"))
+    )
+
+    idx_digests = index_docs.select(F.md5(F.col(text_col)).alias("digest")).distinct()
+    out = (
+        batch_docs.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("digest")
+        )
+        .join(idx_digests.withColumn("in_index", F.lit(True)), "digest", "left")
+        .withColumn("is_new_exact", F.col("in_index").isNull())
+        .join(near, F.col(id_col) == F.col("nid"), "left")
+        .select(
+            id_col,
+            "is_new_exact",
+            "near_dup_of",
+            (F.col("is_new_exact") & F.col("near_dup_of").isNull()).alias("kept"),
+        )
+    )
+    return out

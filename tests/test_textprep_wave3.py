@@ -1,0 +1,162 @@
+"""Round-3 wave: duplicate clusters, incremental dedup, substring
+spans, unigram LM scoring, URL tooling."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_spark import cache
+from fluent_bit_spark.textprep.clusters import (
+    connected_components,
+    dedup_clusters,
+    incremental_dedup,
+)
+from fluent_bit_spark.textprep.lmscore import lm_score
+from fluent_bit_spark.textprep.spans import duplicated_spans
+from fluent_bit_spark.textprep.urltools import url_filter, url_parts
+
+
+def test_connected_components_chain_and_singleton(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (9, 8)], ["id_a", "id_b"]
+    )
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 7, 8, 9]], ["id"])
+    out = {
+        r["id"]: r["comp"]
+        for r in connected_components(edges, vertices=verts).collect()
+    }
+    cache.release_all()
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7, 9: 7}
+
+
+def test_connected_components_diameter_guard(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(6)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(edges, max_iter=2)
+    cache.release_all()
+
+
+def test_dedup_clusters_keep_flags(spark):
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(5)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 3), (3, 4)], ["id_a", "id_b"])
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    cache.release_all()
+    assert [rows[i]["cluster_id"] for i in range(5)] == [0, 1, 2, 0, 0]
+    assert [rows[i]["keep"] for i in range(5)] == [True, True, True, False, False]
+    assert rows[0]["cluster_size"] == 3 and rows[1]["cluster_size"] == 1
+
+
+def test_incremental_dedup_exact_and_near(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    index = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark engines")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),  # exact dup of 1
+            (11, base + " tail"),  # near dup of 1
+            (12, "zzz entirely novel qqq words xyzzy never seen"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in incremental_dedup(index, batch, sim_threshold=0.25).collect()
+    }
+    cache.release_all()
+    assert not rows[10]["is_new_exact"] and not rows[10]["kept"]
+    assert rows[10]["near_dup_of"] == 1
+    assert rows[11]["is_new_exact"] and rows[11]["near_dup_of"] == 1
+    assert not rows[11]["kept"]
+    assert rows[12]["is_new_exact"] and rows[12]["near_dup_of"] is None
+    assert rows[12]["kept"]
+
+
+def test_duplicated_spans_boilerplate(spark):
+    boiler = "one two three four five six seven eight"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma delta"),
+            (2, f"epsilon {boiler} zeta eta theta iota"),
+            (3, "totally unique words with no repeats at all whatsoever"),
+            (4, "short doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in duplicated_spans(docs, n=8, min_count=2).collect()
+    }
+    assert rows[1]["dup_token_count"] == 8 and rows[1]["n_spans"] == 1
+    assert rows[2]["dup_token_count"] == 8 and rows[2]["n_spans"] == 1
+    assert rows[3]["dup_token_count"] == 0 and rows[3]["n_spans"] == 0
+    assert rows[4]["n_tokens"] == 2 and rows[4]["dup_token_count"] == 0
+    assert rows[1]["dup_token_frac"] == round(8 / 12, 6)
+    # cleaned text drops exactly the boilerplate run
+    import hashlib
+
+    exp = hashlib.md5(b"alpha beta gamma delta").hexdigest()
+    assert rows[1]["clean_digest"] == exp
+
+
+def test_duplicated_spans_overlapping_merge(spark):
+    # the same 9-token run duplicated -> two overlapping 8-gram starts
+    # merge into ONE span of 9 covered tokens
+    run = "a b c d e f g h i"
+    docs = spark.createDataFrame(
+        [(1, f"x {run} y"), (2, f"p {run} q")], ["doc_id", "text"]
+    )
+    r = {x["doc_id"]: x for x in duplicated_spans(docs, n=8, min_count=2).collect()}
+    assert r[1]["dup_token_count"] == 9 and r[1]["n_spans"] == 1
+
+
+def test_lm_score_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    # counts: a=3, b=1, c=1; N=5, V=3 -> denom 8
+    lp = {t: math.log((c + 1) / 8) for t, c in {"a": 3, "b": 1, "c": 1}.items()}
+    fx = {t: int(round(v * 1e9)) for t, v in lp.items()}
+    exp1 = round((2 * fx["a"] + fx["b"]) / 1e9 / 3, 6)
+    exp2 = round((fx["a"] + fx["c"]) / 1e9 / 2, 6)
+    assert rows[1]["avg_logprob"] == pytest.approx(exp1, abs=1e-9)
+    assert rows[2]["avg_logprob"] == pytest.approx(exp2, abs=1e-9)
+    assert rows[1]["rare_frac"] == round(1 / 3, 6)
+    assert rows[2]["rare_frac"] == 0.5
+
+
+def test_url_parts_and_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.Example.co.uk/news/story/?utm=1"),
+            (2, "https://blog.other.com/casino/win"),
+            (3, "http://plain.org/ok"),
+        ],
+        ["doc_id", "url"],
+    )
+    parts = {r["doc_id"]: r for r in url_parts(df).collect()}
+    assert parts[1]["host"] == "www.example.co.uk"
+    assert parts[1]["reg_domain"] == "example.co.uk"
+    assert parts[1]["norm_url"] == "https://www.example.co.uk/news/story"
+    assert parts[2]["reg_domain"] == "other.com"
+    assert parts[3]["reg_domain"] == "plain.org"
+
+    bl = spark.createDataFrame([("other.com",)], ["reg_domain"])
+    out = {r["doc_id"]: r for r in url_filter(df, bl).collect()}
+    assert not out[1]["blocked_domain"] and out[1]["url_allow"]
+    assert out[2]["blocked_domain"] and out[2]["blocked_path"]
+    assert not out[2]["url_allow"]
+    assert out[3]["url_allow"]
+
+
+def test_no_leaked_caches_after_cluster_ops(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(4)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    with cache.pinned():
+        dedup_clusters(docs, pairs).count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0

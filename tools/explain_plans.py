@@ -233,6 +233,53 @@ def main() -> int:
          f"{n_ex} exchanges")
     )
 
+    # 14d. lm_score: vocab joined back BROADCAST (Zipf-small dim), all
+    #      JVM — the two corpus passes are plain partial-agg shuffles
+    p = plan_of(qs["lm_score"](spark, sf_dir))
+    ok = "BroadcastHashJoin" in p and "Python" not in p
+    checks.append(("lm_score: broadcast vocab join, all-JVM two-pass", ok, ""))
+    sections.append(("lm_score (unigram LM scoring)", p, []))
+
+    # 14e. url_filter: blocklist broadcast; URL parse pure codegen
+    p = plan_of(qs["url_filter"](spark, sf_dir))
+    ok = (
+        "BroadcastHashJoin" in p
+        and "SortMergeJoin" not in p
+        and "Python" not in p
+        and "codegen id" in p
+    )
+    checks.append(("url_filter: codegen URL parse + broadcast blocklist", ok, ""))
+
+    # 14f. substring_dedup: duplicated n-gram set joined back BROADCAST
+    #      (Zipf tail), span merge pure Catalyst arrays — no Python
+    p = plan_of(qs["substring_dedup"](spark, sf_dir))
+    ok = "BroadcastHashJoin" in p and "Python" not in p
+    checks.append(
+        ("substring_dedup: broadcast dup-gram join, Catalyst span merge", ok, "")
+    )
+    sections.append(("substring_dedup (duplicated-span removal)", p, []))
+
+    # 14g. dedup_clusters: the returned plan reads the CONVERGED label
+    #      checkpoint (flat ExistingRDD scan — the propagation loop is
+    #      never re-run per action, and plans don't grow per round)
+    p = plan_of(qs["dedup_clusters"](spark, sf_dir))
+    ok = "ExistingRDD" in p
+    checks.append(
+        ("dedup_clusters: converged labels from flat checkpoint scan", ok, "")
+    )
+    from fluent_bit_spark.cache import release_all
+
+    release_all()
+
+    # 14h. incremental_dedup: signature tables persisted and reused by
+    #      the band probe + estimate join
+    p = plan_of(qs["incremental_dedup"](spark, sf_dir))
+    ok = "InMemoryTableScan" in p or "TableCacheQueryStage" in p
+    checks.append(
+        ("incremental_dedup: persisted sig tables reused across probes", ok, "")
+    )
+    release_all()
+
     # 15. domain_cap: single exchange on the domain key
     p = plan_of(qs["domain_cap"](spark, sf_dir))
     n_ex = n_exchanges(p)
