@@ -984,8 +984,62 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_spark.textprep.urltools import url_filter
 
     docs = _t(spark, sf_dir, "documents")
+    return url_filter(_url_pages(docs), _url_blocklist(docs)).select(
+        "doc_id", "host", "reg_domain", "path", "norm_url",
+        "blocked_domain", "blocked_path", "url_allow",
+    )
+
+
+def q_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup run to completion: a frozen index
+    (doc_id %5 != 0) gates a two-micro-batch replay of the new batch
+    (doc_id %5 == 0). Batch 0 carries the originals PLUS re-keyed
+    copies of index documents (must be dropped by the stream-static
+    digest join); batch 1 replays a re-keyed slice of the originals
+    (must be dropped by the state store across micro-batches). The
+    surviving set is deterministically the %5==0 originals — the
+    oracle's identity projection."""
+    import tempfile
+
+    from fluent_bit_spark.streaming.dedup import (
+        incremental_available_now,
+        with_digest,
+        write_duplicated_stream_input,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    index = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    inject = index.filter(F.col("doc_id") % 7 == 1).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(2_000_000_000)
+    )
+    d = tempfile.mkdtemp(prefix="incdedup_stream_")
+    write_duplicated_stream_input(
+        batch.unionByName(inject), d, F.col("doc_id") % 10 == 0, id_col="doc_id"
+    )
+    out = incremental_available_now(
+        spark,
+        d,
+        "doc_id long, text string, lang string",
+        with_digest(index).select("digest"),
+    )
+    return out.select("doc_id", "digest", "lang")
+
+
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized cosine top-k: integer-exact pair math, 4x smaller
+    index scan (same query/data split as ann_cosine_topk)."""
+    from fluent_bit_spark.textprep.simsearch import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_topk(
+        emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+def _url_blocklist(docs: DataFrame) -> DataFrame:
     h = F.expr(P.spark_h32("source"))
-    bl = (
+    return (
         docs.select("source").distinct()
         .select(
             F.when(h % 5 == 0, F.concat(F.col("source"), F.lit(".com")))
@@ -994,9 +1048,51 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("reg_domain").isNotNull())
     )
-    return url_filter(_url_pages(docs), bl).select(
-        "doc_id", "host", "reg_domain", "path", "norm_url",
-        "blocked_domain", "blocked_path", "url_allow",
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone curation composite: URL gate (blocklist + path words)
+    -> corpus-wide duplicated-span gate -> unigram-LM quality gate ->
+    exact dedup -> per-(registrable domain, lang) corpus card.
+
+    Each stage's corpus is the previous stage's survivor set (the LM
+    trains on span-gated docs, the span counts come from url-gated
+    docs), exactly as chained in the SQL oracle. All gate thresholds
+    compare values that are already rounded identically in both
+    engines, and the card sums are integers — no float-order hazard.
+
+    Scale notes: the gates are map-only over one scan + two broadcast
+    joins (blocklist, dup-gram set) + one broadcast vocab join; the
+    shuffles are the three corpus aggregations (gram count, vocab,
+    card) and the dedup groupBy — all partial-agg combinable."""
+    from fluent_bit_spark.textprep.lmscore import lm_score
+    from fluent_bit_spark.textprep.spans import duplicated_spans
+    from fluent_bit_spark.textprep.urltools import url_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = _url_pages(docs).join(docs.select("doc_id", "text", "lang"), "doc_id")
+    g1 = (
+        url_filter(pages, _url_blocklist(docs))
+        .filter("url_allow")
+        .select("doc_id", "text", "lang", "reg_domain")
+    )
+    spans = duplicated_spans(g1, n=8, min_count=2, broadcast_dups=True)
+    g2 = g1.join(
+        spans.select("doc_id", "n_tokens", "dup_token_count", "dup_token_frac"),
+        "doc_id",
+    ).filter(F.col("dup_token_frac") <= 0.5)
+    lm = lm_score(g2)
+    g3 = g2.join(lm.select("doc_id", "avg_logprob", "rare_frac"), "doc_id").filter(
+        (F.col("avg_logprob") >= -3.6) & (F.col("rare_frac") <= 0.5)
+    )
+    groups = exact_dedup(g3, text_col="text", id_col="doc_id")
+    kept = g3.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id"
+    )
+    return kept.groupBy("reg_domain", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("dup_token_count").cast("bigint").alias("total_dup_tokens"),
     )
 
 
@@ -1780,9 +1876,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_clusters": q_dedup_clusters,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_dedup_stream": q_incremental_dedup_stream,
         "substring_dedup": q_substring_dedup,
         "lm_score": q_lm_score,
         "url_filter": q_url_filter,
+        "ann_quantized": q_ann_quantized,
+        "curation_pipeline": q_curation_pipeline,
         "corpus_prep": q_corpus_prep,
         "corpus_stream": q_corpus_stream,
         "dedup_exact_stream": q_dedup_exact_stream,
@@ -2001,6 +2100,143 @@ def _duck_lm_score_sql() -> str:
     from fluent_bit_spark.textprep.lmscore import duck_lm_score
 
     return duck_lm_score()
+
+
+def _duck_ann_quantized() -> str:
+    from fluent_bit_spark.textprep.simsearch import duck_quantize_expr
+
+    qe, n2t = duck_quantize_expr("embedding")
+    n2 = n2t.format(q="q")
+    dot = (
+        "list_reduce(list_prepend(0::bigint,"
+        f" list_transform(generate_series(1, {DIM}), i -> dq[i]*sq[i])),"
+        " (acc, z) -> acc + z)"
+    )
+    return f"""
+        WITH base AS (SELECT vec_id, {qe} AS q FROM embeddings),
+        qq AS (SELECT vec_id, q, {n2} AS n2 FROM base),
+        d AS (SELECT vec_id AS neighbor_id, q AS dq, n2 AS dn2 FROM qq WHERE vec_id >= 10),
+        s AS (SELECT vec_id AS query_id, q AS sq, n2 AS sn2 FROM qq WHERE vec_id < 10),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 round(cast(({dot}) as double)
+                   / nullif(sqrt(cast(dn2 as double) * cast(sn2 as double)), 0.0),
+                   6) AS qcos
+          FROM d CROSS JOIN s
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, qcos,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY qcos DESC NULLS LAST, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank::int AS rank, neighbor_id, qcos
+        FROM ranked WHERE rank <= 5
+    """
+
+
+def _duck_curation_pipeline() -> str:
+    """Chained CTE oracle for q_curation_pipeline: every stage reads
+    the previous stage's survivors, mirroring the Spark composite."""
+    from fluent_bit_spark.textprep import portable as PP
+    from fluent_bit_spark.textprep.urltools import duck_url_parts
+
+    u = duck_url_parts("url")
+    h32s = PP.duck_h32("source")
+    tokens = PP.duck_tokens("text")
+    n = 8
+    return f"""
+        WITH pages AS (
+          SELECT doc_id, text, lang,
+                 'https://'
+                 || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                 || source
+                 || (['.co.uk', '.com', '.org', '.net'])[(doc_id % 4 + 1)]
+                 || '/' || lang || '/doc' || cast(doc_id as varchar)
+                 || (CASE WHEN doc_id % 17 = 0 THEN '/casino' ELSE '' END)
+                 || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END)
+                 || (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END)
+                   AS url
+          FROM documents
+        ),
+        bl AS (
+          SELECT reg_domain FROM (
+            SELECT CASE WHEN {h32s} % 5 = 0 THEN source || '.com'
+                        WHEN {h32s} % 5 = 1 THEN source || '.co.uk' END AS reg_domain
+            FROM (SELECT DISTINCT source FROM documents)
+          ) WHERE reg_domain IS NOT NULL
+        ),
+        parsed AS (
+          SELECT doc_id, text, lang, {u['reg_domain']} AS reg_domain,
+                 {u['path']} AS path
+          FROM pages
+        ),
+        g1 AS (
+          SELECT p.doc_id, p.text, p.lang, p.reg_domain
+          FROM parsed p LEFT JOIN bl ON p.reg_domain = bl.reg_domain
+          WHERE bl.reg_domain IS NULL
+            AND NOT regexp_matches(p.path, '{u['blocked_path_pat']}')
+        ),
+        tok1 AS (SELECT doc_id AS id, {tokens} AS tk FROM g1),
+        ng AS (
+          SELECT id, i AS start,
+                 md5(array_to_string(tk[i : i + {n - 1}], ' ')) AS h
+          FROM tok1, unnest(generate_series(1, greatest(0, len(tk) - {n - 1}))) AS uu(i)
+        ),
+        dupg AS (SELECT h FROM ng GROUP BY h HAVING count(*) >= 2),
+        stt AS (
+          SELECT id, list_sort(list(DISTINCT start)) AS starts
+          FROM ng JOIN dupg USING (h) GROUP BY id
+        ),
+        cov AS (
+          SELECT tok1.id, tok1.tk,
+                 list_sort(list_distinct(flatten(list_transform(
+                   coalesce(stt.starts, []),
+                   p -> list_transform(generate_series(0, {n - 1}), j -> p + j)
+                 )))) AS c
+          FROM tok1 LEFT JOIN stt ON tok1.id = stt.id
+        ),
+        sp AS (
+          SELECT id AS doc_id, len(tk)::bigint AS n_tokens,
+                 len(c)::bigint AS dup_token_count,
+                 round(len(c)::double / greatest(len(tk), 1), 6) AS frac
+          FROM cov
+        ),
+        g2 AS (
+          SELECT g1.*, sp.n_tokens, sp.dup_token_count
+          FROM g1 JOIN sp USING (doc_id) WHERE sp.frac <= 0.5
+        ),
+        tok2 AS (SELECT doc_id AS id, {tokens} AS tk FROM g2),
+        flat2 AS (SELECT id, uv.token FROM tok2, unnest(tk) AS uv(token)),
+        vocab0 AS (SELECT token, count(*)::bigint AS cnt FROM flat2 GROUP BY token),
+        tot AS (SELECT sum(cnt)::bigint AS n_total, count(*)::bigint AS v_size
+                FROM vocab0),
+        vocab AS (
+          SELECT token,
+                 cast(round(ln((cnt + 1)::double / (n_total + v_size)) * 1e9)
+                      as bigint) AS lp_nanos,
+                 cnt = 1 AS is_rare
+          FROM vocab0 CROSS JOIN tot
+        ),
+        lmx AS (
+          SELECT id AS doc_id,
+                 round(sum(lp_nanos)::double / 1e9 / count(*), 6) AS avg_logprob,
+                 round(sum(CASE WHEN is_rare THEN 1 ELSE 0 END)::double
+                       / count(*), 6) AS rare_frac
+          FROM flat2 JOIN vocab USING (token) GROUP BY id
+        ),
+        g3 AS (
+          SELECT g2.* FROM g2 JOIN lmx USING (doc_id)
+          WHERE lmx.avg_logprob >= -3.6 AND lmx.rare_frac <= 0.5
+        ),
+        grp AS (SELECT md5(text) AS dg, min(doc_id) AS keep_id
+                FROM g3 GROUP BY md5(text)),
+        kept AS (SELECT g3.* FROM g3 JOIN grp ON g3.doc_id = grp.keep_id)
+        SELECT reg_domain, lang, count(*)::bigint AS n_docs,
+               sum(n_tokens)::bigint AS total_tokens,
+               sum(dup_token_count)::bigint AS total_dup_tokens
+        FROM kept GROUP BY reg_domain, lang
+    """
 
 
 def _duck_url_filter() -> str:
@@ -2685,6 +2921,14 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _duck_substring_dedup(),
         "lm_score": _duck_lm_score_sql(),
         "url_filter": _duck_url_filter(),
+        "ann_quantized": _duck_ann_quantized(),
+        "curation_pipeline": _duck_curation_pipeline(),
+        # streaming run drains micro-batches; survivors are exactly
+        # the %5==0 originals (see q_incremental_dedup_stream)
+        "incremental_dedup_stream": """
+            SELECT doc_id, md5(text) AS digest, lang
+            FROM documents WHERE doc_id % 5 = 0
+        """,
         "dedup_simhash": f"""
             WITH t AS (SELECT doc_id, {th} AS th FROM documents)
             SELECT doc_id, {P.duck_simhash('th')} AS simhash FROM t

@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "pipeline_e2e",
     "corpus_prep",
+    "curation_pipeline",
     "corpus_stream",
     "q1_pricing_summary",
     "enrich_broadcast",
@@ -83,6 +84,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_quantized",
     "multimodal_features",
     "multimodal_decode",
     "multimodal_pixels",

@@ -133,6 +133,74 @@ def dedup_available_now(
     return spark.table(name)
 
 
+def incremental_dedup_stream(
+    stream_df: DataFrame, index_digests: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Continuous-crawl incremental dedup: a streaming batch of new
+    documents against a FROZEN accepted-corpus index.
+
+    Two gates, mirroring textprep.clusters.incremental_dedup:
+    1. stream-static left-anti-style join on the digest — rows whose
+       exact text already exists in the (static, broadcastable) index
+       never enter the stream's state;
+    2. state-store ``dropDuplicates`` within the stream itself, so
+       copies arriving in later micro-batches of the same run dedup
+       against first arrivals.
+
+    The static side re-evaluates per micro-batch (Spark stream-static
+    join semantics) — at scale, the index is the compact digest table,
+    not corpus text."""
+    s = with_digest(stream_df, text_col)
+    idx = (
+        index_digests.select(F.col(DIGEST_COL))
+        .distinct()
+        .withColumn("_in_idx", F.lit(True))
+    )
+    fresh = (
+        s.join(idx, DIGEST_COL, "left")
+        .filter(F.col("_in_idx").isNull())
+        .drop("_in_idx")
+    )
+    return fresh.dropDuplicates([DIGEST_COL])
+
+
+def incremental_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    index_digests: DataFrame,
+    text_col: str = "text",
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Drain a directory of parquet micro-batches through
+    incremental_dedup_stream and return the survivors as a batch
+    DataFrame (memory sink; same harness as dedup_available_now)."""
+    reader = spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_dir)
+    out = incremental_dedup_stream(src, index_digests, text_col)
+    name = "incdedup_" + uuid.uuid4().hex[:12]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_stream_to_completion(q, timeout_sec)
+    finally:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
 def write_duplicated_stream_input(
     df: DataFrame,
     out_dir: str,

@@ -90,11 +90,12 @@ def lm_score(
     )
 
 
-def duck_lm_score() -> str:
-    """DuckDB rendering of lm_score over the documents view."""
+def duck_lm_score(source: str = "documents") -> str:
+    """DuckDB rendering of lm_score; ``source`` may be any
+    relation/subquery exposing (doc_id, text)."""
     tokens = P.duck_tokens("text")
     return f"""
-        WITH t AS (SELECT doc_id AS id, {tokens} AS tk FROM documents),
+        WITH t AS (SELECT doc_id AS id, {tokens} AS tk FROM {source}),
         flat AS (SELECT id, u.token FROM t, unnest(tk) AS u(token)),
         vocab0 AS (SELECT token, count(*)::bigint AS cnt FROM flat GROUP BY token),
         tot AS (SELECT sum(cnt)::bigint AS n_total, count(*)::bigint AS v_size

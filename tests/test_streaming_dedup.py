@@ -134,3 +134,39 @@ def test_duplicated_input_helper_and_batch_parity(spark, tmp_path):
     assert {d for d, _ in got} == expect_digests
     # every survivor is an original (batch0 arrived first)
     assert all(i < 1_000_000_000 for _, i in got)
+
+
+def test_incremental_dedup_stream_gates(spark, tmp_path):
+    """Stream-static index gate + cross-batch state store: copies of
+    index docs never emit, duplicates across micro-batches emit once."""
+    from fluent_bit_spark.streaming.dedup import (
+        incremental_available_now,
+        with_digest,
+    )
+
+    index = spark.createDataFrame(
+        [(1, "already accepted text one"), (2, "already accepted text two")],
+        "doc_id long, text string",
+    )
+    # batch 0: one genuinely new doc, one copy of an index doc
+    _write_batch(
+        spark,
+        [(10, "2026-01-01", "brand new text"), (11, "2026-01-01", "already accepted text one")],
+        str(tmp_path / "b0"),
+    )
+    # batch 1: a re-keyed copy of the new doc (state-store dup) + new
+    _write_batch(
+        spark,
+        [(20, "2026-01-01", "brand new text"), (21, "2026-01-01", "second new text")],
+        str(tmp_path / "b1"),
+        mtime_bump=60,
+    )
+    out = incremental_available_now(
+        spark,
+        str(tmp_path),
+        DOCS_SCHEMA,
+        with_digest(index).select("digest"),
+        max_files_per_trigger=1,
+    )
+    rows = {r["doc_id"] for r in out.collect()}
+    assert rows == {10, 21}

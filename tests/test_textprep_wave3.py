@@ -160,3 +160,46 @@ def test_no_leaked_caches_after_cluster_ops(spark):
     with cache.pinned():
         dedup_clusters(docs, pairs).count()
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_quantized_topk_matches_exact_on_separable_data(spark):
+    from fluent_bit_spark.textprep.simsearch import cosine_topk, quantized_topk
+
+    # two well-separated directions: quantization must not change the
+    # neighbor ranking
+    rows = []
+    for i in range(20):
+        base = [1.0, 0.0, 0.0, 0.5] if i % 2 == 0 else [0.0, 1.0, 0.5, 0.0]
+        rows.append((i, [x + 0.001 * i for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 2)
+    d = df.filter(F.col("vec_id") >= 2)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(d, q, k=3, vec_col="embedding").collect()
+    }
+    quant = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in quantized_topk(d, q, k=3, vec_col="embedding").collect()
+    }
+    assert set(exact) == set(quant)
+    agree = sum(exact[k] == quant[k] for k in exact)
+    assert agree >= len(exact) - 1  # parity up to quantization ties
+    # quantized cosine is bounded and near the exact value
+    for r in quantized_topk(d, q, k=3, vec_col="embedding").collect():
+        assert -1.000001 <= r["qcos"] <= 1.000001
+
+
+def test_quantized_zero_vector_null_score(spark):
+    from fluent_bit_spark.textprep.simsearch import quantized_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = quantized_topk(
+        df.filter("vec_id >= 1"), df.filter("vec_id = 0"), k=2, vec_col="embedding"
+    ).collect()
+    by_n = {r["neighbor_id"]: r["qcos"] for r in out}
+    assert by_n[1] is None  # zero vector -> NULL, not a crash/Inf
+    assert by_n[2] is not None

