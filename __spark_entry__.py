@@ -1065,35 +1065,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins (blocklist, dup-gram set) + one broadcast vocab join; the
     shuffles are the three corpus aggregations (gram count, vocab,
     card) and the dedup groupBy — all partial-agg combinable."""
-    from fluent_bit_spark.textprep.lmscore import lm_score
-    from fluent_bit_spark.textprep.spans import duplicated_spans
-    from fluent_bit_spark.textprep.urltools import url_filter
+    from fluent_bit_spark.textprep.curation import curate
 
     docs = _t(spark, sf_dir, "documents")
     pages = _url_pages(docs).join(docs.select("doc_id", "text", "lang"), "doc_id")
-    g1 = (
-        url_filter(pages, _url_blocklist(docs))
-        .filter("url_allow")
-        .select("doc_id", "text", "lang", "reg_domain")
-    )
-    spans = duplicated_spans(g1, n=8, min_count=2, broadcast_dups=True)
-    g2 = g1.join(
-        spans.select("doc_id", "n_tokens", "dup_token_count", "dup_token_frac"),
-        "doc_id",
-    ).filter(F.col("dup_token_frac") <= 0.5)
-    lm = lm_score(g2)
-    g3 = g2.join(lm.select("doc_id", "avg_logprob", "rare_frac"), "doc_id").filter(
-        (F.col("avg_logprob") >= -3.6) & (F.col("rare_frac") <= 0.5)
-    )
-    groups = exact_dedup(g3, text_col="text", id_col="doc_id")
-    kept = g3.join(
-        groups.select(F.col("keep_id").alias("doc_id")), "doc_id"
-    )
-    return kept.groupBy("reg_domain", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.sum("dup_token_count").cast("bigint").alias("total_dup_tokens"),
-    )
+    return curate(pages, _url_blocklist(docs)).card
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,3 +19,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Operators register persisted intermediates with cache.track();
+    releasing after every test keeps the storage layer clean so
+    cache-lifecycle assertions in one test aren't polluted by another."""
+    yield
+    from fluent_bit_spark import cache
+
+    cache.release_all()

@@ -155,11 +155,16 @@ def test_url_parts_and_filter(spark):
 
 
 def test_no_leaked_caches_after_cluster_ops(spark):
+    def ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    before = ids()  # other tests in the session may hold caches
     docs = spark.createDataFrame([(i, f"t{i}") for i in range(4)], ["doc_id", "text"])
     pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
     with cache.pinned():
         dedup_clusters(docs, pairs).count()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert ids() - before == set()  # the op released everything it made
 
 
 def test_quantized_topk_matches_exact_on_separable_data(spark):
