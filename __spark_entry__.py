@@ -906,7 +906,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(docs, threshold=0.2, est_margin=0.125).select(
         "id_a", "id_b"
     )
-    return dedup_clusters(docs, pairs)
+    # the label/edge tables are tiny next to the corpus: bound the
+    # loop's per-round task count (None at real scale — see docstring)
+    return dedup_clusters(docs, pairs, loop_partitions=8)
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1024,6 +1026,21 @@ def q_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_digest(index).select("digest"),
     )
     return out.select("doc_id", "digest", "lang")
+
+
+_CLUSTER_CENTROID_CACHE: dict[str, list] = {}
+
+
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-bucketing card: nearest-centroid assignment over the whole
+    embedding table (Arrow path) + integer-safe per-cell stats."""
+    from fluent_bit_spark.textprep.simsearch import cluster_card, ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _CLUSTER_CENTROID_CACHE.get(sf_dir)
+    if cents is None:
+        cents = _CLUSTER_CENTROID_CACHE[sf_dir] = ivf_centroids(emb, 16)
+    return cluster_card(emb, 16, centroids=cents)
 
 
 def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1857,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "url_filter": q_url_filter,
         "ann_quantized": q_ann_quantized,
+        "embedding_clusters": q_embedding_clusters,
         "curation_pipeline": q_curation_pipeline,
         "corpus_prep": q_corpus_prep,
         "corpus_stream": q_corpus_stream,
@@ -2025,6 +2043,29 @@ def _duck_ivf_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
         "SELECT *, row_number() OVER (PARTITION BY query_id "
         "ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) "
         f"WHERE rank <= {k}"
+    )
+
+
+def _duck_embedding_clusters(n_cells: int = 16) -> str:
+    """Cluster-card oracle: same seeded centroids and argmax assignment
+    as _duck_ivf_sql, over the whole embedding table."""
+    dd = _duck_dot
+    return (
+        f"WITH seed AS (SELECT vec_id, embedding FROM embeddings "
+        f"ORDER BY vec_id LIMIT {n_cells}), "
+        "cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, "
+        "list_transform(embedding, x -> cast(x as double) / "
+        f"sqrt({dd('embedding', 'embedding')})) AS cv FROM seed), "
+        f"dd AS (SELECT e.vec_id, e.embedding, c.ci, "
+        f"({dd('e.embedding', 'c.cv')}) AS dt "
+        "FROM embeddings e CROSS JOIN cents c), "
+        "assign AS (SELECT vec_id, embedding, ci AS cell FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, ci ASC) rn "
+        "FROM dd) WHERE rn = 1) "
+        "SELECT cell, count(*)::bigint AS n_vectors, min(vec_id) AS min_vec_id, "
+        f"sum(cast(round(sqrt({dd('embedding', 'embedding')}) * 1e6) as bigint)) "
+        "AS sum_norm_micros "
+        "FROM assign GROUP BY cell"
     )
 
 
@@ -2898,6 +2939,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _duck_lm_score_sql(),
         "url_filter": _duck_url_filter(),
         "ann_quantized": _duck_ann_quantized(),
+        "embedding_clusters": _duck_embedding_clusters(),
         "curation_pipeline": _duck_curation_pipeline(),
         # streaming run drains micro-batches; survivors are exactly
         # the %5==0 originals (see q_incremental_dedup_stream)

@@ -85,6 +85,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_quantized",
+    "embedding_clusters",
     "multimodal_features",
     "multimodal_decode",
     "multimodal_pixels",

@@ -49,6 +49,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph.
 
@@ -79,6 +80,13 @@ def connected_components(
     round materializes; the final one is registered with
     cache.track_releaser for the caller's cache.release_all().
 
+    ``loop_partitions`` bounds the partition width of the edge and
+    label tables inside the loop. The loop runs O(log diameter) small
+    jobs, so per-task scheduling overhead — not data volume — is the
+    cost driver when the graph is far smaller than the cluster's
+    default parallelism; size it to the graph (None inherits the
+    session width, the right choice when V is genuinely large).
+
     Raises ``RuntimeError`` if not converged after ``max_iter`` rounds.
     """
     spark = edges.sparkSession
@@ -101,50 +109,58 @@ def connected_components(
     if vertices is None:
         vertices = sym.select(F.col("src").alias("id")).distinct()
     pre_ids = _rdd_ids()
-    sym = ensure_parallelism(sym).localCheckpoint(eager=True)
+    if loop_partitions:
+        sym = sym.repartition(loop_partitions, "src")
+    else:
+        sym = ensure_parallelism(sym)
+    sym = sym.localCheckpoint(eager=True)
     sym_ids = _rdd_ids() - pre_ids
-    lab = (
-        vertices.select(F.col("id").cast("long"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
+    lab = vertices.select(F.col("id").cast("long")).distinct()
+    if loop_partitions:
+        lab = lab.repartition(loop_partitions, "id")
+    lab = lab.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
     lab_ids = _rdd_ids() - pre_ids - sym_ids
     converged = False
     for _ in range(max_iter):
         # neighbor labels flow along edges; min with own label keeps
         # the per-vertex label monotonically non-increasing
         msgs = sym.join(lab, sym["src"] == lab["id"]).select(
-            F.col("dst").alias("id"), "comp"
+            F.col("dst").alias("id"), "comp", F.lit(False).alias("own")
         )
         # pointer jump: label of my label (path doubling)
         jump = (
             lab.alias("x")
             .join(lab.alias("y"), F.col("x.comp") == F.col("y.id"))
-            .select(F.col("x.id").alias("id"), F.col("y.comp").alias("comp"))
+            .select(
+                F.col("x.id").alias("id"),
+                F.col("y.comp").alias("comp"),
+                F.lit(False).alias("own"),
+            )
         )
         before = _rdd_ids()
-        new = (
-            lab.select("id", "comp")
+        # the old label rides along (max over the `own` branch), so the
+        # convergence check is a flat scan; the checkpoint is LAZY and
+        # materializes inside that same count — ONE job per round
+        agg = (
+            lab.select("id", "comp", F.lit(True).alias("own"))
             .unionByName(msgs)
             .unionByName(jump)
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .agg(
+                F.min("comp").alias("comp"),
+                F.max(F.when(F.col("own"), F.col("comp"))).alias("old_comp"),
+            )
         )
+        if loop_partitions:
+            agg = agg.repartition(loop_partitions, "id")
+        new = agg.localCheckpoint(eager=False)
+        changed = new.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
         new_ids = _rdd_ids() - before
-        changed = (
-            new.alias("n")
-            .join(lab.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
         # previous round's label checkpoint is no longer referenced —
         # free it now so loop state stays O(V + E)
         _free(lab_ids)
         lab_ids = new_ids
-        lab = new
+        lab = new.select("id", "comp")
         if changed == 0:
             converged = True
             break
@@ -164,6 +180,7 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 30,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """Canonical-document selection over a near-dup pair graph.
 
@@ -173,7 +190,10 @@ def dedup_clusters(
     singleton documents form their own cluster with keep=true.
     """
     comp = connected_components(
-        pairs, vertices=docs.select(F.col(id_col).alias("id")), max_iter=max_iter
+        pairs,
+        vertices=docs.select(F.col(id_col).alias("id")),
+        max_iter=max_iter,
+        loop_partitions=loop_partitions,
     )
     w = Window.partitionBy("cluster_id")
     return (

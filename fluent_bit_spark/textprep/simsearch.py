@@ -447,6 +447,37 @@ def quantized_topk(
     )
 
 
+def cluster_card(
+    data: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Corpus bucketing card: every vector assigned to its nearest
+    centroid (the topic/domain-bucketing pass of a training-data
+    pipeline), with per-cell integer-safe stats.
+
+    Output: (cell, n_vectors, min_vec_id, sum_norm_micros) — the norm
+    sum is fixed-pointed to micros per vector before the int64 sum, so
+    cluster sizes and stats are bit-stable across executor counts and
+    match the SQL oracle exactly. Assignment is the Arrow path
+    (cell_assign_udf); the per-vector norm is the sequential-fold SQL
+    expression (same fold as the oracle)."""
+    cents = centroids or ivf_centroids(data, n_cells, vec_col, id_col)
+    norm = f"sqrt({_NORM2.format(v=vec_col)})"
+    d = data.select(
+        F.col(id_col),
+        cell_assign_udf(cents)(F.col(vec_col)).alias("cell"),
+        F.expr(f"cast(round(({norm}) * 1e6) as bigint)").alias("norm_micros"),
+    )
+    return d.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min(id_col).alias("min_vec_id"),
+        F.sum("norm_micros").alias("sum_norm_micros"),
+    )
+
+
 def lsh_topk(
     data: DataFrame,
     queries: DataFrame,

@@ -208,3 +208,47 @@ def test_quantized_zero_vector_null_score(spark):
     by_n = {r["neighbor_id"]: r["qcos"] for r in out}
     assert by_n[1] is None  # zero vector -> NULL, not a crash/Inf
     assert by_n[2] is not None
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """Measured quality bound near the LSH design point. The 8-band x
+    4-row banding has its S-curve midpoint ~(1/8)^(1/4) = 0.6, so at
+    threshold 0.4+ candidate recall should be essentially complete
+    (measured 1.0 on the fixture; asserted >= 0.85 for headroom).
+    Below the design point recall degrades BY DESIGN (measured ~0.6 at
+    threshold 0.3) — callers wanting low-threshold recall add bands or
+    rows per the standard banding trade-off."""
+    from fluent_bit_spark.textprep.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.4, block_col=None).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.4, est_margin=0.125).collect()
+    }
+    assert len(exact) >= 10  # fixture really contains near-dups
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_cluster_card_partitions_corpus(spark):
+    from fluent_bit_spark.textprep.simsearch import cluster_card
+
+    rows = []
+    for i in range(30):
+        v = [0.0] * 4
+        v[i % 3] = 1.0  # three orthogonal directions
+        rows.append((i, [x + 0.01 * (i % 3) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]]
+    card = {r["cell"]: r for r in cluster_card(df, 3, centroids=cents).collect()}
+    assert sum(r["n_vectors"] for r in card.values()) == 30
+    assert all(r["n_vectors"] == 10 for r in card.values())
+    assert card[0]["min_vec_id"] == 0 and card[1]["min_vec_id"] == 1
+    assert all(r["sum_norm_micros"] > 0 for r in card.values())
