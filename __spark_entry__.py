@@ -1089,6 +1089,86 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(pages, _url_blocklist(docs)).card
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-concat packing of docs into fixed-length training
+    sequences per language (seq id + offset + boundary-straddle flag)."""
+    from fluent_bit_spark.textprep.webfilters import sequence_pack
+
+    docs = token_count_cols(_t(spark, sf_dir, "documents"))
+    return sequence_pack(docs, seq_len=256, key_cols=["lang"]).withColumn(
+        "ws_tokens", F.col("ws_tokens").cast("bigint")
+    )
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware train/val/test assignment (domain-hash buckets)
+    with per-(split, lang) counts."""
+    from fluent_bit_spark.textprep.webfilters import corpus_split_cols
+
+    docs = corpus_split_cols(_t(spark, sf_dir, "documents"))
+    return docs.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_domains"),
+    )
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination audit for split strategies: how many near-dup
+    pairs straddle train/val/test under (a) per-document hashing,
+    (b) per-domain hashing, (c) per-dup-cluster hashing. Cluster-keyed
+    splitting is leakage-free BY CONSTRUCTION (both ends of every pair
+    share a cluster) — the query proves it with a measured zero."""
+    from fluent_bit_spark import cache
+    from fluent_bit_spark.textprep.clusters import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = cache.track(
+        minhash_lsh_pairs(docs, threshold=0.2, est_margin=0.125).select(
+            "id_a", "id_b"
+        )
+    )
+    comp = dedup_clusters(docs, pairs, loop_partitions=8).select(
+        "doc_id", "cluster_id"
+    )
+
+    def split_of(e) -> F.Column:
+        b = e % 100
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    meta = (
+        docs.select("doc_id", "source")
+        .join(comp, "doc_id")
+        .select(
+            "doc_id",
+            split_of(F.expr(P.spark_h32("cast(doc_id as string)"))).alias("s_doc"),
+            split_of(F.expr(P.spark_h32("source"))).alias("s_dom"),
+            split_of(
+                F.expr(P.spark_h32("cast(cluster_id as string)"))
+            ).alias("s_clus"),
+        )
+    )
+    a = meta.alias("a")
+    b = meta.alias("b")
+    j = (
+        pairs.join(a, F.col("id_a") == F.col("a.doc_id"))
+        .join(b, F.col("id_b") == F.col("b.doc_id"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("a.s_doc") != F.col("b.s_doc")).cast("long")).alias(
+            "cross_doc_split"
+        ),
+        F.sum((F.col("a.s_dom") != F.col("b.s_dom")).cast("long")).alias(
+            "cross_domain_split"
+        ),
+        F.sum((F.col("a.s_clus") != F.col("b.s_clus")).cast("long")).alias(
+            "cross_cluster_split"
+        ),
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_col(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
 
@@ -1876,6 +1956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized": q_ann_quantized,
         "embedding_clusters": q_embedding_clusters,
         "curation_pipeline": q_curation_pipeline,
+        "sequence_pack": q_sequence_pack,
+        "corpus_split": q_corpus_split,
+        "split_leakage": q_split_leakage,
         "corpus_prep": q_corpus_prep,
         "corpus_stream": q_corpus_stream,
         "dedup_exact_stream": q_dedup_exact_stream,
@@ -2152,6 +2235,18 @@ def _duck_ann_quantized() -> str:
     """
 
 
+def _duck_sequence_pack_sql() -> str:
+    from fluent_bit_spark.textprep import portable as PP
+    from fluent_bit_spark.textprep.webfilters import duck_sequence_pack
+
+    tokens = PP.duck_tokens("text")
+    src = (
+        f"(SELECT doc_id, lang, len({tokens})::bigint AS ws_tokens"
+        " FROM documents)"
+    )
+    return duck_sequence_pack(seq_len=256, key_cols=["lang"], source=src)
+
+
 def _duck_curation_pipeline() -> str:
     """Chained CTE oracle for q_curation_pipeline: every stage reads
     the previous stage's survivors, mirroring the Spark composite."""
@@ -2341,6 +2436,17 @@ def oracle_sql() -> dict[str, str]:
                OR (sc.est > 0.075 AND
                    round(len(list_intersect(sa.hs, sb.hs))::double
                          / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) >= 0.2))"""
+    # connected-components CTE chain over mh_pairs (recursive reach),
+    # shared by dedup_clusters and split_leakage
+    cc_ctes = """edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM mh_pairs
+                      UNION ALL SELECT id_b, id_a FROM mh_pairs),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ),
+            labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                       FROM reach GROUP BY src)"""
     sw = ",".join(f"'{w}'" for w in STOPWORDS)
     langs = list(LANG_PROFILES)
     lang_arr = ",".join(f"'{x}'" for x in langs)
@@ -2892,19 +2998,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE {mh_ctes},
-            edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM mh_pairs
-                      UNION ALL SELECT id_b, id_a FROM mh_pairs),
-            reach(src, dst) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-            ),
-            labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
-                       FROM reach GROUP BY src)
+            {cc_ctes}
             SELECT doc_id, cluster_id,
                    count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
                    doc_id = cluster_id AS keep
             FROM labels
+        """,
+        "split_leakage": f"""
+            WITH RECURSIVE {mh_ctes},
+            {cc_ctes},
+            meta AS (
+              SELECT d.doc_id,
+                CASE WHEN {P.duck_h32('cast(d.doc_id as varchar)')} % 100 < 80 THEN 'train'
+                     WHEN {P.duck_h32('cast(d.doc_id as varchar)')} % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS s_doc,
+                CASE WHEN {P.duck_h32('d.source')} % 100 < 80 THEN 'train'
+                     WHEN {P.duck_h32('d.source')} % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS s_dom,
+                CASE WHEN {P.duck_h32('cast(l.cluster_id as varchar)')} % 100 < 80 THEN 'train'
+                     WHEN {P.duck_h32('cast(l.cluster_id as varchar)')} % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS s_clus
+              FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+            )
+            SELECT count(*)::bigint AS n_pairs,
+                   sum(CASE WHEN a.s_doc != b.s_doc THEN 1 ELSE 0 END)::bigint
+                     AS cross_doc_split,
+                   sum(CASE WHEN a.s_dom != b.s_dom THEN 1 ELSE 0 END)::bigint
+                     AS cross_domain_split,
+                   sum(CASE WHEN a.s_clus != b.s_clus THEN 1 ELSE 0 END)::bigint
+                     AS cross_cluster_split
+            FROM mh_pairs p JOIN meta a ON p.id_a = a.doc_id
+                            JOIN meta b ON p.id_b = b.doc_id
+        """,
+        "sequence_pack": _duck_sequence_pack_sql(),
+        "corpus_split": f"""
+            WITH s AS (
+              SELECT lang, source,
+                CASE WHEN {P.duck_h32('source')} % 100 < 80 THEN 'train'
+                     WHEN {P.duck_h32('source')} % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+              FROM documents
+            )
+            SELECT split, lang, count(*)::bigint AS n_docs,
+                   count(DISTINCT source)::bigint AS n_domains
+            FROM s GROUP BY split, lang
         """,
         "incremental_dedup": f"""
             WITH s AS (SELECT doc_id AS id, doc_id % 5 = 0 AS is_batch,

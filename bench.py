@@ -77,6 +77,8 @@ HEADLINE = [
     "domain_cap",
     "stratified_sample",
     "token_budget",
+    "sequence_pack",
+    "corpus_split",
     "pii_scrub",
     "c4_line_filter",
     "decontam",

@@ -358,6 +358,87 @@ def token_budget_pack(
     return out.filter(F.col("cum_tokens") <= budget)
 
 
+def sequence_pack(
+    df: DataFrame,
+    seq_len: int,
+    key_cols: list[str],
+    token_col: str = "ws_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy-concat packing of documents into fixed-length training
+    sequences: walk each key's documents in deterministic hash order,
+    concatenate token counts, and assign each document the sequence it
+    STARTS in plus its offset there. ``straddles`` marks documents
+    crossing a sequence boundary (a packer either splits them or pads —
+    the flag is the decision input). One shuffle on the key; the
+    cumulative sum is a running window frame."""
+    h = f"{P.spark_h32(f'cast({id_col} as string)')}"
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.expr(h), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(id_col, *key_cols, token_col).withColumn(
+        "cum_tokens", F.sum(token_col).over(w).cast("bigint")
+    )
+    start = F.col("cum_tokens") - F.col(token_col)
+    # straddles <=> the doc's last token falls past its sequence's end;
+    # phrased multiplicatively so no engine-specific negative-division
+    # semantics are involved (empty docs have cum == start)
+    return (
+        out.withColumn("seq_id", F.floor(start / seq_len).cast("bigint"))
+        .withColumn("seq_offset", (start % seq_len).cast("bigint"))
+        .withColumn(
+            "straddles",
+            F.col("cum_tokens") > (F.col("seq_id") + 1) * seq_len,
+        )
+    )
+
+
+def duck_sequence_pack(
+    seq_len: int, key_cols: list[str], token_col: str = "ws_tokens",
+    source: str = "documents",
+) -> str:
+    """DuckDB rendering of sequence_pack; ``source`` must expose
+    (doc_id, key_cols, token_col)."""
+    h = P.duck_h32("cast(doc_id as varchar)")
+    keys = ", ".join(key_cols)
+    return f"""
+        WITH c AS (
+          SELECT doc_id, {keys}, {token_col},
+                 sum({token_col}) OVER (PARTITION BY {keys}
+                     ORDER BY {h}, doc_id
+                     ROWS UNBOUNDED PRECEDING)::bigint AS cum_tokens
+          FROM {source}
+        )
+        SELECT doc_id, {keys}, {token_col}, cum_tokens,
+               ((cum_tokens - {token_col}) // {seq_len})::bigint AS seq_id,
+               ((cum_tokens - {token_col}) % {seq_len})::bigint AS seq_offset,
+               cum_tokens > (((cum_tokens - {token_col}) // {seq_len}) + 1)
+                 * {seq_len} AS straddles
+        FROM c
+    """
+
+
+def corpus_split_cols(
+    df: DataFrame,
+    domain_col: str = "source",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Leakage-aware deterministic split assignment: the bucket is a
+    hash of the DOMAIN, not the document, so near-duplicates within a
+    domain can never straddle train/test (cross-domain near-dups are
+    measured by split_leakage). Pure projection — no shuffle."""
+    h = F.expr(P.spark_h32(domain_col)) % 100
+    return df.withColumn(
+        "split",
+        F.when(h < train_pct, "train")
+        .when(h < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
 # -------------------------------------------------------- PII scrub
 
 PII_PATTERNS: list[tuple[str, str, str]] = [

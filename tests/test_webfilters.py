@@ -196,3 +196,38 @@ def test_token_budget_pack(spark):
     # de: hash order decides which of 25/30 goes first; either way
     # only the first fits (25 or 30 <= 35, adding the second exceeds)
     assert len(by_lang["de"]) == 1
+
+
+def test_sequence_pack_assignment(spark):
+    from fluent_bit_spark.textprep.webfilters import sequence_pack
+
+    df = spark.createDataFrame(
+        [(i, "en", 60) for i in range(10)],
+        "doc_id long, lang string, ws_tokens long",
+    )
+    out = sequence_pack(df, seq_len=100, key_cols=["lang"]).collect()
+    assert len(out) == 10
+    # 10 docs x 60 tokens into 100-token sequences: starts at 0,60,...
+    by_cum = sorted(out, key=lambda r: r["cum_tokens"])
+    assert [r["seq_id"] for r in by_cum] == [0, 0, 1, 1, 2, 3, 3, 4, 4, 5]
+    assert by_cum[0]["seq_offset"] == 0 and by_cum[1]["seq_offset"] == 60
+    # the doc starting at 60 ends at 120 -> straddles the 100 boundary
+    assert by_cum[1]["straddles"] and not by_cum[0]["straddles"]
+    # every doc's tokens are accounted for exactly once
+    assert by_cum[-1]["cum_tokens"] == 600
+
+
+def test_corpus_split_is_domain_keyed(spark):
+    from fluent_bit_spark.textprep.webfilters import corpus_split_cols
+
+    df = spark.createDataFrame(
+        [(i, f"dom{i % 7}", "en") for i in range(70)],
+        "doc_id long, source string, lang string",
+    )
+    out = corpus_split_cols(df).collect()
+    splits_per_domain = {}
+    for r in out:
+        splits_per_domain.setdefault(r["source"], set()).add(r["split"])
+    # all docs of a domain land in the same split, always
+    assert all(len(s) == 1 for s in splits_per_domain.values())
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
