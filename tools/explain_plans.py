@@ -296,6 +296,23 @@ def main() -> int:
     )
     sections.append(("curation_pipeline (capstone composite)", p, []))
 
+    # 14k. sequence_pack: one exchange (the key window), no Python
+    p = plan_of(qs["sequence_pack"](spark, sf_dir))
+    n_ex = n_exchanges(p)
+    ok = n_ex == 1 and "Python" not in p and "Window" in p
+    checks.append(
+        ("sequence_pack: one exchange (key-window cumsum)", ok, f"{n_ex} exchanges")
+    )
+
+    # 14l. corpus_split: split assignment is a projection; the card is
+    #      the only aggregation (distinct-count may add its expand)
+    p = plan_of(qs["corpus_split"](spark, sf_dir))
+    ok = "Python" not in p and n_exchanges(p) <= 2
+    checks.append(
+        ("corpus_split: projection + card aggregate only", ok,
+         f"{n_exchanges(p)} exchanges")
+    )
+
     # 15. domain_cap: single exchange on the domain key
     p = plan_of(qs["domain_cap"](spark, sf_dir))
     n_ex = n_exchanges(p)
