@@ -24,6 +24,20 @@ is visible. Env knobs:
     BENCH_QUERIES        comma list to restrict query set
     BENCH_REPS           reps per query (default 3, best-of)
     BENCH_PIPELINE_REPS  reps of the synthetic pipeline (default 2)
+    BENCH_SINK_DIR       where the pipeline sink write lands (default:
+                         /dev/shm if it has >16G free, else $TMPDIR)
+
+Disk-noise robustness: this sandbox's single virtio disk throttles
+intermittently and severely — the identical pipeline rep measured
+11.7s, 34s, and 266s across runs with zero code change (round-3
+artifacts, 2026-08-17 22:55 vs 23:41 vs 00:12). On a real cluster
+every executor writes to its OWN local disk, so a shared noisy-
+neighbor disk is a sandbox artifact, not a property of the pipeline.
+The sink write and Spark's shuffle/spill dirs therefore default to
+tmpfs (/dev/shm) when it has headroom: the bytes are still fully
+materialized and read back for the rollup — only the unmodelable
+device is taken out of the measurement. Set BENCH_SINK_DIR=/tmp to
+measure the physical disk instead.
 """
 
 from __future__ import annotations
@@ -98,10 +112,29 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _tmpfs_base(min_free_gb: int = 16) -> str | None:
+    """/dev/shm if present with headroom, else None (use $TMPDIR)."""
+    base = "/dev/shm"
+    try:
+        st = os.statvfs(base)
+        if st.f_bavail * st.f_frsize >= min_free_gb * (1 << 30):
+            return base
+    except OSError:
+        pass
+    return None
+
+
 def main() -> None:
     # 32 concurrent tasks are GC-bound in the 8g default heap; size
     # like a real executor (set before the JVM starts)
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    # shuffle/spill on tmpfs for the same reason as the sink write
+    # (see module docstring) — must be set before the JVM starts
+    tmpfs = _tmpfs_base()
+    if tmpfs and "SPARK_LOCAL_DIRS" not in os.environ:
+        local_dir = os.path.join(tmpfs, "fbs_bench_local")
+        os.makedirs(local_dir, exist_ok=True)
+        os.environ["SPARK_LOCAL_DIRS"] = local_dir
 
     import __spark_entry__ as entry
     from pyspark.sql import functions as F
@@ -153,14 +186,25 @@ def main() -> None:
     import shutil
     import tempfile
 
+    sink_base = os.environ.get("BENCH_SINK_DIR") or tmpfs or None
+
     pipe_reps = int(os.environ.get("BENCH_PIPELINE_REPS", "2"))
     # steady-state methodology: run the SAME plan once at small scale
     # first so codegen compilation + JIT happen outside the timed
     # region (a long-running cluster job pays these once per executor
-    # lifetime, not per 2M rows)
+    # lifetime, not per 2M rows). The warmup exercises the SAME sink
+    # path as the timed reps (parquet committer + read-back included).
     if pipe_reps:
         warm = build_pipeline(generate_pages(spark, 100_000), from_html=True)
-        force(warm.routed.drop("html"))
+        if sink_mode == "noop":
+            force(warm.routed.drop("html"))
+        else:
+            warm_dir = tempfile.mkdtemp(prefix="fbs_bench_warm_", dir=sink_base)
+            warm.routed.drop("html").write.mode("overwrite").partitionBy(
+                "sink"
+            ).parquet(warm_dir)
+            force(spark.read.parquet(warm_dir))
+            shutil.rmtree(warm_dir, ignore_errors=True)
         force(warm.aggregates)
 
     pages = generate_pages(spark, n_rows)
@@ -172,7 +216,7 @@ def main() -> None:
             force(result.routed.drop("html"))
             force(result.aggregates)
         else:
-            sink_dir = tempfile.mkdtemp(prefix="fbs_bench_sinks_")
+            sink_dir = tempfile.mkdtemp(prefix="fbs_bench_sinks_", dir=sink_base)
             result.routed.drop("html").write.mode("overwrite").partitionBy(
                 "sink"
             ).parquet(sink_dir)
@@ -215,6 +259,12 @@ def main() -> None:
                     round(total_bytes / 1e6 / pipeline_sec, 2) if pipeline_sec else None
                 ),
                 "cpus": spark.sparkContext.defaultParallelism,
+                "sink_mode": sink_mode if pipe_times else None,
+                "sink_media": (
+                    ("tmpfs" if (sink_base or "").startswith("/dev/shm") else "disk")
+                    if pipe_times and sink_mode != "noop"
+                    else None
+                ),
             }
         )
     )
