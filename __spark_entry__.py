@@ -879,6 +879,17 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_ngram_overlap(docs, bench, n=8)
 
 
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination: a 16 KB plan-literal bitset
+    drops clean grams in codegen before any join; the exact confirm
+    join makes the result identical to q_decontam (same oracle)."""
+    from fluent_bit_spark.textprep.webfilters import benchmark_ngram_overlap_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    return benchmark_ngram_overlap_bloom(docs, bench, n=8)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
@@ -1970,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "c4_line_filter": q_c4_line_filter,
         "decontam": q_decontam,
+        "decontam_bloom": q_decontam_bloom,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
@@ -2642,7 +2654,7 @@ def oracle_sql() -> dict[str, str]:
                    round(epoch(ts), 3) AS ts3
             FROM events
         """,
-        "conditions": """
+        "conditions": r"""
             SELECT event_id, event_type, value FROM events
             WHERE event_type IN ('error', 'purchase')
                OR regexp_matches(props, '"k": 9\d')
@@ -2959,6 +2971,17 @@ def oracle_sql() -> dict[str, str]:
             FROM c WHERE cum_tokens <= 500
         """,
         "decontam": f"""
+            WITH dt AS (SELECT doc_id, {tokens} AS _tk FROM documents),
+                 dh AS (SELECT doc_id, {WF.duck_ngram_hash_list(8)} AS gs
+                        FROM dt),
+                 dg AS (SELECT doc_id, unnest(gs) AS gh FROM dh),
+                 bg AS (SELECT DISTINCT unnest(gs) AS gh FROM dh
+                        WHERE doc_id % 50 = 0)
+            SELECT doc_id, count(*)::bigint AS n_hits
+            FROM dg JOIN bg USING (gh) GROUP BY doc_id
+        """,
+        # the Bloom prefilter is exact-confirmed: same result, same oracle
+        "decontam_bloom": f"""
             WITH dt AS (SELECT doc_id, {tokens} AS _tk FROM documents),
                  dh AS (SELECT doc_id, {WF.duck_ngram_hash_list(8)} AS gs
                         FROM dt),

@@ -96,6 +96,7 @@ HEADLINE = [
     "pii_scrub",
     "c4_line_filter",
     "decontam",
+    "decontam_bloom",
     "dedup_exact_stream",
     "ann_cosine_topk",
     "ann_lsh_topk",

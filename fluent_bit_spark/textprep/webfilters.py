@@ -522,6 +522,101 @@ def benchmark_ngram_overlap(
     )
 
 
+def _bloom_bitset(bench_g: DataFrame, n_bits: int, n_hashes: int) -> list[int]:
+    """Build a Bloom bitset over the benchmark gram hashes with public
+    DataFrame ops (Spark registers no SQL-level ``bloom_filter_agg``):
+    explode k double-hashed bit positions per gram, OR them into 64-bit
+    words distributedly, and collect only the bitset — n_bits/64 longs
+    (16 KB at the default 2^17 bits), never the gram set itself."""
+    m = n_bits
+    pos = (
+        bench_g.select(
+            F.pmod(F.xxhash64("gh"), F.lit(m)).alias("h1"),
+            F.pmod(F.xxhash64("gh", F.lit(7)), F.lit(m)).alias("h2"),
+        )
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j"),
+            "h1",
+            "h2",
+        )
+        .select(
+            F.pmod(F.col("h1") + F.col("j") * F.col("h2"), F.lit(m)).alias("pos")
+        )
+    )
+    rows = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def benchmark_ngram_overlap_bloom(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 1 << 17,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """``benchmark_ngram_overlap`` with a Bloom prefilter — the shape
+    Spark's own runtime-bloom-filter join uses, built here from public
+    ops so the 100 TB side short-circuits before any join.
+
+    The bitset (n_bits/64 longs; 16 KB default) rides into every task
+    as a plan literal, so the overwhelmingly-clean gram stream drops
+    rows with five pure-codegen bit probes and no join machinery; only
+    Bloom candidates (true hits + ~(1-e^(-kn/m))^k false positives,
+    ~0.3% at the defaults for a 10k-gram eval set) reach the exact
+    broadcast-semi confirm, so the RESULT is exactly
+    ``benchmark_ngram_overlap`` — false positives never survive, and
+    the same DuckDB oracle applies verbatim.
+    """
+    tk = P.spark_tokens(text_col)
+    gram = f"array_join(slice(_tk, i, {n}), ' ')"
+    gexpr = (
+        f"array_distinct(transform(sequence(1, greatest(size(_tk)-{n - 1}, 1)),"
+        f" i -> {P.spark_h32(gram)}))"
+    )
+    bench_g = (
+        bench.withColumn("_tk", F.expr(tk))
+        .select(F.explode(F.expr(gexpr)).alias("gh"))
+        .distinct()
+    )
+    words = _bloom_bitset(bench_g, n_bits, n_hashes)
+    arr = "array({})".format(",".join(f"{w}L" for w in words))
+    # one pass over (0, k): h1/h2 are bound columns (computed once),
+    # the bitset literal appears once in the plan; aggregate's merge
+    # ANDs the k probes
+    probe = (
+        f"aggregate(sequence(0, {n_hashes - 1}), true, (acc, j) -> acc AND "
+        f"((shiftright(element_at({arr}, "
+        f"cast(pmod(_h1 + j * _h2, {n_bits}) / 64 as int) + 1), "
+        f"cast(pmod(_h1 + j * _h2, {n_bits}) % 64 as int)) & 1L) = 1L))"
+    )
+    doc_g = (
+        docs.withColumn("_tk", F.expr(tk))
+        .select(F.col(id_col), F.explode(F.expr(gexpr)).alias("gh"))
+        .withColumn("_h1", F.pmod(F.xxhash64("gh"), F.lit(n_bits)))
+        .withColumn("_h2", F.pmod(F.xxhash64("gh", F.lit(7)), F.lit(n_bits)))
+        .filter(F.expr(probe))
+        .drop("_h1", "_h2")
+    )
+    return (
+        doc_g.join(F.broadcast(bench_g), "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def duck_ngram_hash_list(n: int = 8) -> str:
     """Distinct word-n-gram h32 hashes over a bound ``_tk`` token
     array, identical to the Spark side's gexpr."""

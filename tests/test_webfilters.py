@@ -153,6 +153,41 @@ def test_benchmark_decontam(spark):
     assert out == {1: 1, 3: 1}  # doc 2 clean -> absent
 
 
+def test_benchmark_decontam_bloom_matches_exact(spark):
+    from fluent_bit_spark.textprep.webfilters import (
+        benchmark_ngram_overlap,
+        benchmark_ngram_overlap_bloom,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "z y x w v u t s r q"),
+            (3, "x a b c d e f g h tail words"),
+        ],
+    )
+    bench = spark.createDataFrame([("a b c d e f g h",)], "text string")
+    exact = {
+        r.doc_id: r.n_hits
+        for r in benchmark_ngram_overlap(docs, bench, n=8).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_hits
+        for r in benchmark_ngram_overlap_bloom(docs, bench, n=8).collect()
+    }
+    assert bloom == exact == {1: 1, 3: 1}
+    # a deliberately tiny/saturated bitset still yields the exact
+    # result (every gram becomes a Bloom candidate; confirm join holds)
+    saturated = {
+        r.doc_id: r.n_hits
+        for r in benchmark_ngram_overlap_bloom(
+            docs, bench, n=8, n_bits=64, n_hashes=2
+        ).collect()
+    }
+    assert saturated == exact
+
+
 def test_dedup_lines_golden(spark):
     from fluent_bit_spark.textprep.webfilters import dedup_lines_cols
 
