@@ -890,6 +890,29 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_ngram_overlap_bloom(docs, bench, n=8)
 
 
+def q_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of BPE training: one map-side-combinable
+    word-count shuffle, capped with a deterministic order."""
+    from fluent_bit_spark.textprep.bpe import word_counts
+
+    return word_counts(_t(spark, sf_dir, "documents"), top_k=200)
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE merges from the corpus word table, then tokenize the
+    corpus (Arrow-batched, per-distinct-word cache). The within-word
+    merge walk is iterative/data-dependent — not SQL-expressible, so
+    this entry is rows-only; segmentation parity is pytest-golden
+    against the classic reference algorithm (tests/test_bpe.py)."""
+    from fluent_bit_spark.textprep.bpe import bpe_apply, bpe_train, word_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(word_counts(docs, top_k=10000), n_merges=200)
+    return bpe_apply(docs, merges).select(
+        "doc_id", F.col("n_bpe_tokens"), F.col("bpe_tokens")[0].alias("first_tok")
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
@@ -1982,6 +2005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "decontam": q_decontam,
         "decontam_bloom": q_decontam_bloom,
+        "bpe_word_counts": q_bpe_word_counts,
+        "bpe_tokenize": q_bpe_tokenize,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
@@ -2990,6 +3015,15 @@ def oracle_sql() -> dict[str, str]:
                         WHERE doc_id % 50 = 0)
             SELECT doc_id, count(*)::bigint AS n_hits
             FROM dg JOIN bg USING (gh) GROUP BY doc_id
+        """,
+        # deterministic cap: both engines order (cnt DESC, word), so
+        # the 200-row cut is identical even through count ties
+        "bpe_word_counts": f"""
+            WITH w AS (SELECT unnest({tokens}) AS word FROM documents)
+            SELECT word, count(*)::bigint AS cnt
+            FROM w GROUP BY word
+            ORDER BY cnt DESC, word
+            LIMIT 200
         """,
         "c4_line_filter": f"""
             WITH l AS (

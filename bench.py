@@ -91,6 +91,8 @@ HEADLINE = [
     "domain_cap",
     "stratified_sample",
     "token_budget",
+    "bpe_word_counts",
+    "bpe_tokenize",
     "sequence_pack",
     "corpus_split",
     "pii_scrub",
