@@ -572,13 +572,24 @@ def benchmark_ngram_overlap_bloom(
     ops so the 100 TB side short-circuits before any join.
 
     The bitset (n_bits/64 longs; 16 KB default) rides into every task
-    as a plan literal, so the overwhelmingly-clean gram stream drops
-    rows with five pure-codegen bit probes and no join machinery; only
-    Bloom candidates (true hits + ~(1-e^(-kn/m))^k false positives,
-    ~0.3% at the defaults for a 10k-gram eval set) reach the exact
-    broadcast-semi confirm, so the RESULT is exactly
-    ``benchmark_ngram_overlap`` — false positives never survive, and
-    the same DuckDB oracle applies verbatim.
+    as a plan literal; the gram stream drops clean rows with k
+    pure-codegen bit probes, and only Bloom candidates (true hits +
+    ~(1-e^(-kn/m))^k false positives, ~0.3% at the defaults for a
+    10k-gram eval set) reach the exact broadcast confirm, so the
+    RESULT is exactly ``benchmark_ngram_overlap`` — false positives
+    never survive, and the same DuckDB oracle applies verbatim.
+
+    When it pays (measured at sf0.1, 236k gram rows): the probe
+    filter and a broadcast-hash probe cost the same per row (0.76s vs
+    0.83s for the bare stages), and the bitset build adds two fixed
+    jobs — so at toy scale this is parity-to-slower than the exact
+    path. The win is FOOTPRINT and reach: every task carries 16 KB
+    regardless of eval-set size (the exact path builds the full gram
+    hash relation in every task), so the prefilter is what keeps the
+    shape viable when the eval set outgrows a comfortable broadcast —
+    and the confirm join it feeds only sees the ~0.3% candidate
+    stream, which can then afford a shuffle join if broadcast is off
+    the table entirely.
     """
     tk = P.spark_tokens(text_col)
     gram = f"array_join(slice(_tk, i, {n}), ' ')"
@@ -593,14 +604,15 @@ def benchmark_ngram_overlap_bloom(
     )
     words = _bloom_bitset(bench_g, n_bits, n_hashes)
     arr = "array({})".format(",".join(f"{w}L" for w in words))
-    # one pass over (0, k): h1/h2 are bound columns (computed once),
-    # the bitset literal appears once in the plan; aggregate's merge
-    # ANDs the k probes
-    probe = (
-        f"aggregate(sequence(0, {n_hashes - 1}), true, (acc, j) -> acc AND "
+    # k UNROLLED codegen probes (Catalyst higher-order lambdas are
+    # interpreted per element — the repo's measured ~150ns/eval trap;
+    # plain AND terms stay inside whole-stage codegen). h1/h2 are
+    # bound columns, computed once; the array literals constant-fold.
+    probe = " AND ".join(
         f"((shiftright(element_at({arr}, "
-        f"cast(pmod(_h1 + j * _h2, {n_bits}) / 64 as int) + 1), "
-        f"cast(pmod(_h1 + j * _h2, {n_bits}) % 64 as int)) & 1L) = 1L))"
+        f"cast(pmod(_h1 + {j} * _h2, {n_bits}) / 64 as int) + 1), "
+        f"cast(pmod(_h1 + {j} * _h2, {n_bits}) % 64 as int)) & 1L) = 1L)"
+        for j in range(n_hashes)
     )
     doc_g = (
         docs.withColumn("_tk", F.expr(tk))
