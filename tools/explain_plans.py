@@ -322,6 +322,29 @@ def main() -> int:
          f"{n_ex} exchanges")
     )
 
+    # 16. decontam_bloom: the bitset probe is codegen (no interpreted
+    #     higher-order lambda in the filter), confirm join broadcasts
+    p = plan_of(qs["decontam_bloom"](spark, sf_dir))
+    ok = (
+        "Python" not in p
+        and "BroadcastHashJoin" in p
+        and "aggregate(" not in p.lower().split("readschema")[0].split("filter")[0]
+    )
+    checks.append(
+        ("decontam_bloom: codegen bit probes + broadcast confirm join", ok, "")
+    )
+    sections.append(("decontam_bloom (Bloom prefilter + exact confirm)", p, []))
+
+    # 17. bpe_word_counts: one exchange (partial-agg word count); the
+    #     top-k cap is a TakeOrdered, not a full sort
+    p = plan_of(qs["bpe_word_counts"](spark, sf_dir))
+    n_ex = n_exchanges(p)
+    ok = n_ex <= 1 and "TakeOrderedAndProject" in p and "Python" not in p
+    checks.append(
+        ("bpe_word_counts: one partial-agg exchange + TakeOrdered cap", ok,
+         f"{n_ex} exchanges")
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
