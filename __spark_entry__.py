@@ -890,6 +890,14 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_ngram_overlap_bloom(docs, bench, n=8)
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang corpus length card with EXACT percentiles (value-count
+    map aggregation — scale-safe for bounded-cardinality measures)."""
+    from fluent_bit_spark.textprep.textstats import length_quantile_card
+
+    return length_quantile_card(_t(spark, sf_dir, "documents"))
+
+
 def q_bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed half of BPE training: one map-side-combinable
     word-count shuffle, capped with a deterministic order."""
@@ -2007,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_bloom": q_decontam_bloom,
         "bpe_word_counts": q_bpe_word_counts,
         "bpe_tokenize": q_bpe_tokenize,
+        "length_quantiles": q_length_quantiles,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
@@ -3024,6 +3033,15 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY word
             ORDER BY cnt DESC, word
             LIMIT 200
+        """,
+        # quantile_cont == Spark percentile (both linear interpolation)
+        "length_quantiles": f"""
+            WITH t AS (SELECT lang, len({tokens}) AS _t FROM documents)
+            SELECT lang, count(*)::bigint AS docs,
+                   quantile_cont(_t, 0.5)  AS p50_tokens,
+                   quantile_cont(_t, 0.9)  AS p90_tokens,
+                   quantile_cont(_t, 0.99) AS p99_tokens
+            FROM t GROUP BY lang
         """,
         "c4_line_filter": f"""
             WITH l AS (

@@ -93,6 +93,7 @@ HEADLINE = [
     "token_budget",
     "bpe_word_counts",
     "bpe_tokenize",
+    "length_quantiles",
     "sequence_pack",
     "corpus_split",
     "pii_scrub",

@@ -44,6 +44,33 @@ def token_count_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def length_quantile_card(
+    df: DataFrame,
+    key_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-key corpus length card: doc count + EXACT p50/p90/p99 of the
+    whitespace token count (Spark ``percentile``, linear interpolation —
+    semantics identical to DuckDB ``quantile_cont``).
+
+    Scale note: exact percentile keeps a value→count map per group, so
+    it is safe exactly when the measure has bounded cardinality (token
+    counts: tens of thousands of distinct values at any corpus size).
+    For unbounded measures use ``approx_percentile`` (t-digest sketch,
+    mergeable map-side) and accept the documented error bound — the
+    approximate result is not oracle-comparable, which is why the card
+    ships the exact form.
+    """
+    toks = F.expr(f"size({P.spark_tokens(text_col)})")
+    grp = df.select(F.col(key_col), toks.alias("_t")).groupBy(key_col)
+    return grp.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.expr("percentile(_t, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(_t, 0.9)").alias("p90_tokens"),
+        F.expr("percentile(_t, 0.99)").alias("p99_tokens"),
+    )
+
+
 def quality_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword quality signals, rounded 6.
 

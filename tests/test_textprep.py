@@ -120,6 +120,20 @@ def test_token_and_quality_stats(docs):
     assert 0 < q["alpha_ratio"] < 1
 
 
+def test_length_quantile_card_exact_interpolation(docs):
+    from fluent_bit_spark.textprep.textstats import length_quantile_card
+
+    card = {r["lang"]: r for r in length_quantile_card(docs).collect()}
+    # en token counts sorted: [8, 9, 9, 9] -> p50 = 9 (midpoint of 9,9),
+    # p90 linear-interpolates between index 2.7's neighbors = 9
+    en = card["en"]
+    assert en["docs"] == 4
+    assert en["p50_tokens"] == 9.0
+    assert en["p90_tokens"] == 9.0
+    de = card["de"]
+    assert de["docs"] == 1 and de["p50_tokens"] == 8.0
+
+
 def test_lang_id_marker_words(docs):
     out = {r["doc_id"]: r["pred_lang"] for r in lang_id_col(docs).collect()}
     assert out[0] == "en"  # 'the' x2
