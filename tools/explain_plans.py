@@ -345,6 +345,17 @@ def main() -> int:
          f"{n_ex} exchanges")
     )
 
+    # 18. length_quantiles: one exchange (partial-aggregated percentile
+    #     map), scan pruned to (lang, text)
+    p = plan_of(qs["length_quantiles"](spark, sf_dir))
+    n_ex = n_exchanges(p)
+    read = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    ok = n_ex == 1 and read is not None and "doc_id" not in read.group(1)
+    checks.append(
+        ("length_quantiles: one agg exchange, pruned scan", ok,
+         f"{n_ex} exchanges; read={read.group(1)[:40] if read else '?'}")
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
