@@ -890,6 +890,15 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_ngram_overlap_bloom(docs, bench, n=8)
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: hash order + sharded read
+    positions (one exchange + per-shard sort — the training-shard
+    write plan)."""
+    from fluent_bit_spark.textprep.webfilters import corpus_shuffle
+
+    return corpus_shuffle(_t(spark, sf_dir, "documents"), n_shards=16, salt="ep0:")
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang corpus length card with EXACT percentiles (value-count
     map aggregation — scale-safe for bounded-cardinality measures)."""
@@ -2016,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_word_counts": q_bpe_word_counts,
         "bpe_tokenize": q_bpe_tokenize,
         "length_quantiles": q_length_quantiles,
+        "corpus_shuffle": q_corpus_shuffle,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
@@ -2291,6 +2301,12 @@ def _duck_sequence_pack_sql() -> str:
         " FROM documents)"
     )
     return duck_sequence_pack(seq_len=256, key_cols=["lang"], source=src)
+
+
+def _duck_corpus_shuffle_sql() -> str:
+    from fluent_bit_spark.textprep.webfilters import duck_corpus_shuffle
+
+    return duck_corpus_shuffle(n_shards=16, salt="ep0:")
 
 
 def _duck_curation_pipeline() -> str:
@@ -3106,6 +3122,7 @@ def oracle_sql() -> dict[str, str]:
                             JOIN meta b ON p.id_b = b.doc_id
         """,
         "sequence_pack": _duck_sequence_pack_sql(),
+        "corpus_shuffle": _duck_corpus_shuffle_sql(),
         "corpus_split": f"""
             WITH s AS (
               SELECT lang, source,

@@ -420,6 +420,49 @@ def duck_sequence_pack(
     """
 
 
+def corpus_shuffle(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic training-order shuffle: every epoch-0 data loader
+    wants the corpus in a pseudo-random but REPRODUCIBLE order, sharded
+    for parallel readers. shuffle_key = h32(salt || id) gives the
+    global order, shard = key mod n_shards routes the row, and
+    shard_pos is its read position within the shard.
+
+    Scale shape: ONE exchange on the shard key + a per-shard sort —
+    exactly the plan of a range/hash-partitioned training-shard write
+    (partitionBy(shard), sortWithinPartitions(shuffle_key)). Changing
+    ``salt`` reshuffles between epochs without touching the data;
+    cluster size never changes the order (pure hash of the id)."""
+    h = P.spark_h32(f"concat('{salt}', cast({id_col} as string))")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.select(id_col)
+        .withColumn("shuffle_key", F.expr(h))
+        .withColumn("shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("bigint"))
+        .withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
+    )
+
+
+def duck_corpus_shuffle(
+    n_shards: int = 16, salt: str = "", source: str = "documents"
+) -> str:
+    h = P.duck_h32(f"concat('{salt}', cast(doc_id as varchar))")
+    return f"""
+        WITH k AS (
+          SELECT doc_id, {h} AS shuffle_key FROM {source}
+        )
+        SELECT doc_id, shuffle_key,
+               (shuffle_key % {n_shards})::bigint AS shard,
+               row_number() OVER (PARTITION BY shuffle_key % {n_shards}
+                   ORDER BY shuffle_key, doc_id)::bigint AS shard_pos
+        FROM k
+    """
+
+
 def corpus_split_cols(
     df: DataFrame,
     domain_col: str = "source",

@@ -188,6 +188,32 @@ def test_benchmark_decontam_bloom_matches_exact(spark):
     assert saturated == exact
 
 
+def test_corpus_shuffle_deterministic_and_sharded(spark):
+    from fluent_bit_spark.textprep.webfilters import corpus_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    )
+    a = corpus_shuffle(docs, n_shards=4, salt="ep0:").collect()
+    b = corpus_shuffle(docs, n_shards=4, salt="ep0:").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    # shard positions are 1..len(shard) dense, ordered by shuffle_key
+    by_shard: dict[int, list] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["shard_pos"])
+        assert [r["shard_pos"] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [r["shuffle_key"] for r in rows]
+        assert keys == sorted(keys)
+    # a different salt produces a different order
+    c = corpus_shuffle(docs, n_shards=4, salt="ep1:").collect()
+    key_a = {r["doc_id"]: r["shuffle_key"] for r in a}
+    key_c = {r["doc_id"]: r["shuffle_key"] for r in c}
+    assert key_a != key_c
+
+
 def test_dedup_lines_golden(spark):
     from fluent_bit_spark.textprep.webfilters import dedup_lines_cols
 
