@@ -94,6 +94,7 @@ HEADLINE = [
     "bpe_word_counts",
     "bpe_tokenize",
     "length_quantiles",
+    "corpus_shuffle",
     "sequence_pack",
     "corpus_split",
     "pii_scrub",
