@@ -356,6 +356,22 @@ def main() -> int:
          f"{n_ex} exchanges; read={read.group(1)[:40] if read else '?'}")
     )
 
+    # 19. corpus_shuffle: one exchange (shard key) + per-shard sort,
+    #     scan pruned to the id column
+    p = plan_of(qs["corpus_shuffle"](spark, sf_dir))
+    n_ex = n_exchanges(p)
+    read = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    ok = (
+        n_ex == 1
+        and "Window" in p
+        and read is not None
+        and "text" not in read.group(1)
+    )
+    checks.append(
+        ("corpus_shuffle: one shard exchange + sort, id-only scan", ok,
+         f"{n_ex} exchanges; read={read.group(1)[:30] if read else '?'}")
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
