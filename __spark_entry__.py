@@ -890,6 +890,51 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_ngram_overlap_bloom(docs, bench, n=8)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize over REAL decoded pixels: per doc a
+    vertical-gradient grayscale PNG (row y = (doc_id + y) % 256) is
+    encoded in an Arrow UDF, decoded (zlib inflate + unfilter), and
+    resized to 4x4. A gradient makes the resample itself checkable:
+    the resized mean is avg over y in 0..3 of (doc_id + (y*h)//4) %
+    256 — pure doc_id arithmetic for the oracle, but only if the
+    floor index mapping picks exactly the right source rows."""
+    from pyspark.sql import types as T
+
+    from fluent_bit_spark.textprep.multimodal import decode_resize_stats
+
+    @F.pandas_udf(T.BinaryType())
+    def make_png(s: pd.Series) -> pd.Series:
+        import struct
+        import zlib
+
+        def chunk(t: bytes, d: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        out = []
+        for did in s:
+            did = int(did)
+            w, h = did % 7 + 1, did % 16 + 1
+            rows = b"".join(
+                b"\x00" + bytes([(did + y) % 256]) * w for y in range(h)
+            )
+            out.append(
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(rows))
+                + chunk(b"IEND", b"")
+            )
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = docs.select(
+        F.col("doc_id").alias("id"), make_png("doc_id").alias("payload")
+    )
+    return decode_resize_stats(payloads, out_w=4, out_h=4)
+
+
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle: hash order + sharded read
     positions (one exchange + per-shard sort — the training-shard
@@ -2026,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "length_quantiles": q_length_quantiles,
         "corpus_shuffle": q_corpus_shuffle,
+        "multimodal_resize": q_multimodal_resize,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
@@ -2622,6 +2668,21 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN doc_id % 2 = 1 THEN cast(doc_id % 50 + 10 as bigint) END AS n_samples,
               CASE WHEN doc_id % 2 = 1 THEN cast(8000 + (doc_id % 5) * 4000 as int) END AS sample_rate,
               CASE WHEN doc_id % 2 = 1 THEN cast(doc_id % 100 + 1 as double) END AS rms
+            FROM documents
+        """,
+        # mean of the 4 nearest-neighbor-selected gradient rows; the
+        # arithmetic only matches if the resample's floor index map
+        # picks source rows (y*h)//4
+        "multimodal_resize": """
+            SELECT doc_id AS id,
+              cast(doc_id % 7 + 1 as int) AS src_w,
+              cast(doc_id % 16 + 1 as int) AS src_h,
+              cast(4 as int) AS out_w, cast(4 as int) AS out_h,
+              ((  (doc_id + (0 * (doc_id % 16 + 1)) // 4) % 256
+                + (doc_id + (1 * (doc_id % 16 + 1)) // 4) % 256
+                + (doc_id + (2 * (doc_id % 16 + 1)) // 4) % 256
+                + (doc_id + (3 * (doc_id % 16 + 1)) // 4) % 256
+              ) / 4.0) AS mean_px
             FROM documents
         """,
         "grep_and": """

@@ -110,6 +110,7 @@ HEADLINE = [
     "multimodal_features",
     "multimodal_decode",
     "multimodal_pixels",
+    "multimodal_resize",
 ]
 
 

@@ -789,6 +789,78 @@ def decode_pixel_stats(
     return df.select(id_col, payload_col).mapInPandas(fn, PIXEL_SCHEMA)
 
 
+def resize_nearest(px, out_w: int, out_h: int):
+    """Nearest-neighbor resample of an (h, w, c) array via index-map
+    gathers (``idx = (arange(out) * src) // out`` — the floor mapping):
+    two integer index arrays + one fancy-index, no per-pixel Python."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[ys][:, xs]
+
+
+RESIZE_SCHEMA = (
+    "id long, src_w int, src_h int, out_w int, out_h int, mean_px double"
+)
+
+
+def decode_resize_stats(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode image payloads (PNG/GIF/baseline JPEG — same decoders as
+    ``decode_pixel_stats``), nearest-neighbor resize to (out_w, out_h),
+    and report the resized all-channel pixel mean. The mean changes
+    when the resample picks different source rows/cols, so a gradient
+    payload makes this oracle-checkable arithmetic (unlike solid
+    colors, which any wrong-but-averaging resize would still pass)."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: [] for k in ("id", "src_w", "src_h", "out_w", "out_h", "mean_px")
+            }
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                px = decode_png_pixels(raw)
+                if px is None:
+                    px = decode_gif_pixels(raw)
+                if px is None:
+                    px = decode_jpeg_pixels(raw)
+                cols["id"].append(int(rid))
+                if px is None:
+                    cols["src_w"].append(None)
+                    cols["src_h"].append(None)
+                    cols["out_w"].append(None)
+                    cols["out_h"].append(None)
+                    cols["mean_px"].append(None)
+                    continue
+                rs = resize_nearest(px, out_w, out_h)
+                cols["src_w"].append(px.shape[1])
+                cols["src_h"].append(px.shape[0])
+                cols["out_w"].append(out_w)
+                cols["out_h"].append(out_h)
+                cols["mean_px"].append(
+                    round(float(np.asarray(rs, dtype=np.float64).mean()), 6)
+                )
+            out = pd.DataFrame(cols)
+            yield out.astype(
+                {
+                    "src_w": "Int32", "src_h": "Int32",
+                    "out_w": "Int32", "out_h": "Int32",
+                    "mean_px": "float64",
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, RESIZE_SCHEMA)
+
+
 def _decode_stub(payload: bytes, deterministic_fake: bool) -> dict[str, Any]:
     """STUB for the real codec call (PIL/opencv/ffmpeg not available
     in this container). ``deterministic_fake`` yields a stable fake

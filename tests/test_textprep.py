@@ -972,6 +972,39 @@ def test_decode_pixel_stats_spark(spark):
     assert rows[3]["mean_g"] == 40.0 and rows[3]["mean_b"] == 50.0
 
 
+def test_resize_nearest_goldens():
+    import numpy as np
+
+    from fluent_bit_spark.textprep.multimodal import resize_nearest
+
+    # 2x2 -> 4x4 is pure pixel replication
+    px = np.array([[[0], [10]], [[20], [30]]], dtype=np.uint8)
+    up = resize_nearest(px, 4, 4)
+    assert up.shape == (4, 4, 1)
+    assert (up[:2, :2, 0] == 0).all() and (up[2:, 2:, 0] == 30).all()
+    # 4 rows -> 2 picks source rows (0*4)//2=0 and (1*4)//2=2
+    col = np.arange(4, dtype=np.uint8).reshape(4, 1, 1) * 10
+    down = resize_nearest(col, 1, 2)
+    assert down[:, 0, 0].tolist() == [0, 20]
+    # identity when shapes match
+    assert (resize_nearest(px, 2, 2) == px).all()
+
+
+def test_decode_resize_stats_spark(spark):
+    from fluent_bit_spark.textprep.multimodal import decode_resize_stats
+
+    # 1x4 vertical gradient 0,10,20,30 -> resize to 4x2 picks rows 0,2
+    png = _mk_png(1, 4, [[(v, v, v)] for v in (0, 10, 20, 30)])
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"junk"))], "id long, payload binary"
+    )
+    rows = {r["id"]: r for r in decode_resize_stats(df, out_w=4, out_h=2).collect()}
+    assert rows[1]["src_w"] == 1 and rows[1]["src_h"] == 4
+    assert rows[1]["out_w"] == 4 and rows[1]["out_h"] == 2
+    assert rows[1]["mean_px"] == 10.0  # (0 + 20) / 2
+    assert rows[2]["mean_px"] is None
+
+
 def test_corpus_prep_composite(spark, tmp_path):
     """Composite corpus-prep card: dedup keeps the min-url survivor and
     counts its duplicates; the token gate drops short docs; totals are
