@@ -372,6 +372,15 @@ def main() -> int:
          f"{n_ex} exchanges; read={read.group(1)[:30] if read else '?'}")
     )
 
+    # 20. multimodal_resize: exactly one Arrow stage (encode UDF +
+    #     decode/resize mapInPandas), zero exchanges
+    p = plan_of(qs["multimodal_resize"](spark, sf_dir))
+    ok = n_exchanges(p) == 0 and p.count("MapInPandas") <= 2
+    checks.append(
+        ("multimodal_resize: shuffle-free Arrow decode+resample", ok,
+         f"{n_exchanges(p)} exchanges")
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
