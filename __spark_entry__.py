@@ -2039,9 +2039,10 @@ def q_decoder_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so entries with no driver-green CORRECTNESS row yet run
-    # FIRST: the driver's gate truncates after ~50 entries, and round 2
-    # recorded rows for the first 50 only — these 12 passed the same
-    # harness locally (tools/check_oracles.py) but need driver rows.
+    # FIRST: the driver's gate recorded exactly 50 rows in round 2, so
+    # the 50 entries without a driver row (round-2 tail + round-3
+    # additions) occupy positions 1-50 here; all pass the same harness
+    # locally (tools/check_oracles.py at sf0.01: ALL OK).
     return {
         "dedup_clusters": q_dedup_clusters,
         "incremental_dedup": q_incremental_dedup,

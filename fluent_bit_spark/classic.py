@@ -40,12 +40,12 @@ from pyspark.sql import functions as F
 
 from fluent_bit_spark.functions.globmatch import tag_match_col
 from fluent_bit_spark.operators.expect import ExpectRule, expect
-from fluent_bit_spark.operators.grep import GrepRule, grep
+from fluent_bit_spark.operators.grep import GrepRule
 from fluent_bit_spark.operators.modify import ModifyCondition, ModifyRule, modify
 from fluent_bit_spark.operators.nest import lift, nest
 from fluent_bit_spark.operators.record_modifier import record_modifier
 from fluent_bit_spark.operators.throttle import throttle
-from fluent_bit_spark.router import RewriteTagRule, Route, apply_rewrite_tag
+from fluent_bit_spark.router import RewriteTagRule, apply_rewrite_tag
 from fluent_bit_spark.parsers.compile import apply_parser
 from fluent_bit_spark.parsers.config import ParserSpec
 

@@ -9,7 +9,7 @@ stages — no shuffle at all until a downstream aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fluent_bit_spark.textprep import portable as P

@@ -29,7 +29,6 @@ def plan_of(df) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as entry
-    from pyspark.sql import functions as F
 
     from fluent_bit_spark.datagen import generate_pages
     from fluent_bit_spark.pipeline import build_pipeline
