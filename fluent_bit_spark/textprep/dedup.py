@@ -307,9 +307,19 @@ def minhash_lsh_pairs(
         .select(
             "id_a",
             "id_b",
+            # UNROLLED component-agreement count: zip_with/filter is an
+            # interpreted higher-order lambda evaluated per candidate
+            # pair (measured 4.1s vs 1.8s for the whole query at sf0.1);
+            # 32 element_at equality terms stay in whole-stage codegen.
+            # Same arithmetic -> same est -> same oracle decisions.
             F.expr(
-                "size(filter(zip_with(qa.sig, qb.sig, (x, y) -> x = y),"
-                f" v -> v)) / {P.N_HASHES}.0"
+                "("
+                + " + ".join(
+                    f"(CASE WHEN element_at(qa.sig, {i + 1}) = "
+                    f"element_at(qb.sig, {i + 1}) THEN 1 ELSE 0 END)"
+                    for i in range(P.N_HASHES)
+                )
+                + f") / {P.N_HASHES}.0"
             ).alias("est"),
         )
     )
