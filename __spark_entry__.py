@@ -935,6 +935,44 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_resize_stats(payloads, out_w=4, out_h=4)
 
 
+def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio nearest-neighbor resampling over REAL decoded PCM: per doc
+    a 16-bit sawtooth WAV (sample k = (doc_id + k) % 100 - 100) is
+    encoded in an Arrow UDF, decoded (RIFF/fmt/data walk), resampled
+    to 8 samples, and reduced to mean-square power — exact eighths
+    arithmetic the oracle reproduces only if the floor index map picks
+    exactly the right source samples."""
+    from pyspark.sql import types as T
+
+    from fluent_bit_spark.textprep.multimodal import decode_audio_resample_stats
+
+    @F.pandas_udf(T.BinaryType())
+    def make_wav(s: pd.Series) -> pd.Series:
+        import struct
+
+        out = []
+        for did in s:
+            did = int(did)
+            n = did % 50 + 10
+            rate = 8000
+            data = b"".join(
+                struct.pack("<h", (did + k) % 100 - 100) for k in range(n)
+            )
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            out.append(
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = docs.select(
+        F.col("doc_id").alias("id"), make_wav("doc_id").alias("payload")
+    )
+    return decode_audio_resample_stats(payloads, out_n=8)
+
+
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle: hash order + sharded read
     positions (one exchange + per-shard sort — the training-shard
@@ -2073,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "corpus_shuffle": q_corpus_shuffle,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_resample": q_multimodal_resample,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
@@ -2685,6 +2724,22 @@ def oracle_sql() -> dict[str, str]:
                 + (doc_id + (3 * (doc_id % 16 + 1)) // 4) % 256
               ) / 4.0) AS mean_px
             FROM documents
+        """,
+        # mean square of the 8 nearest-neighbor-picked sawtooth samples;
+        # exact eighths arithmetic, matching only if the index map is
+        # (k*n)//8
+        "multimodal_resample": """
+            WITH p AS (SELECT doc_id, doc_id % 50 + 10 AS n FROM documents),
+                 s AS (
+                   SELECT doc_id, n, k,
+                          ((doc_id + (k * n) // 8) % 100 - 100) AS v
+                   FROM p, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t(k)
+                 )
+            SELECT doc_id AS id,
+                   cast(any_value(n) as bigint) AS n_samples,
+                   cast(8 as int) AS out_n,
+                   sum(v * v) / 8.0 AS ms_power
+            FROM s GROUP BY doc_id
         """,
         "grep_and": """
             SELECT doc_id, lang FROM documents

@@ -111,6 +111,7 @@ HEADLINE = [
     "multimodal_decode",
     "multimodal_pixels",
     "multimodal_resize",
+    "multimodal_resample",
 ]
 
 

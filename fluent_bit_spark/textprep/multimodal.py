@@ -861,6 +861,53 @@ def decode_resize_stats(
     return df.select(id_col, payload_col).mapInPandas(fn, RESIZE_SCHEMA)
 
 
+AUDIO_RESAMPLE_SCHEMA = "id long, n_samples long, out_n int, ms_power double"
+
+
+def decode_audio_resample_stats(
+    df: DataFrame,
+    out_n: int,
+    id_col: str = "id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode PCM WAV payloads and nearest-neighbor resample to a fixed
+    sample count (``idx = (arange(out_n) * n) // out_n`` — the same
+    floor index map as ``resize_nearest``, in one dimension), reporting
+    the resampled MEAN-SQUARE power. Mean square (not RMS) keeps the
+    statistic exact rational arithmetic — integer sample squares
+    averaged over out_n — so a varying (sawtooth) payload makes the
+    resample itself oracle-checkable with no float-rounding caveats."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: [] for k in ("id", "n_samples", "out_n", "ms_power")
+            }
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                wav = decode_wav_samples(raw)
+                cols["id"].append(int(rid))
+                if wav is None or len(wav[0]) == 0:
+                    cols["n_samples"].append(None)
+                    cols["out_n"].append(None)
+                    cols["ms_power"].append(None)
+                    continue
+                samples = wav[0]
+                n = len(samples)
+                idx = (np.arange(out_n) * n) // out_n
+                rs = samples[idx].astype(np.float64)
+                cols["n_samples"].append(n)
+                cols["out_n"].append(out_n)
+                cols["ms_power"].append(float((rs * rs).mean()))
+            out = pd.DataFrame(cols)
+            yield out.astype(
+                {"n_samples": "Int64", "out_n": "Int32", "ms_power": "float64"}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, AUDIO_RESAMPLE_SCHEMA)
+
+
 def _decode_stub(payload: bytes, deterministic_fake: bool) -> dict[str, Any]:
     """STUB for the real codec call (PIL/opencv/ffmpeg not available
     in this container). ``deterministic_fake`` yields a stable fake

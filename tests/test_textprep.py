@@ -1005,6 +1005,33 @@ def test_decode_resize_stats_spark(spark):
     assert rows[2]["mean_px"] is None
 
 
+def test_decode_audio_resample_stats_spark(spark):
+    import struct
+
+    from fluent_bit_spark.textprep.multimodal import decode_audio_resample_stats
+
+    def wav(samples):
+        data = b"".join(struct.pack("<h", v) for v in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav([0, 10, 20, 30]))), (2, bytearray(b"junk"))],
+        "id long, payload binary",
+    )
+    rows = {
+        r["id"]: r for r in decode_audio_resample_stats(df, out_n=2).collect()
+    }
+    # n=4 -> out 2 picks indexes (0*4)//2=0 and (1*4)//2=2: values 0, 20
+    assert rows[1]["n_samples"] == 4 and rows[1]["out_n"] == 2
+    assert rows[1]["ms_power"] == 200.0
+    assert rows[2]["ms_power"] is None
+
+
 def test_corpus_prep_composite(spark, tmp_path):
     """Composite corpus-prep card: dedup keeps the min-url survivor and
     counts its duplicates; the token gate drops short docs; totals are
