@@ -52,8 +52,11 @@ from fluent_bit_spark.parsers.config import ParserSpec
 
 @dataclass
 class Section:
-    kind: str  # service | input | filter | output
+    kind: str  # service | input | filter | output | parser
     props: list[tuple[str, str]] = field(default_factory=list)
+    # yaml 2.x per-input processors (pipeline.inputs[].processors.logs):
+    # applied to THIS input's records before union/routing, no Match
+    processors: list["Section"] = field(default_factory=list)
 
     def get(self, key: str, default: str | None = None) -> str | None:
         key = key.lower()
@@ -227,12 +230,30 @@ def parse_yaml_conf(
         sec = Section(kind=kind)
         for k, v in m.items():
             key = str(k).lower()
+            if key == "processors" and kind == "input":
+                # fluent-bit 2.x per-input processors: only the logs
+                # signal exists in this engine (flb_cf_yaml.c parses
+                # logs/metrics/traces; metrics+traces have no analog
+                # here — reject rather than silently drop)
+                if not isinstance(v, dict):
+                    raise ValueError("processors must map signal -> list")
+                extra = set(v) - {"logs"}
+                if extra:
+                    raise ValueError(
+                        f"unsupported processor signal(s) {sorted(extra)}; "
+                        "only 'logs' is supported"
+                    )
+                for pm in v.get("logs") or []:
+                    if not isinstance(pm, dict):
+                        raise ValueError("each processor must be a mapping")
+                    sec.processors.append(to_section("processor", pm))
+                continue
             vals = v if isinstance(v, list) else [v]
             for one in vals:
                 if isinstance(one, (dict, list)):
                     raise ValueError(
                         f"nested value for {key!r} not supported by the "
-                        "classic loader (processors need the programmatic API)"
+                        "classic loader"
                     )
                 sval = str(one)
                 if isinstance(one, bool):
@@ -558,6 +579,46 @@ def _two(v: str) -> tuple[str, str]:
     return parts[0], parts[1]
 
 
+def _apply_processors(
+    df: DataFrame, input_sec: Section, parsers: dict[str, ParserSpec] | None
+) -> DataFrame:
+    """Per-input yaml processors (fluent-bit 2.x): run in config order
+    on THIS input's records only, before union/routing — processors
+    have no Match, they are attached (flb_processor.c semantics).
+    Native processors dispatch to their operators; any filter plugin
+    also works as a processor (filters-as-processors), forced to
+    match-all since attachment already scopes it."""
+    for p in input_sec.processors:
+        name = p.name
+        if name == "content_modifier":
+            from fluent_bit_spark.operators.content_modifier import content_modifier
+
+            df = content_modifier(
+                df,
+                action=p.get("action") or "",
+                key=p.get("key") or p.get("context") or "",
+                value=p.get("value"),
+                converted_type=p.get("converted_type"),
+                pattern=p.get("pattern"),
+            )
+        elif name == "sql":
+            from fluent_bit_spark.operators.processor_sql import processor_sql
+
+            df = processor_sql(df, p.get("query") or "")
+        elif name == "sampling":
+            from fluent_bit_spark.operators.sampling import sample_probabilistic
+
+            df = sample_probabilistic(
+                df, float(p.get("percentage") or p.get("sampling_percentage") or 100)
+            )
+        else:
+            forced = Section(kind="filter", props=list(p.props))
+            if forced.get("match") is None:
+                forced.props.append(("match", "*"))
+            df = _apply_filter(df, forced, parsers)
+    return df
+
+
 def _apply_filter(
     df: DataFrame, sec: Section, parsers: dict[str, ParserSpec] | None = None
 ) -> DataFrame:
@@ -780,7 +841,10 @@ def build_classic_pipeline(
     inputs = [s for s in sections if s.kind == "input"]
     if not inputs:
         raise ValueError("config has no [INPUT] section")
-    dfs = [_input_df(spark, s, parsers, lib_inputs) for s in inputs]
+    dfs = [
+        _apply_processors(_input_df(spark, s, parsers, lib_inputs), s, parsers)
+        for s in inputs
+    ]
     df = dfs[0]
     for d in dfs[1:]:
         df = df.unionByName(d, allowMissingColumns=True)
@@ -906,6 +970,9 @@ def start_classic_stream(
                 cols += [F.col("record_map").getItem(k).alias(k) for k in keys]
                 parsed = parsed.select(*cols)
             stream = parsed
+        # yaml per-input processors work on streams too (all dispatch
+        # targets are projections/filters — no aggregation)
+        stream = _apply_processors(stream, sec, parsers)
         dfs.append(stream)
     if not dfs:
         raise ValueError("config has no [INPUT] section")

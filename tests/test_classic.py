@@ -417,6 +417,62 @@ pipeline:
     assert pipe.outputs["counter.0"].first()["count"] == 4
 
 
+def test_yaml_per_input_processors(spark, tmp_path):
+    from fluent_bit_spark.classic import load_classic_conf
+
+    conf = tmp_path / "fb.yaml"
+    conf.write_text(
+        """
+pipeline:
+  inputs:
+    - name: dummy
+      tag: app.a
+      dummy: '{"message":"keep me","level":"info"}'
+      samples: 3
+      processors:
+        logs:
+          - name: content_modifier
+            action: insert
+            key: stage
+            value: processed
+          - name: grep
+            regex: level info
+    - name: dummy
+      tag: app.b
+      dummy: '{"message":"other","level":"warn"}'
+      samples: 2
+  outputs:
+    - name: counter
+      match: '*'
+"""
+    )
+    pipe = build_classic_pipeline(spark, load_classic_conf(str(conf)))
+    rows = pipe.records.collect()
+    a = [r for r in rows if r["tag"] == "app.a"]
+    b = [r for r in rows if r["tag"] == "app.b"]
+    # processors are attached: input a gets the insert + grep, input b
+    # is untouched (no Match involved)
+    assert len(a) == 3 and all(r["stage"] == "processed" for r in a)
+    assert len(b) == 2 and all(r["stage"] is None for r in b)
+
+
+def test_yaml_processors_reject_non_logs_signal(tmp_path):
+    import pytest as _pytest
+
+    from fluent_bit_spark.classic import parse_yaml_conf
+
+    bad = """
+pipeline:
+  inputs:
+    - name: dummy
+      processors:
+        metrics:
+          - name: labels
+"""
+    with _pytest.raises(ValueError, match="only 'logs'"):
+        parse_yaml_conf(bad)
+
+
 def test_yaml_includes_classic_fragment(tmp_path):
     from fluent_bit_spark.classic import load_classic_conf
 
