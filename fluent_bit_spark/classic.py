@@ -57,6 +57,9 @@ class Section:
     # yaml 2.x per-input processors (pipeline.inputs[].processors.logs):
     # applied to THIS input's records before union/routing, no Match
     processors: list["Section"] = field(default_factory=list)
+    # processor condition block ({op, rules:[{field,op,value}]}),
+    # flb_processor.c:311 flb_processor_unit_set_condition
+    condition: dict | None = None
 
     def get(self, key: str, default: str | None = None) -> str | None:
         key = key.lower()
@@ -246,7 +249,17 @@ def parse_yaml_conf(
                 for pm in v.get("logs") or []:
                     if not isinstance(pm, dict):
                         raise ValueError("each processor must be a mapping")
-                    sec.processors.append(to_section("processor", pm))
+                    cond = pm.pop("condition", None)
+                    psec = to_section("processor", pm)
+                    if cond is not None:
+                        if not isinstance(cond, dict) or not isinstance(
+                            cond.get("rules"), list
+                        ):
+                            raise ValueError(
+                                "condition must be a map with a 'rules' list"
+                            )
+                        psec.condition = cond
+                    sec.processors.append(psec)
                 continue
             vals = v if isinstance(v, list) else [v]
             for one in vals:
@@ -590,9 +603,24 @@ def _apply_processors(
     match-all since attachment already scopes it."""
     for p in input_sec.processors:
         name = p.name
+        if p.condition is not None and name != "content_modifier":
+            raise ValueError(
+                "processor condition is supported on content_modifier "
+                f"(its native consumer), not {name!r}"
+            )
         if name == "content_modifier":
+            from fluent_bit_spark.operators.conditions import ConditionRule
             from fluent_bit_spark.operators.content_modifier import content_modifier
 
+            rules, combine = [], "and"
+            if p.condition is not None:
+                combine = str(p.condition.get("op", "and")).lower()
+                rules = [
+                    ConditionRule(
+                        field=str(r["field"]), op=str(r["op"]), value=r.get("value")
+                    )
+                    for r in p.condition["rules"]
+                ]
             df = content_modifier(
                 df,
                 action=p.get("action") or "",
@@ -600,6 +628,8 @@ def _apply_processors(
                 value=p.get("value"),
                 converted_type=p.get("converted_type"),
                 pattern=p.get("pattern"),
+                conditions=rules,
+                combine=combine,
             )
         elif name == "sql":
             from fluent_bit_spark.operators.processor_sql import processor_sql

@@ -456,6 +456,61 @@ pipeline:
     assert len(b) == 2 and all(r["stage"] is None for r in b)
 
 
+def test_yaml_processor_condition_gates_per_record(spark, tmp_path):
+    """flb_processor.c:311 condition blocks: op + rules[{field,op,value}],
+    gating the processor per record ($level eq info only)."""
+    from fluent_bit_spark.classic import load_classic_conf
+
+    conf = tmp_path / "fb.yaml"
+    conf.write_text(
+        """
+pipeline:
+  inputs:
+    - name: dummy
+      tag: app.a
+      dummy: '{"message":"m","level":"info"}'
+      samples: 2
+      processors:
+        logs:
+          - name: content_modifier
+            action: insert
+            key: flagged
+            value: "yes"
+            condition:
+              op: and
+              rules:
+                - field: $level
+                  op: eq
+                  value: info
+    - name: dummy
+      tag: app.b
+      dummy: '{"message":"m","level":"warn"}'
+      samples: 2
+      processors:
+        logs:
+          - name: content_modifier
+            action: insert
+            key: flagged
+            value: "yes"
+            condition:
+              op: and
+              rules:
+                - field: $level
+                  op: eq
+                  value: info
+  outputs:
+    - name: counter
+      match: '*'
+"""
+    )
+    pipe = build_classic_pipeline(spark, load_classic_conf(str(conf)))
+    rows = pipe.records.collect()
+    a = [r for r in rows if r["tag"] == "app.a"]
+    b = [r for r in rows if r["tag"] == "app.b"]
+    assert all(r["flagged"] == "yes" for r in a)  # condition true
+    assert all(r["flagged"] is None for r in b)  # condition false
+
+
 def test_yaml_processors_reject_non_logs_signal(tmp_path):
     import pytest as _pytest
 
