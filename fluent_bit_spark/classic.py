@@ -278,12 +278,17 @@ def parse_yaml_conf(
         sections.append(to_section("service", doc["service"]))
     for m in doc.get("parsers") or []:
         sections.append(to_section("parser", m))
+    # yaml stream-processor tasks: top-level name/exec list
+    # (flb_sp.c:104 "the new Yaml parser expects the section names to
+    # be stream_processor")
+    for m in doc.get("stream_processor") or []:
+        sections.append(to_section("stream_task", m))
     pipeline = doc.get("pipeline") or {}
     for plural, kind in (("inputs", "input"), ("filters", "filter"), ("outputs", "output")):
         for m in pipeline.get(plural) or []:
             sections.append(to_section(kind, m))
 
-    known = {"env", "includes", "service", "parsers", "pipeline"}
+    known = {"env", "includes", "service", "parsers", "pipeline", "stream_processor"}
     unknown = set(doc) - known
     if unknown:
         raise ValueError(f"unsupported yaml top-level keys: {sorted(unknown)}")
@@ -316,6 +321,18 @@ def load_classic_conf(path: str) -> list[Section]:
                 continue  # same parsers file referenced twice is fine
             seen.add(rp)
             with open(pf) as fh:
+                sections.extend(parse_classic_conf(fh.read(), base, {}, seen))
+        # [SERVICE] Streams_File: stream-processor task definitions
+        # ([STREAM_TASK] name/exec sections — flb_sp.c:58 sp_config_file;
+        # path resolution mirrors the reference: as-is, else conf dir)
+        for sf in svc.get_all("streams_file"):
+            if not os.path.isabs(sf):
+                sf = os.path.join(base, sf)
+            rp = os.path.realpath(sf)
+            if rp in seen:
+                continue
+            seen.add(rp)
+            with open(sf) as fh:
                 sections.extend(parse_classic_conf(fh.read(), base, {}, seen))
     return sections
 
@@ -850,6 +867,10 @@ class ClassicPipeline:
     records: DataFrame  # post-filter, pre-routing (tag column present)
     outputs: dict[str, DataFrame]  # output id -> routed/transformed DF
     output_sections: dict[str, Section]
+    # Streams_File / yaml stream_processor task results by task name;
+    # routable CREATE STREAM results are ALSO re-ingested into the
+    # routed record stream (in_stream_processor semantics)
+    stream_results: dict[str, DataFrame] = field(default_factory=dict)
 
 
 def build_classic_pipeline(
@@ -882,6 +903,30 @@ def build_classic_pipeline(
     for s in (s for s in sections if s.kind == "filter"):
         df = _apply_filter(df, s, parsers)
 
+    # stream-processor tasks ([STREAM_TASK] via Streams_File, or yaml
+    # stream_processor:) run over the post-filter record stream;
+    # routable CREATE STREAM results re-ingest for routing below
+    stream_results: dict[str, DataFrame] = {}
+    tasks = [s for s in sections if s.kind in ("stream_task", "stream_processor")]
+    if tasks:
+        from fluent_bit_spark.sp.engine import SpEngine
+        from fluent_bit_spark.sp.parser import parse_sql
+
+        eng = SpEngine()
+        eng.register_input("classic", df)
+        for t in tasks:
+            tname, texec = t.get("name"), t.get("exec")
+            if not tname or not texec:
+                # flb_sp.c:118-131: both properties are mandatory
+                raise ValueError("[STREAM_TASK] requires name and exec")
+            out = eng.execute(texec)
+            stream_results[tname] = out
+            cmd = parse_sql(texec)
+            if cmd.kind == "create_stream" and cmd.props.get(
+                "routable", "true"
+            ).lower() not in ("false", "off", "no", "0"):
+                df = df.unionByName(out, allowMissingColumns=True)
+
     outputs: dict[str, DataFrame] = {}
     out_secs: dict[str, Section] = {}
     for i, s in enumerate(s for s in sections if s.kind == "output"):
@@ -903,7 +948,12 @@ def build_classic_pipeline(
             ).agg(F.count(F.lit(1)).alias("counts"))
         outputs[oid] = routed
         out_secs[oid] = s
-    return ClassicPipeline(records=df, outputs=outputs, output_sections=out_secs)
+    return ClassicPipeline(
+        records=df,
+        outputs=outputs,
+        output_sections=out_secs,
+        stream_results=stream_results,
+    )
 
 
 def start_classic_stream(

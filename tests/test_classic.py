@@ -528,6 +528,67 @@ pipeline:
         parse_yaml_conf(bad)
 
 
+def test_streams_file_stream_task(spark, tmp_path):
+    """[SERVICE] Streams_File -> [STREAM_TASK] name/exec (flb_sp.c:58):
+    the task runs over the post-filter records; a routable CREATE
+    STREAM re-ingests under its WITH(tag=...) for routing."""
+    from fluent_bit_spark.classic import load_classic_conf
+
+    (tmp_path / "streams.conf").write_text(
+        """
+[STREAM_TASK]
+    Name counted
+    Exec CREATE STREAM counted WITH(tag='sp.count') AS SELECT COUNT(*) AS total FROM TAG:'app.*';
+"""
+    )
+    (tmp_path / "fb.conf").write_text(
+        """
+[SERVICE]
+    Streams_File streams.conf
+[INPUT]
+    Name dummy
+    Tag app.a
+    Dummy {"message":"x","level":"info"}
+    Samples 5
+[OUTPUT]
+    Name counter
+    Match sp.*
+"""
+    )
+    pipe = build_classic_pipeline(spark, load_classic_conf(str(tmp_path / "fb.conf")))
+    assert set(pipe.stream_results) == {"counted"}
+    assert pipe.stream_results["counted"].first()["total"] == 5
+    # re-ingested under the stream tag and routed to the sp.* output
+    assert pipe.outputs["counter.0"].first()["count"] == 1
+    tags = {r["tag"] for r in pipe.records.select("tag").distinct().collect()}
+    assert tags == {"app.a", "sp.count"}
+
+
+def test_yaml_stream_processor_tasks(spark, tmp_path):
+    from fluent_bit_spark.classic import load_classic_conf
+
+    conf = tmp_path / "fb.yaml"
+    conf.write_text(
+        """
+stream_processor:
+  - name: counted
+    exec: "CREATE STREAM counted WITH(tag='sp.count') AS SELECT COUNT(*) AS total FROM TAG:'app.*';"
+pipeline:
+  inputs:
+    - name: dummy
+      tag: app.a
+      dummy: '{"message":"x"}'
+      samples: 3
+  outputs:
+    - name: counter
+      match: 'sp.*'
+"""
+    )
+    pipe = build_classic_pipeline(spark, load_classic_conf(str(conf)))
+    assert pipe.stream_results["counted"].first()["total"] == 3
+    assert pipe.outputs["counter.0"].first()["count"] == 1
+
+
 def test_yaml_includes_classic_fragment(tmp_path):
     from fluent_bit_spark.classic import load_classic_conf
 
