@@ -935,6 +935,16 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_resize_stats(payloads, out_w=4, out_h=4)
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding prep: 32-token chunks with 8-token overlap —
+    map-only generate+slice, zero shuffles at any corpus size."""
+    from fluent_bit_spark.textprep.webfilters import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
 def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio nearest-neighbor resampling over REAL decoded PCM: per doc
     a 16-bit sawtooth WAV (sample k = (doc_id + k) % 100 - 100) is
@@ -2112,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_resample": q_multimodal_resample,
+        "doc_chunks": q_doc_chunks,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
@@ -2393,6 +2404,12 @@ def _duck_corpus_shuffle_sql() -> str:
     from fluent_bit_spark.textprep.webfilters import duck_corpus_shuffle
 
     return duck_corpus_shuffle(n_shards=16, salt="ep0:")
+
+
+def _duck_doc_chunks_sql() -> str:
+    from fluent_bit_spark.textprep.webfilters import duck_chunk_documents
+
+    return duck_chunk_documents(chunk_tokens=32, overlap=8)
 
 
 def _duck_curation_pipeline() -> str:
@@ -3240,6 +3257,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sequence_pack": _duck_sequence_pack_sql(),
         "corpus_shuffle": _duck_corpus_shuffle_sql(),
+        "doc_chunks": _duck_doc_chunks_sql(),
         "corpus_split": f"""
             WITH s AS (
               SELECT lang, source,

@@ -95,6 +95,7 @@ HEADLINE = [
     "bpe_tokenize",
     "length_quantiles",
     "corpus_shuffle",
+    "doc_chunks",
     "sequence_pack",
     "corpus_split",
     "pii_scrub",

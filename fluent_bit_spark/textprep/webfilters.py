@@ -420,6 +420,70 @@ def duck_sequence_pack(
     """
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-token chunking with overlap (the RAG/embedding prep op):
+    split each document's whitespace tokens into windows of
+    ``chunk_tokens`` starting every ``chunk_tokens - overlap`` tokens.
+    Emits (id, chunk_id, start_token, chunk_len, chunk_text); empty
+    documents yield no chunks. Map-only — one generate + slice per
+    row, zero shuffles, embarrassingly parallel at any corpus size."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    tk = P.spark_tokens(text_col)
+    starts = f"sequence(1, greatest(size(_tk), 1), {step})"
+    return (
+        df.withColumn("_tk", F.expr(tk))
+        .filter(F.expr("size(_tk) > 0"))
+        .select(
+            F.col(id_col),
+            F.col("_tk"),
+            F.posexplode(F.expr(starts)).alias("chunk_id", "start_token"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.col("start_token").cast("bigint").alias("start_token"),
+            F.expr(f"size(slice(_tk, start_token, {chunk_tokens}))")
+            .cast("bigint")
+            .alias("chunk_len"),
+            F.expr(
+                f"array_join(slice(_tk, start_token, {chunk_tokens}), ' ')"
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def duck_chunk_documents(
+    chunk_tokens: int, overlap: int = 0, source: str = "documents"
+) -> str:
+    step = chunk_tokens - overlap
+    tokens = P.duck_tokens("text")
+    return f"""
+        WITH t AS (SELECT doc_id, {tokens} AS _tk FROM {source}),
+             s AS (
+               SELECT doc_id, _tk,
+                      unnest(generate_series(1, greatest(len(_tk), 1), {step}))
+                        AS start_token
+               FROM t WHERE len(_tk) > 0
+             )
+        SELECT doc_id,
+               ((start_token - 1) // {step})::int AS chunk_id,
+               start_token::bigint AS start_token,
+               len(list_slice(_tk, start_token,
+                   start_token + {chunk_tokens} - 1))::bigint AS chunk_len,
+               array_to_string(list_slice(_tk, start_token,
+                   start_token + {chunk_tokens} - 1), ' ') AS chunk_text
+        FROM s
+    """
+
+
 def corpus_shuffle(
     df: DataFrame,
     n_shards: int = 16,

@@ -188,6 +188,34 @@ def test_benchmark_decontam_bloom_matches_exact(spark):
     assert saturated == exact
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    from fluent_bit_spark.textprep.webfilters import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, ""), (3, "x y")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 7 tokens, windows start 1,4,7 (step 3)
+    c = by_doc[1]
+    assert [(r["chunk_id"], r["start_token"], r["chunk_text"]) for r in c] == [
+        (0, 1, "a b c d"),
+        (1, 4, "d e f g"),
+        (2, 7, "g"),
+    ]
+    assert [r["chunk_len"] for r in c] == [4, 4, 1]
+    assert 2 not in by_doc  # empty doc -> no chunks
+    assert by_doc[3][0]["chunk_text"] == "x y"
+    # invalid overlap rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
 def test_corpus_shuffle_deterministic_and_sharded(spark):
     from fluent_bit_spark.textprep.webfilters import corpus_shuffle
 
