@@ -380,6 +380,14 @@ def main() -> int:
          f"{n_exchanges(p)} exchanges")
     )
 
+    # 21. doc_chunks: zero-exchange map-only generate+slice
+    p = plan_of(qs["doc_chunks"](spark, sf_dir))
+    ok = n_exchanges(p) == 0 and "Python" not in p and "Generate" in p
+    checks.append(
+        ("doc_chunks: zero-exchange map-only chunking", ok,
+         f"{n_exchanges(p)} exchanges")
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
