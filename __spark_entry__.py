@@ -541,6 +541,43 @@ def q_type_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "k", "uid_str", "k_int")
 
 
+def q_yaml_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A yaml config (the 2.x format) drives the pipeline: lib input
+    with ATTACHED processors — a condition-gated content_modifier
+    insert (flb_processor.c:311) then a grep filter-as-processor —
+    loaded through parse_yaml_conf, no Match involved."""
+    from fluent_bit_spark.classic import build_classic_pipeline, parse_yaml_conf
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    yaml_text = """
+pipeline:
+  inputs:
+    - name: lib
+      tag: ev.lib
+      processors:
+        logs:
+          - name: content_modifier
+            action: insert
+            key: severity
+            value: high
+            condition:
+              op: and
+              rules:
+                - field: $event_type
+                  op: eq
+                  value: error
+          - name: grep
+            regex: event_type ^(click|error)$
+  outputs:
+    - name: counter
+      match: '*'
+"""
+    pipe = build_classic_pipeline(
+        spark, parse_yaml_conf(yaml_text), lib_inputs={"ev.lib": ev}
+    )
+    return pipe.records.select("tag", "event_id", "event_type", "value", "severity")
+
+
 def q_classic_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A classic-mode fluent-bit.conf drives the whole pipeline
     (fluent_bit_spark.classic): lib input -> grep -> conditional
@@ -2123,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_resample": q_multimodal_resample,
         "doc_chunks": q_doc_chunks,
+        "yaml_conf": q_yaml_conf,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
@@ -3258,6 +3296,12 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": _duck_sequence_pack_sql(),
         "corpus_shuffle": _duck_corpus_shuffle_sql(),
         "doc_chunks": _duck_doc_chunks_sql(),
+        "yaml_conf": """
+            SELECT 'ev.lib' AS tag, event_id, event_type, value,
+                   CASE WHEN event_type = 'error' THEN 'high' END AS severity
+            FROM events
+            WHERE regexp_matches(event_type, '^(click|error)$')
+        """,
         "corpus_split": f"""
             WITH s AS (
               SELECT lang, source,

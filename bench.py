@@ -69,6 +69,7 @@ HEADLINE = [
     "filter_parser",
     "type_converter",
     "classic_conf",
+    "yaml_conf",
     "flowcounter",
     "throttle",
     "dedup_exact",
