@@ -121,6 +121,19 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(total, steal) jiffies from /proc/stat — this VM runs on a
+    heavily shared hypervisor (cumulative steal measured at ~87% of
+    user ticks), so each rep records its steal%% to make contaminated
+    measurements self-documenting in the artifact."""
+    try:
+        parts = open("/proc/stat").readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError):
+        return 0, 0
+
+
 def _tmpfs_base(min_free_gb: int = 16) -> str | None:
     """/dev/shm if present with headroom, else None (use $TMPDIR)."""
     base = "/dev/shm"
@@ -169,11 +182,15 @@ def main() -> None:
     release_all()
 
     rep_times: dict[str, list[float]] = {n: [] for n in names}
+    rep_steal: dict[str, list[float]] = {n: [] for n in names}
     for _rep in range(reps):
         for name in names:
+            tk0, st0 = _cpu_ticks()
             t0 = time.perf_counter()
             force(qs[name](spark, sf_dir))
             rep_times[name].append(round(time.perf_counter() - t0, 3))
+            tk1, st1 = _cpu_ticks()
+            rep_steal[name].append(round(100 * (st1 - st0) / max(tk1 - tk0, 1), 1))
             # operators release their persisted intermediates here so
             # nothing accumulates in the storage layer across queries
             release_all()
@@ -218,7 +235,9 @@ def main() -> None:
 
     pages = generate_pages(spark, n_rows)
     pipe_times: list[float] = []
+    pipe_steal: list[float] = []
     for _rep in range(pipe_reps):
+        tk0, st0 = _cpu_ticks()
         t0 = time.perf_counter()
         result = build_pipeline(pages, from_html=True)
         if sink_mode == "noop":
@@ -239,10 +258,13 @@ def main() -> None:
             force(aggs)
             shutil.rmtree(sink_dir, ignore_errors=True)
         pipe_times.append(round(time.perf_counter() - t0, 3))
+        tk1, st1 = _cpu_ticks()
+        pipe_steal.append(round(100 * (st1 - st0) / max(tk1 - tk0, 1), 1))
     # BENCH_PIPELINE_REPS=0 skips the synthetic pipeline (query-only runs)
     pipeline_sec = min(pipe_times) if pipe_times else None
     if pipe_times:
         rep_times["pipeline_synthetic"] = pipe_times
+        rep_steal["pipeline_synthetic"] = pipe_steal
         timings["pipeline_synthetic"] = round(pipeline_sec, 3)
     # text bytes processed (deterministic datagen; measured once, cheap)
     total_bytes = (
@@ -258,6 +280,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "query_reps": rep_times,
+                "query_steal_pct": rep_steal,
                 "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pipeline_rows": n_rows,
