@@ -972,6 +972,17 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_resize_stats(payloads, out_w=4, out_h=4)
 
 
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text vectorizer (hashing trick): 16-dim signed
+    bucket counts, numpy bucket-add per Arrow batch (exact — every
+    increment is ±1, so sums are order-independent integers)."""
+    from fluent_bit_spark.textprep.simsearch import hash_embed
+
+    return hash_embed(_t(spark, sf_dir, "documents"), dim=16).select(
+        "doc_id", "embedding"
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG/embedding prep: 32-token chunks with 8-token overlap —
     map-only generate+slice, zero shuffles at any corpus size."""
@@ -2161,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resample": q_multimodal_resample,
         "doc_chunks": q_doc_chunks,
         "yaml_conf": q_yaml_conf,
+        "hash_embed": q_hash_embed,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
@@ -2448,6 +2460,17 @@ def _duck_doc_chunks_sql() -> str:
     from fluent_bit_spark.textprep.webfilters import duck_chunk_documents
 
     return duck_chunk_documents(chunk_tokens=32, overlap=8)
+
+
+def _duck_hash_embed_sql() -> str:
+    from fluent_bit_spark.textprep import portable as PP
+    from fluent_bit_spark.textprep.simsearch import duck_hash_embed
+
+    th = PP.duck_hash_array(PP.duck_tokens("text"))
+    return f"""
+        WITH t AS (SELECT doc_id, {th} AS _th FROM documents)
+        SELECT doc_id, {duck_hash_embed(16)} AS embedding FROM t
+    """
 
 
 def _duck_curation_pipeline() -> str:
@@ -3296,6 +3319,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": _duck_sequence_pack_sql(),
         "corpus_shuffle": _duck_corpus_shuffle_sql(),
         "doc_chunks": _duck_doc_chunks_sql(),
+        "hash_embed": _duck_hash_embed_sql(),
         "yaml_conf": """
             SELECT 'ev.lib' AS tag, event_id, event_type, value,
                    CASE WHEN event_type = 'error' THEN 'high' END AS severity

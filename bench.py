@@ -97,6 +97,7 @@ HEADLINE = [
     "length_quantiles",
     "corpus_shuffle",
     "doc_chunks",
+    "hash_embed",
     "sequence_pack",
     "corpus_split",
     "pii_scrub",

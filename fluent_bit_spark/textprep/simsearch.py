@@ -41,6 +41,79 @@ _NORM2 = (
 )
 
 
+def _hash_embed_arrow(dim: int):
+    """numpy-over-Arrow bucket accumulation. Bit-identical to the SQL
+    fold with NO order caveat: every increment is ±1.0, so each
+    dimension's sum is an exact small integer in double regardless of
+    summation order."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def emb(s: pd.Series) -> pd.Series:
+        out = []
+        for hs in s:
+            v = np.zeros(dim, dtype=np.float64)
+            if hs is not None and len(hs):
+                h = np.asarray(hs, dtype=np.int64)
+                np.add.at(v, h % dim, np.where((h // dim) % 2 == 0, 1.0, -1.0))
+            out.append(v.tolist())
+        return pd.Series(out)
+
+    return emb
+
+
+def hash_embed(
+    df: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    engine: str = "arrow",
+) -> DataFrame:
+    """Feature-hashing text vectorizer (the hashing trick, Weinberger
+    et al. 2009): token -> h32 -> bucket h % dim, sign from the next
+    hash bit, accumulated to a dense double vector. No model to
+    broadcast and no training step — the natural cheap embedding for
+    chunk-level retrieval and this module's clustering/ANN ops, and
+    exactly reproducible in SQL for the oracle.
+
+    engine='arrow' (default, the scale path): one numpy bucket-add per
+    row. engine='sql': pure-Catalyst per-dimension aggregate folds —
+    dim interpreted lambda passes over the hash array, kept only to
+    cross-check the oracle rendering (same trap as the old IVF
+    assignment; do not use at scale)."""
+    from fluent_bit_spark.textprep import portable as P
+
+    th = P.spark_hash_array(P.spark_tokens(text_col))
+    out = df.withColumn("_th", F.expr(th))
+    if engine == "arrow":
+        return out.withColumn(out_col, _hash_embed_arrow(dim)(F.col("_th"))).drop(
+            "_th"
+        )
+    dims = ",".join(
+        f"aggregate(_th, cast(0 as double), (acc, h) -> acc + "
+        f"(CASE WHEN h % {dim} = {i} THEN "
+        f"(CASE WHEN (h div {dim}) % 2 = 0 THEN 1.0 ELSE -1.0 END) "
+        "ELSE 0.0 END))"
+        for i in range(dim)
+    )
+    return out.withColumn(out_col, F.expr(f"array({dims})")).drop("_th")
+
+
+def duck_hash_embed(dim: int = 16, text_col: str = "text") -> str:
+    """DuckDB rendering of the hash_embed vector over a bound ``_th``
+    token-hash list (same bucket + sign arithmetic)."""
+    # double literals throughout: bare 1.0 is DECIMAL in DuckDB and
+    # list_sum would return Decimal, not the double the compare expects
+    dims = ",".join(
+        "coalesce(list_sum(list_transform(_th, h -> "
+        f"CASE WHEN h % {dim} = {i} THEN "
+        f"(CASE WHEN (h // {dim}) % 2 = 0 "
+        "THEN 1.0::double ELSE -1.0::double END) "
+        "ELSE 0.0::double END)), 0.0::double)"
+        for i in range(dim)
+    )
+    return f"[{dims}]"
+
+
 def cosine_expr(a: str, b: str) -> str:
     dot = _DOT.format(a=a, b=b)
     na = _NORM2.format(v=a)

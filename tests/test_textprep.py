@@ -972,6 +972,26 @@ def test_decode_pixel_stats_spark(spark):
     assert rows[3]["mean_g"] == 40.0 and rows[3]["mean_b"] == 50.0
 
 
+def test_hash_embed_engines_agree(docs):
+    from fluent_bit_spark.textprep.simsearch import hash_embed
+
+    arrow = {
+        r["doc_id"]: r["embedding"]
+        for r in hash_embed(docs, dim=8).select("doc_id", "embedding").collect()
+    }
+    sql = {
+        r["doc_id"]: r["embedding"]
+        for r in hash_embed(docs, dim=8, engine="sql")
+        .select("doc_id", "embedding")
+        .collect()
+    }
+    assert arrow == sql
+    # identical docs -> identical vectors; sum of |v| = token count
+    assert arrow[0] == arrow[1]
+    assert sum(abs(x) for x in arrow[0]) <= 9  # cancellation allowed
+    assert any(x != 0 for x in arrow[0])
+
+
 def test_resize_nearest_goldens():
     import numpy as np
 
