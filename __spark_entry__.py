@@ -983,6 +983,26 @@ def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rag_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG indexing capstone: chunk the corpus (32 tokens, overlap 8),
+    hash-embed every chunk, and retrieve exact cosine top-3 corpus
+    chunks for each query-document chunk. Chunking and scoring are
+    Catalyst; the embedding is one numpy bucket-add per Arrow batch;
+    the query side broadcasts. Every stage is the already-oracled
+    operator (doc_chunks + hash_embed + ann_cosine_topk), composed."""
+    from fluent_bit_spark.textprep.simsearch import cosine_topk, hash_embed
+    from fluent_bit_spark.textprep.webfilters import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    emb = hash_embed(chunks, dim=16, text_col="chunk_text").withColumn(
+        "vec_id", (F.col("doc_id") * 1000 + F.col("chunk_id")).cast("bigint")
+    )
+    queries = emb.filter(F.col("doc_id") % 100 == 0)
+    corpus = emb.filter(F.col("doc_id") % 100 != 0)
+    return cosine_topk(corpus, queries, k=3)
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG/embedding prep: 32-token chunks with 8-token overlap —
     map-only generate+slice, zero shuffles at any corpus size."""
@@ -2173,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "yaml_conf": q_yaml_conf,
         "hash_embed": q_hash_embed,
+        "rag_chunk_topk": q_rag_chunk_topk,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
@@ -2460,6 +2481,52 @@ def _duck_doc_chunks_sql() -> str:
     from fluent_bit_spark.textprep.webfilters import duck_chunk_documents
 
     return duck_chunk_documents(chunk_tokens=32, overlap=8)
+
+
+def _duck_rag_chunk_topk_sql() -> str:
+    from fluent_bit_spark.textprep import portable as PP
+    from fluent_bit_spark.textprep.simsearch import duck_hash_embed
+
+    tokens = PP.duck_tokens("text")
+    th = PP.duck_hash_array(PP.duck_tokens("chunk_text"))
+    cos = (
+        f"CASE WHEN ({_duck_dot('qv', 'qv', 16)}) * ({_duck_dot('dv', 'dv', 16)})"
+        f" = 0 THEN 0.0::double ELSE ({_duck_dot('qv', 'dv', 16)}) / "
+        f"sqrt(({_duck_dot('qv', 'qv', 16)}) * ({_duck_dot('dv', 'dv', 16)})) END"
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {tokens} AS _tk FROM documents),
+             s AS (
+               SELECT doc_id, _tk,
+                      unnest(generate_series(1, greatest(len(_tk), 1), 24))
+                        AS start_token
+               FROM t WHERE len(_tk) > 0
+             ),
+             c AS (
+               SELECT doc_id, ((start_token - 1) // 24) AS chunk_id,
+                      array_to_string(list_slice(_tk, start_token,
+                          start_token + 31), ' ') AS chunk_text
+               FROM s
+             ),
+             h AS (
+               SELECT doc_id, (doc_id * 1000 + chunk_id)::bigint AS vec_id,
+                      {th} AS _th
+               FROM c
+             ),
+             e AS (SELECT doc_id, vec_id, {duck_hash_embed(16)} AS v FROM h),
+             q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                   WHERE doc_id % 100 = 0),
+             d AS (SELECT vec_id AS neighbor_id, v AS dv FROM e
+                   WHERE doc_id % 100 <> 0),
+             sc AS (SELECT query_id, neighbor_id, round({cos}, 6) AS cos
+                    FROM d, q),
+             r AS (SELECT query_id, neighbor_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM sc)
+        SELECT query_id, rank::int AS rank, neighbor_id, cos
+        FROM r WHERE rank <= 3
+    """
 
 
 def _duck_hash_embed_sql() -> str:
@@ -3320,6 +3387,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle": _duck_corpus_shuffle_sql(),
         "doc_chunks": _duck_doc_chunks_sql(),
         "hash_embed": _duck_hash_embed_sql(),
+        "rag_chunk_topk": _duck_rag_chunk_topk_sql(),
         "yaml_conf": """
             SELECT 'ev.lib' AS tag, event_id, event_type, value,
                    CASE WHEN event_type = 'error' THEN 'high' END AS severity

@@ -98,6 +98,7 @@ HEADLINE = [
     "corpus_shuffle",
     "doc_chunks",
     "hash_embed",
+    "rag_chunk_topk",
     "sequence_pack",
     "corpus_split",
     "pii_scrub",

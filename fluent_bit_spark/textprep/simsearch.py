@@ -115,10 +115,16 @@ def duck_hash_embed(dim: int = 16, text_col: str = "text") -> str:
 
 
 def cosine_expr(a: str, b: str) -> str:
+    # zero-norm vectors (possible under signed feature hashing when
+    # buckets cancel) define cos := 0 — explicit in both engines;
+    # ANSI Spark would otherwise throw DIVIDE_BY_ZERO
     dot = _DOT.format(a=a, b=b)
     na = _NORM2.format(v=a)
     nb = _NORM2.format(v=b)
-    return f"({dot}) / sqrt(({na}) * ({nb}))"
+    return (
+        f"CASE WHEN ({na}) * ({nb}) = 0 THEN cast(0 as double) "
+        f"ELSE ({dot}) / sqrt(({na}) * ({nb})) END"
+    )
 
 
 def cosine_topk(
