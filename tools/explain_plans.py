@@ -388,6 +388,15 @@ def main() -> int:
          f"{n_exchanges(p)} exchanges")
     )
 
+    # 22. rag_chunk_topk: ONE Arrow embedding stage feeding both sides,
+    #     query side broadcast; chunking stays codegen
+    p = plan_of(qs["rag_chunk_topk"](spark, sf_dir))
+    ok = "ArrowEvalPython" in p and "Broadcast" in p and "Generate" in p
+    checks.append(
+        ("rag_chunk_topk: codegen chunking + Arrow embed + broadcast query side",
+         ok, "")
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
