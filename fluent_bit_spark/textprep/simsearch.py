@@ -139,14 +139,29 @@ def cosine_topk(
     ``queries`` must be small (it is broadcast). Deterministic
     tie-break on neighbor id.
     """
+    # squared norms hoisted to per-ROW columns: cosine_expr would
+    # re-evaluate both interpreted norm folds per PAIR (once in the
+    # zero guard, once in the divisor) — hoisting leaves one dot per
+    # pair and keeps the arithmetic bit-identical to the oracle
+    # (same folds, same values, just computed once)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.expr(_NORM2.format(v=vec_col)).alias("_qn"),
     )
-    d = data.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("dv"))
+    d = data.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("dv"),
+        F.expr(_NORM2.format(v=vec_col)).alias("_dn"),
+    )
+    dot = _DOT.format(a="qv", b="dv")
     scored = d.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        F.expr(f"round({cosine_expr('qv', 'dv')}, 6)").alias("cos"),
+        F.expr(
+            "round(CASE WHEN _qn * _dn = 0 THEN cast(0 as double) "
+            f"ELSE ({dot}) / sqrt(_qn * _dn) END, 6)"
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
