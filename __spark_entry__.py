@@ -1003,6 +1003,24 @@ def q_rag_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(corpus, queries, k=3)
 
 
+def q_rag_chunk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path of rag_chunk_topk: candidates restricted to the
+    query chunk's hyperplane-LSH bucket (data bucketed once; at scale
+    the chunk index is WRITTEN partitioned by bucket and each query
+    probes one partition)."""
+    from fluent_bit_spark.textprep.simsearch import hash_embed, lsh_topk
+    from fluent_bit_spark.textprep.webfilters import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    emb = hash_embed(chunks, dim=16, text_col="chunk_text").withColumn(
+        "vec_id", (F.col("doc_id") * 1000 + F.col("chunk_id")).cast("bigint")
+    )
+    queries = emb.filter(F.col("doc_id") % 100 == 0)
+    corpus = emb.filter(F.col("doc_id") % 100 != 0)
+    return lsh_topk(corpus, queries, k=3, n_planes=6, dim=16)
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG/embedding prep: 32-token chunks with 8-token overlap —
     map-only generate+slice, zero shuffles at any corpus size."""
@@ -2194,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yaml_conf": q_yaml_conf,
         "hash_embed": q_hash_embed,
         "rag_chunk_topk": q_rag_chunk_topk,
+        "rag_chunk_lsh": q_rag_chunk_lsh,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
@@ -2483,19 +2502,16 @@ def _duck_doc_chunks_sql() -> str:
     return duck_chunk_documents(chunk_tokens=32, overlap=8)
 
 
-def _duck_rag_chunk_topk_sql() -> str:
+def _duck_chunk_embed_cte() -> str:
+    """Shared CTE body: 32/8 chunking -> 16-dim hash embedding per
+    chunk, ending with e(doc_id, vec_id, v)."""
     from fluent_bit_spark.textprep import portable as PP
     from fluent_bit_spark.textprep.simsearch import duck_hash_embed
 
     tokens = PP.duck_tokens("text")
     th = PP.duck_hash_array(PP.duck_tokens("chunk_text"))
-    cos = (
-        f"CASE WHEN ({_duck_dot('qv', 'qv', 16)}) * ({_duck_dot('dv', 'dv', 16)})"
-        f" = 0 THEN 0.0::double ELSE ({_duck_dot('qv', 'dv', 16)}) / "
-        f"sqrt(({_duck_dot('qv', 'qv', 16)}) * ({_duck_dot('dv', 'dv', 16)})) END"
-    )
     return f"""
-        WITH t AS (SELECT doc_id, {tokens} AS _tk FROM documents),
+        t AS (SELECT doc_id, {tokens} AS _tk FROM documents),
              s AS (
                SELECT doc_id, _tk,
                       unnest(generate_series(1, greatest(len(_tk), 1), 24))
@@ -2513,13 +2529,59 @@ def _duck_rag_chunk_topk_sql() -> str:
                       {th} AS _th
                FROM c
              ),
-             e AS (SELECT doc_id, vec_id, {duck_hash_embed(16)} AS v FROM h),
+             e AS (SELECT doc_id, vec_id, {duck_hash_embed(16)} AS v FROM h)"""
+
+
+def _duck_guarded_cos(a: str, b: str, dim: int) -> str:
+    return (
+        f"CASE WHEN ({_duck_dot(a, a, dim)}) * ({_duck_dot(b, b, dim)})"
+        f" = 0 THEN 0.0::double ELSE ({_duck_dot(a, b, dim)}) / "
+        f"sqrt(({_duck_dot(a, a, dim)}) * ({_duck_dot(b, b, dim)})) END"
+    )
+
+
+def _duck_rag_chunk_topk_sql() -> str:
+    cos = _duck_guarded_cos("qv", "dv", 16)
+    return f"""
+        WITH {_duck_chunk_embed_cte()},
              q AS (SELECT vec_id AS query_id, v AS qv FROM e
                    WHERE doc_id % 100 = 0),
              d AS (SELECT vec_id AS neighbor_id, v AS dv FROM e
                    WHERE doc_id % 100 <> 0),
              sc AS (SELECT query_id, neighbor_id, round({cos}, 6) AS cos
                     FROM d, q),
+             r AS (SELECT query_id, neighbor_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM sc)
+        SELECT query_id, rank::int AS rank, neighbor_id, cos
+        FROM r WHERE rank <= 3
+    """
+
+
+def _duck_rag_chunk_lsh_sql() -> str:
+    from fluent_bit_spark.textprep.simsearch import hyperplanes
+
+    planes = hyperplanes(16, 6)
+    vals = ",".join(
+        "({}, [{}])".format(pi, ",".join(f"cast({x!r} as double)" for x in row))
+        for pi, row in enumerate(planes)
+    )
+    cos = _duck_guarded_cos("q.v", "d.v", 16)
+    return f"""
+        WITH {_duck_chunk_embed_cte()},
+             planes(pi, pv) AS (FROM (VALUES {vals}) t2(pi, pv)),
+             buckets AS (
+               SELECT e.doc_id, e.vec_id, e.v,
+                      cast(sum(CASE WHEN ({_duck_dot('e.v', 'p.pv', 16)}) >= 0
+                          THEN power(2, p.pi) ELSE 0 END) as int) AS bucket
+               FROM e CROSS JOIN planes p GROUP BY e.doc_id, e.vec_id, e.v
+             ),
+             q AS (SELECT * FROM buckets WHERE doc_id % 100 = 0),
+             d AS (SELECT * FROM buckets WHERE doc_id % 100 <> 0),
+             sc AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                           round({cos}, 6) AS cos
+                    FROM q JOIN d ON q.bucket = d.bucket),
              r AS (SELECT query_id, neighbor_id, cos,
                           row_number() OVER (PARTITION BY query_id
                               ORDER BY cos DESC, neighbor_id) AS rank
@@ -3388,6 +3450,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _duck_doc_chunks_sql(),
         "hash_embed": _duck_hash_embed_sql(),
         "rag_chunk_topk": _duck_rag_chunk_topk_sql(),
+        "rag_chunk_lsh": _duck_rag_chunk_lsh_sql(),
         "yaml_conf": """
             SELECT 'ev.lib' AS tag, event_id, event_type, value,
                    CASE WHEN event_type = 'error' THEN 'high' END AS severity

@@ -99,6 +99,7 @@ HEADLINE = [
     "doc_chunks",
     "hash_embed",
     "rag_chunk_topk",
+    "rag_chunk_lsh",
     "sequence_pack",
     "corpus_split",
     "pii_scrub",
