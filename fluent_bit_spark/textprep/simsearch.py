@@ -589,20 +589,28 @@ def lsh_topk(
     """
     dim = _infer_dim(data, vec_col, dim)
     b = bucket_udf(hyperplanes(dim, n_planes))
+    # norms hoisted per row (not per candidate pair) — same reasoning
+    # and same bit-identical arithmetic as cosine_topk
     d = data.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("dv"),
+        F.expr(_NORM2.format(v=vec_col)).alias("_dn"),
         b(F.col(vec_col)).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        F.expr(_NORM2.format(v=vec_col)).alias("_qn"),
         b(F.col(vec_col)).alias("bucket"),
     )
+    dot = _DOT.format(a="qv", b="dv")
     scored = d.join(F.broadcast(q), "bucket").select(
         "query_id",
         "neighbor_id",
-        F.expr(f"round({cosine_expr('qv', 'dv')}, 6)").alias("cos"),
+        F.expr(
+            "round(CASE WHEN _qn * _dn = 0 THEN cast(0 as double) "
+            f"ELSE ({dot}) / sqrt(_qn * _dn) END, 6)"
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
