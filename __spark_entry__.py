@@ -1078,6 +1078,26 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_shuffle(_t(spark, sf_dir, "documents"), n_shards=16, salt="ep0:")
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text for dedup/shingling: lowercase + accent fold +
+    control strip + whitespace collapse, zero-shuffle codegen. The
+    fixture text is already clean, so deterministic noise (case flips,
+    accents, doubled spaces, a control char) is injected identically
+    in both engines and must normalize back to a canonical form."""
+    from fluent_bit_spark.textprep.textstats import normalize_text_col
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.expr(
+            "concat(CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END, "
+            "CASE WHEN doc_id % 2 = 0 THEN '  Café\\tÑandú ' ELSE '' END, "
+            "CASE WHEN doc_id % 5 = 0 THEN concat(chr(9), 'x', chr(1)) "
+            "ELSE '' END)"
+        ),
+    )
+    return normalize_text_col(docs).select("doc_id", "norm_text")
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang corpus length card with EXACT percentiles (value-count
     map aggregation — scale-safe for bounded-cardinality measures)."""
@@ -2205,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_word_counts": q_bpe_word_counts,
         "bpe_tokenize": q_bpe_tokenize,
         "length_quantiles": q_length_quantiles,
+        "text_normalize": q_text_normalize,
         "corpus_shuffle": q_corpus_shuffle,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_resample": q_multimodal_resample,
@@ -2538,6 +2559,22 @@ def _duck_guarded_cos(a: str, b: str, dim: int) -> str:
         f" = 0 THEN 0.0::double ELSE ({_duck_dot(a, b, dim)}) / "
         f"sqrt(({_duck_dot(a, a, dim)}) * ({_duck_dot(b, b, dim)})) END"
     )
+
+
+def _duck_text_normalize_sql() -> str:
+    from fluent_bit_spark.textprep.textstats import duck_normalize_text
+
+    noisy = (
+        "concat(CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END, "
+        "CASE WHEN doc_id % 2 = 0 THEN '  Café' || chr(9) || 'Ñandú ' "
+        "ELSE '' END, "
+        "CASE WHEN doc_id % 5 = 0 THEN chr(9) || 'x' || chr(1) "
+        "ELSE '' END)"
+    )
+    return f"""
+        WITH noisy AS (SELECT doc_id, {noisy} AS text FROM documents)
+        SELECT doc_id, {duck_normalize_text('text')} AS norm_text FROM noisy
+    """
 
 
 def _duck_rag_chunk_topk_sql() -> str:
@@ -3451,6 +3488,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_embed": _duck_hash_embed_sql(),
         "rag_chunk_topk": _duck_rag_chunk_topk_sql(),
         "rag_chunk_lsh": _duck_rag_chunk_lsh_sql(),
+        "text_normalize": _duck_text_normalize_sql(),
         "yaml_conf": """
             SELECT 'ev.lib' AS tag, event_id, event_type, value,
                    CASE WHEN event_type = 'error' THEN 'high' END AS severity

@@ -95,6 +95,7 @@ HEADLINE = [
     "bpe_word_counts",
     "bpe_tokenize",
     "length_quantiles",
+    "text_normalize",
     "corpus_shuffle",
     "doc_chunks",
     "hash_embed",

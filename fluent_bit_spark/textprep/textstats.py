@@ -44,6 +44,36 @@ def token_count_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Latin-1 accent folding table (the deterministic subset both engines
+# share; full NFKC needs ICU, which neither engine exposes portably)
+_ACCENTS_FROM = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+_ACCENTS_TO = "aaaaaaceeeeiiiinooooouuuuyy"
+
+
+def normalize_text_col(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text for dedup/shingling (the normalize-before-hash
+    stage every dedup pipeline runs): lowercase, fold Latin-1 accents,
+    strip control chars, collapse all whitespace runs to single
+    spaces, trim. Emits ``norm_text``. Pure codegen projection — zero
+    shuffles; full NFKC is out of scope (needs ICU; this table is the
+    deterministic cross-engine subset)."""
+    e = f"lower({text_col})"
+    e = f"translate({e}, '{_ACCENTS_FROM}', '{_ACCENTS_TO}')"
+    # keep \t \n \r for the whitespace collapse to fold into spaces;
+    # strip the rest of C0 + DEL
+    e = f"regexp_replace({e}, '[\\\\x00-\\\\x08\\\\x0b\\\\x0c\\\\x0e-\\\\x1f\\\\x7f]', '')"
+    e = f"trim(regexp_replace({e}, '\\\\s+', ' '))"
+    return df.withColumn("norm_text", F.expr(e))
+
+
+def duck_normalize_text(text_col: str = "text") -> str:
+    e = f"lower({text_col})"
+    e = f"translate({e}, '{_ACCENTS_FROM}', '{_ACCENTS_TO}')"
+    e = f"regexp_replace({e}, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')"
+    e = f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"
+    return e
+
+
 def length_quantile_card(
     df: DataFrame,
     key_col: str = "lang",

@@ -972,6 +972,23 @@ def test_decode_pixel_stats_spark(spark):
     assert rows[3]["mean_g"] == 40.0 and rows[3]["mean_b"] == 50.0
 
 
+def test_normalize_text_golden(spark):
+    from fluent_bit_spark.textprep.textstats import normalize_text_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "  HeLLo\t\tWorld \n"),
+            (2, "Café Ñandú à la carte"),
+            (3, "ctrl\x01char\x1fhere"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["norm_text"] for r in normalize_text_col(df).collect()}
+    assert out[1] == "hello world"
+    assert out[2] == "cafe nandu a la carte"
+    assert out[3] == "ctrlcharhere"
+
+
 def test_hash_embed_engines_agree(docs):
     from fluent_bit_spark.textprep.simsearch import hash_embed
 
