@@ -397,6 +397,14 @@ def main() -> int:
          ok, "")
     )
 
+    # 23. text_normalize: zero-exchange codegen projection
+    p = plan_of(qs["text_normalize"](spark, sf_dir))
+    ok = n_exchanges(p) == 0 and "Python" not in p and "codegen id" in p
+    checks.append(
+        ("text_normalize: zero-exchange codegen projection", ok,
+         f"{n_exchanges(p)} exchanges")
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
