@@ -185,21 +185,6 @@ def main() -> None:
     force(qs["token_count"](spark, sf_dir))
     release_all()
 
-    rep_times: dict[str, list[float]] = {n: [] for n in names}
-    rep_steal: dict[str, list[float]] = {n: [] for n in names}
-    for _rep in range(reps):
-        for name in names:
-            tk0, st0 = _cpu_ticks()
-            t0 = time.perf_counter()
-            force(qs[name](spark, sf_dir))
-            rep_times[name].append(round(time.perf_counter() - t0, 3))
-            tk1, st1 = _cpu_ticks()
-            rep_steal[name].append(round(100 * (st1 - st0) / max(tk1 - tk0, 1), 1))
-            # operators release their persisted intermediates here so
-            # nothing accumulates in the storage layer across queries
-            release_all()
-    timings: dict[str, float] = {n: min(ts) for n, ts in rep_times.items()}
-
     # flagship synthetic pipeline throughput: ONE pass writes routed
     # sink partitions (the delivery), then aggregates roll up from the
     # written columnar output — the production shape at 100 TB (never
@@ -240,7 +225,8 @@ def main() -> None:
     pages = generate_pages(spark, n_rows)
     pipe_times: list[float] = []
     pipe_steal: list[float] = []
-    for _rep in range(pipe_reps):
+
+    def pipeline_rep() -> None:
         tk0, st0 = _cpu_ticks()
         t0 = time.perf_counter()
         result = build_pipeline(pages, from_html=True)
@@ -264,6 +250,28 @@ def main() -> None:
         pipe_times.append(round(time.perf_counter() - t0, 3))
         tk1, st1 = _cpu_ticks()
         pipe_steal.append(round(100 * (st1 - st0) / max(tk1 - tk0, 1), 1))
+
+    # pipeline reps are INTERLEAVED with the query rounds (one after
+    # each round) — a steal/disk window late in the run used to hit
+    # BOTH pipeline reps, since they ran back-to-back at the end
+    rep_times: dict[str, list[float]] = {n: [] for n in names}
+    rep_steal: dict[str, list[float]] = {n: [] for n in names}
+    for _rep in range(reps):
+        for name in names:
+            tk0, st0 = _cpu_ticks()
+            t0 = time.perf_counter()
+            force(qs[name](spark, sf_dir))
+            rep_times[name].append(round(time.perf_counter() - t0, 3))
+            tk1, st1 = _cpu_ticks()
+            rep_steal[name].append(round(100 * (st1 - st0) / max(tk1 - tk0, 1), 1))
+            # operators release their persisted intermediates here so
+            # nothing accumulates in the storage layer across queries
+            release_all()
+        if len(pipe_times) < pipe_reps:
+            pipeline_rep()
+    while len(pipe_times) < pipe_reps:
+        pipeline_rep()
+    timings: dict[str, float] = {n: min(ts) for n, ts in rep_times.items()}
     # BENCH_PIPELINE_REPS=0 skips the synthetic pipeline (query-only runs)
     pipeline_sec = min(pipe_times) if pipe_times else None
     if pipe_times:
