@@ -635,6 +635,10 @@ def _bloom_bitset(bench_g: DataFrame, n_bits: int, n_hashes: int) -> list[int]:
     explode k double-hashed bit positions per gram, OR them into 64-bit
     words distributedly, and collect only the bitset — n_bits/64 longs
     (16 KB at the default 2^17 bits), never the gram set itself."""
+    if n_bits % 64:
+        # a ragged final word would map tail positions past the array
+        # (probe element_at -> NULL -> silently-false membership)
+        raise ValueError("n_bits must be a multiple of 64")
     m = n_bits
     pos = (
         bench_g.select(
