@@ -1078,6 +1078,29 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_shuffle(_t(spark, sf_dir, "documents"), n_shards=16, salt="ep0:")
 
 
+def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok front-end through the regex machinery: %{...} macros
+    expand to the named-group regex the [PARSER] path already
+    compiles (JVM regexp_extract, typed casts). The line is
+    synthesized from events columns identically in both engines."""
+    from fluent_bit_spark.parsers import apply_parser
+    from fluent_bit_spark.parsers.grok import grok_parser
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "concat(event_type, ' ', cast(user_id as string), "
+            "' path=/e/', cast(event_id as string))"
+        ).alias("text"),
+    )
+    spec = grok_parser(
+        "ev_grok", "%{WORD:etype} %{INT:uid:int} path=%{NOTSPACE:epath}"
+    )
+    return apply_parser(ev, "text", spec).select(
+        "event_id", "etype", "uid", "epath"
+    )
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text for dedup/shingling: lowercase + accent fold +
     control strip + whitespace collapse, zero-shuffle codegen. The
@@ -2227,7 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "doc_chunks": q_doc_chunks,
         "yaml_conf": q_yaml_conf,
-        "hash_embed": q_hash_embed,
+        "grok_parse": q_grok_parse,
         "rag_chunk_topk": q_rag_chunk_topk,
         "sessionize": q_sessionize,
         "stratified_sample": q_stratified_sample,
@@ -2257,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resample": q_multimodal_resample,
         "rag_chunk_lsh": q_rag_chunk_lsh,
         "dedup_exact_stream": q_dedup_exact_stream,
+        "hash_embed": q_hash_embed,
         "pipeline_e2e": q_pipeline_e2e,
         "q1_pricing_summary": q_q1_pricing_summary,
         "enrich_broadcast": q_enrich_broadcast,
@@ -3491,6 +3515,29 @@ def oracle_sql() -> dict[str, str]:
         "rag_chunk_topk": _duck_rag_chunk_topk_sql(),
         "rag_chunk_lsh": _duck_rag_chunk_lsh_sql(),
         "text_normalize": _duck_text_normalize_sql(),
+        "grok_parse": r"""
+            WITH l AS (
+              SELECT event_id,
+                     event_type || ' ' || user_id || ' path=/e/' || event_id
+                       AS text
+              FROM events
+            )
+            SELECT event_id,
+                   CASE WHEN regexp_matches(text,
+                        '^(\w+) ([+-]?\d+) path=(\S+)$')
+                        THEN regexp_extract(text,
+                        '^(\w+) ([+-]?\d+) path=(\S+)$', 1) END AS etype,
+                   CASE WHEN regexp_matches(text,
+                        '^(\w+) ([+-]?\d+) path=(\S+)$')
+                        THEN regexp_extract(text,
+                        '^(\w+) ([+-]?\d+) path=(\S+)$', 2)::bigint
+                   END AS uid,
+                   CASE WHEN regexp_matches(text,
+                        '^(\w+) ([+-]?\d+) path=(\S+)$')
+                        THEN regexp_extract(text,
+                        '^(\w+) ([+-]?\d+) path=(\S+)$', 3) END AS epath
+            FROM l
+        """,
         "yaml_conf": """
             SELECT 'ev.lib' AS tag, event_id, event_type, value,
                    CASE WHEN event_type = 'error' THEN 'high' END AS severity

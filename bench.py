@@ -67,6 +67,7 @@ HEADLINE = [
     "multiline_java",
     "decoder_chain",
     "filter_parser",
+    "grok_parse",
     "type_converter",
     "classic_conf",
     "yaml_conf",
