@@ -405,6 +405,15 @@ def main() -> int:
          f"{n_exchanges(p)} exchanges")
     )
 
+    # 24. grok_parse: whole-stage-codegen projection (the grok macro
+    #     expansion is compile-time; execution is plain regexp_extract)
+    p = plan_of(qs["grok_parse"](spark, sf_dir))
+    ok = n_exchanges(p) == 0 and "Python" not in p and "codegen id" in p
+    checks.append(
+        ("grok_parse: zero-exchange codegen regex projection", ok,
+         f"{n_exchanges(p)} exchanges")
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
