@@ -116,11 +116,28 @@ def parse_parsers_conf(text: str) -> dict[str, ParserSpec]:
             return
         name = cur.get("name")
         fmt = cur.get("format", "").lower()
+        regex = _strip_regex_slashes(cur["regex"]) if "regex" in cur else None
+        if fmt == "grok":
+            # loader extension (fluent-bit has no grok format; the
+            # north-star parse stage names it): Grok_Pattern expands
+            # to a named-group regex and the spec proceeds as Format
+            # regex — same machinery, same plan
+            from fluent_bit_spark.parsers.grok import grok_to_regex
+
+            pattern = cur.get("grok_pattern")
+            if not pattern:
+                raise ValueError(f"[PARSER] {name}: Format grok needs Grok_Pattern")
+            regex, grok_types = grok_to_regex(pattern)
+            fmt = "regex"
+            for k, v in grok_types.items():
+                cur.setdefault("types", "")
+                if k not in cur["types"]:
+                    cur["types"] = (cur["types"] + f" {k}:{v}").strip()
         if name and fmt:
             specs[name] = ParserSpec(
                 name=name,
                 format=fmt,
-                regex=_strip_regex_slashes(cur["regex"]) if "regex" in cur else None,
+                regex=regex,
                 time_key=cur.get("time_key"),
                 time_format=cur.get("time_format"),
                 time_keep=cur.get("time_keep", "").lower() == "on",

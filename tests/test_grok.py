@@ -40,6 +40,27 @@ def test_custom_patterns_override():
     assert rx == "(?<sev>(?:LOW|HIGH))"
 
 
+def test_grok_format_in_parsers_conf(spark):
+    """Loader extension: [PARSER] Format grok + Grok_Pattern compiles
+    to a regex spec (typed captures included) through the normal
+    parsers-file path."""
+    from fluent_bit_spark.parsers import apply_parser, parse_parsers_conf
+
+    specs = parse_parsers_conf(
+        """
+[PARSER]
+    Name         ev_grok
+    Format       grok
+    Grok_Pattern %{WORD:verb} %{INT:code:int} %{NOTSPACE:path}
+"""
+    )
+    spec = specs["ev_grok"]
+    assert spec.format == "regex" and spec.types == {"code": "integer"}
+    df = spark.createDataFrame([("GET 200 /idx",)], ["text"])
+    r = apply_parser(df, "text", spec).first()
+    assert r["verb"] == "GET" and r["code"] == 200 and r["path"] == "/idx"
+
+
 def test_grok_parser_end_to_end(spark):
     """Underscored field names exercise the to_java_regex group
     renaming; the apache-ish line exercises composite patterns."""
