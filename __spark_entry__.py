@@ -1101,6 +1101,58 @@ def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grok_conf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end classic-conf grok parity (VERDICT r3 #5): a [PARSER]
+    Format grok with typed captures + Time_Key feeds filter_parser's
+    multi-parser try-order (json first, grok fallback — the
+    src/flb_parser.c:1044-1065 dispatch shape), the grok Types casts
+    land as column types, and the parser-extracted time replaces the
+    record time (tests/internal/data/parser/regex.conf matrix)."""
+    from fluent_bit_spark.operators.parser_filter import filter_parser
+    from fluent_bit_spark.parsers.config import parse_parsers_conf
+
+    conf = (
+        "[PARSER]\n    Name j\n    Format json\n    Keys k\n"
+        "[PARSER]\n"
+        "    Name apache_grok\n"
+        "    Format grok\n"
+        "    Grok_Pattern %{WORD:verb} %{NOTSPACE:apath} "
+        "code=%{INT:code:int} took=%{NUMBER:took:float} "
+        "t=%{NOTSPACE:tstr}\n"
+        "    Types verb:string\n"
+        "    Time_Key tstr\n"
+        "    Time_Format %d/%b/%Y:%H:%M:%S\n"
+    )
+    specs = parse_parsers_conf(conf)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").alias("event_time"),
+        F.when(F.col("event_id") % 3 == 0, F.col("props"))
+        .otherwise(
+            F.expr(
+                "concat('get /p/', cast(user_id as string), "
+                "' code=', cast(200 + event_id % 5 as string), "
+                "' took=', cast(event_id % 97 as string), '.', "
+                "cast(user_id % 10 as string), "
+                "' t=', date_format(ts, 'dd/MMM/yyyy:HH:mm:ss'))"
+            )
+        )
+        .alias("log"),
+    )
+    out = filter_parser(
+        ev, "log", [specs["j"], specs["apache_grok"]], reserve_data=True
+    )
+    return out.select(
+        "event_id",
+        "k",
+        "verb",
+        "apath",
+        "code",
+        F.round(F.col("took"), 4).alias("took"),
+        F.unix_timestamp("event_time").alias("epoch"),
+    )
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text for dedup/shingling: lowercase + accent fold +
     control strip + whitespace collapse, zero-shuffle codegen. The
@@ -1301,19 +1353,20 @@ def q_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "digest", "lang")
 
 
-_CLUSTER_CENTROID_CACHE: dict[str, list] = {}
-
-
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-bucketing card: nearest-centroid assignment over the whole
-    embedding table (Arrow path) + integer-safe per-cell stats."""
-    from fluent_bit_spark.textprep.simsearch import cluster_card, ivf_centroids
+    embedding table (Arrow path) + integer-safe per-cell stats.
+
+    Centroids are ``fixed_centroids`` literals (data-independent,
+    normalized driver-side) so the oracle consumes the IDENTICAL
+    doubles — the r3 driver red row came from the oracle re-deriving
+    seed centroids in SQL; this removes that derivation entirely,
+    mirroring the literal-hyperplane pattern that is driver-green in
+    dedup_embedding_lsh."""
+    from fluent_bit_spark.textprep.simsearch import cluster_card, fixed_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = _CLUSTER_CENTROID_CACHE.get(sf_dir)
-    if cents is None:
-        cents = _CLUSTER_CENTROID_CACHE[sf_dir] = ivf_centroids(emb, 16)
-    return cluster_card(emb, 16, centroids=cents)
+    return cluster_card(emb, 16, centroids=fixed_centroids(DIM, 16))
 
 
 def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2215,50 +2268,75 @@ def q_decoder_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered for the driver's 50-row CORRECTNESS gate (round 1
-    # recorded all 44, round 2 exactly 50 of 62 -> count cap): entries
-    # with no driver-green row yet occupy positions 1-50. The registry
-    # has 57 such entries, so 7 are deliberately placed at 51-57 —
-    # each a sibling of an in-gate entry (streaming/bloom/LSH/resample
-    # variants, the rows-only BPE apply, and text_normalize), all
-    # locally green via tools/check_oracles.py at sf0.01 (ALL OK).
+    # Ordered for the driver's 50-row CORRECTNESS gate (the driver
+    # records only the first 50 entries per round). Round-4 rotation
+    # per VERDICT.md #2: positions 1-8 are the eight entries that had
+    # never received a driver row (r1-r3 kept them past the window),
+    # position 9 is the re-fixed embedding_clusters (the one r3 red
+    # row), position 10 the new grok_conf_parse; the remaining window
+    # re-verifies the heavy dedup/ANN/corpus family. Everything at
+    # 51+ already has a driver-green row from r1-r3 (see VERDICT.md
+    # coverage table), so after this round every registry entry has
+    # at least one independently-verified row.
     return {
+        "incremental_dedup_stream": q_incremental_dedup_stream,
+        "decontam_bloom": q_decontam_bloom,
+        "bpe_tokenize": q_bpe_tokenize,
+        "text_normalize": q_text_normalize,
+        "multimodal_resample": q_multimodal_resample,
+        "rag_chunk_lsh": q_rag_chunk_lsh,
+        "dedup_exact_stream": q_dedup_exact_stream,
+        "hash_embed": q_hash_embed,
+        "embedding_clusters": q_embedding_clusters,
+        "grok_conf_parse": q_grok_conf_parse,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "incremental_dedup": q_incremental_dedup,
         "substring_dedup": q_substring_dedup,
-        "lm_score": q_lm_score,
-        "url_filter": q_url_filter,
+        "dedup_embedding_exact": q_dedup_embedding_exact,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_lines": q_dedup_lines,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_quantized": q_ann_quantized,
-        "embedding_clusters": q_embedding_clusters,
+        "rag_chunk_topk": q_rag_chunk_topk,
         "curation_pipeline": q_curation_pipeline,
-        "sequence_pack": q_sequence_pack,
-        "corpus_split": q_corpus_split,
-        "split_leakage": q_split_leakage,
         "corpus_prep": q_corpus_prep,
         "corpus_stream": q_corpus_stream,
+        "corpus_split": q_corpus_split,
+        "corpus_shuffle": q_corpus_shuffle,
+        "split_leakage": q_split_leakage,
+        "sequence_pack": q_sequence_pack,
+        "token_budget": q_token_budget,
+        "stratified_sample": q_stratified_sample,
+        "doc_chunks": q_doc_chunks,
+        "length_quantiles": q_length_quantiles,
+        "bpe_word_counts": q_bpe_word_counts,
+        "decontam": q_decontam,
+        "lm_score": q_lm_score,
+        "url_filter": q_url_filter,
         "gopher_quality": q_gopher_quality,
         "line_repetition": q_line_repetition,
-        "dedup_lines": q_dedup_lines,
         "top_bigram": q_top_bigram,
         "domain_cap": q_domain_cap,
         "pii_scrub": q_pii_scrub,
         "c4_line_filter": q_c4_line_filter,
-        "decontam": q_decontam,
-        "bpe_word_counts": q_bpe_word_counts,
-        "length_quantiles": q_length_quantiles,
-        "corpus_shuffle": q_corpus_shuffle,
+        "html_extract": q_html_extract,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        # ---- positions 51+: driver-green in r1-r3 ----
         "multimodal_resize": q_multimodal_resize,
-        "doc_chunks": q_doc_chunks,
         "yaml_conf": q_yaml_conf,
         "grok_parse": q_grok_parse,
-        "rag_chunk_topk": q_rag_chunk_topk,
         "sessionize": q_sessionize,
-        "stratified_sample": q_stratified_sample,
-        "token_budget": q_token_budget,
         "metrics_labels": q_metrics_labels,
         "metrics_selector": q_metrics_selector,
         "otel_envelope": q_otel_envelope,
-        "html_extract": q_html_extract,
         "ltm_counter": q_ltm_counter,
         "ltm_gauge": q_ltm_gauge,
         "ltm_histogram": q_ltm_histogram,
@@ -2269,18 +2347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_java": q_multiline_java,
         "multiline_stream": q_multiline_stream,
         "decoder_chain": q_decoder_chain,
-        "dedup_embedding_exact": q_dedup_embedding_exact,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "geoip2": q_geoip2,
         "multimodal_pixels": q_multimodal_pixels,
-        "incremental_dedup_stream": q_incremental_dedup_stream,
-        "decontam_bloom": q_decontam_bloom,
-        "bpe_tokenize": q_bpe_tokenize,
-        "text_normalize": q_text_normalize,
-        "multimodal_resample": q_multimodal_resample,
-        "rag_chunk_lsh": q_rag_chunk_lsh,
-        "dedup_exact_stream": q_dedup_exact_stream,
-        "hash_embed": q_hash_embed,
         "pipeline_e2e": q_pipeline_e2e,
         "q1_pricing_summary": q_q1_pricing_summary,
         "enrich_broadcast": q_enrich_broadcast,
@@ -2316,17 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_sum": q_json_props_sum,
         "flowcounter": q_flowcounter,
         "time_parse": q_time_parse,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
         "fingerprint": q_fingerprint,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
@@ -2420,23 +2478,39 @@ def _duck_ivf_sql(n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
 
 
 def _duck_embedding_clusters(n_cells: int = 16) -> str:
-    """Cluster-card oracle: same seeded centroids and argmax assignment
-    as _duck_ivf_sql, over the whole embedding table."""
+    """Cluster-card oracle. The centroids are the SAME Python-computed
+    ``fixed_centroids`` literals the Spark query uses (VALUES rows, repr
+    round-trip exact) — no SQL-side centroid derivation, no zero-norm
+    guard divergence, no seed-row collect. The per-vector norm fold is
+    length-agnostic (list_transform over the list itself), matching the
+    Spark ``_NORM2`` aggregate bit-for-bit; vectors that are NULL or not
+    ``DIM``-long get a NULL cell on both sides."""
+    from fluent_bit_spark.textprep.simsearch import fixed_centroids
+
+    cents = fixed_centroids(DIM, n_cells)
+    vals = ",".join(
+        "({}, [{}])".format(ci, ",".join(f"cast({x!r} as double)" for x in row))
+        for ci, row in enumerate(cents)
+    )
     dd = _duck_dot
+    norm2 = (
+        "list_reduce(list_prepend(cast(0 as double), "
+        "list_transform(embedding, x -> cast(x as double) * cast(x as double))), "
+        "(acc, z) -> acc + z)"
+    )
     return (
-        f"WITH seed AS (SELECT vec_id, embedding FROM embeddings "
-        f"ORDER BY vec_id LIMIT {n_cells}), "
-        "cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, "
-        "list_transform(embedding, x -> cast(x as double) / "
-        f"sqrt({dd('embedding', 'embedding')})) AS cv FROM seed), "
-        f"dd AS (SELECT e.vec_id, e.embedding, c.ci, "
-        f"({dd('e.embedding', 'c.cv')}) AS dt "
-        "FROM embeddings e CROSS JOIN cents c), "
-        "assign AS (SELECT vec_id, embedding, ci AS cell FROM ("
+        f"WITH cents(ci, cv) AS (SELECT * FROM (VALUES {vals}) t(ci, cv)), "
+        f"v AS (SELECT vec_id, embedding, "
+        f"(embedding IS NOT NULL AND len(embedding) = {DIM}) AS ok FROM embeddings), "
+        f"dd AS (SELECT v.vec_id, c.ci, ({dd('v.embedding', 'c.cv')}) AS dt "
+        "FROM v CROSS JOIN cents c WHERE v.ok), "
+        "best AS (SELECT vec_id, ci AS cell FROM ("
         "SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, ci ASC) rn "
-        "FROM dd) WHERE rn = 1) "
+        "FROM dd) WHERE rn = 1), "
+        "assign AS (SELECT v.vec_id, v.embedding, b.cell "
+        "FROM v LEFT JOIN best b USING (vec_id)) "
         "SELECT cell, count(*)::bigint AS n_vectors, min(vec_id) AS min_vec_id, "
-        f"sum(cast(round(sqrt({dd('embedding', 'embedding')}) * 1e6) as bigint)) "
+        f"sum(cast(round(sqrt({norm2}) * 1e6) as bigint)) "
         "AS sum_norm_micros "
         "FROM assign GROUP BY cell"
     )
@@ -3536,6 +3610,36 @@ def oracle_sql() -> dict[str, str]:
                         '^(\w+) ([+-]?\d+) path=(\S+)$')
                         THEN regexp_extract(text,
                         '^(\w+) ([+-]?\d+) path=(\S+)$', 3) END AS epath
+            FROM l
+        """,
+        "grok_conf_parse": """
+            WITH l AS (
+              SELECT event_id, ts, user_id,
+                     CASE WHEN event_id % 3 = 0 THEN props
+                          ELSE 'get /p/' || cast(user_id as varchar)
+                               || ' code=' || cast(200 + event_id % 5 as varchar)
+                               || ' took=' || cast(event_id % 97 as varchar)
+                               || '.' || cast(user_id % 10 as varchar)
+                               || ' t=' || strftime(ts, '%d/%b/%Y:%H:%M:%S')
+                     END AS log
+              FROM events)
+            SELECT event_id,
+                   CASE WHEN event_id % 3 = 0
+                        THEN json_extract_string(log, '$.k') END AS k,
+                   CASE WHEN event_id % 3 != 0 THEN 'get' END AS verb,
+                   CASE WHEN event_id % 3 != 0
+                        THEN '/p/' || cast(user_id as varchar) END AS apath,
+                   CASE WHEN event_id % 3 != 0
+                        THEN (200 + event_id % 5)::bigint END AS code,
+                   CASE WHEN event_id % 3 != 0
+                        THEN round((cast(event_id % 97 as varchar) || '.'
+                             || cast(user_id % 10 as varchar))::double, 4)
+                   END AS took,
+                   CASE WHEN event_id % 3 = 0
+                        THEN epoch(date_trunc('second', ts))::bigint
+                        ELSE epoch(strptime(strftime(ts, '%d/%b/%Y:%H:%M:%S'),
+                                            '%d/%b/%Y:%H:%M:%S'))::bigint
+                   END AS epoch
             FROM l
         """,
         "yaml_conf": """

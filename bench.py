@@ -176,11 +176,16 @@ def main() -> None:
 
     from fluent_bit_spark.cache import release_all
 
-    names = HEADLINE
+    qs_all = entry.queries()
+    # full-registry coverage (VERDICT r3 #8): HEADLINE fixes the
+    # ordering of the curated set, then every remaining registry
+    # entry is appended so BENCH times all of queries() — a new
+    # registry entry can never silently miss the bench
+    names = HEADLINE + [q for q in qs_all if q not in HEADLINE]
     if os.environ.get("BENCH_QUERIES"):
         names = os.environ["BENCH_QUERIES"].split(",")
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    qs = entry.queries()
+    qs = qs_all
 
     # JVM/codegen warmup outside the timed region
     force(qs["token_count"](spark, sf_dir))

@@ -417,10 +417,29 @@ def _input_df(
             F.col("id").alias("_seq"),
             F.lit(payload).alias("_json"),
         )
-        keys = json.loads(payload).keys()
-        cols = [F.col("tag"), F.col("_seq")] + [
-            F.get_json_object(F.col("_json"), f"$.{k}").alias(k) for k in keys
-        ]
+        def _struct_schema(obj: dict):
+            from pyspark.sql import types as T
+
+            return T.StructType(
+                [
+                    T.StructField(
+                        k,
+                        _struct_schema(v) if isinstance(v, dict) else T.StringType(),
+                    )
+                    for k, v in obj.items()
+                ]
+            )
+
+        cols = [F.col("tag"), F.col("_seq")]
+        for k, v in json.loads(payload).items():
+            raw = F.get_json_object(F.col("_json"), f"$.{k}")
+            if isinstance(v, dict):
+                # nested msgpack maps keep their structure in the
+                # reference; the columnar analog is a typed struct
+                # (lets filter_nest LIFT and record accessors navigate)
+                cols.append(F.from_json(raw, _struct_schema(v)).alias(k))
+            else:
+                cols.append(raw.alias(k))
         return base.select(*cols)
     if name == "tail":
         path = sec.get("path")
@@ -925,7 +944,19 @@ def build_classic_pipeline(
             if cmd.kind == "create_stream" and cmd.props.get(
                 "routable", "true"
             ).lower() not in ("false", "off", "no", "0"):
-                df = df.unionByName(out, allowMissingColumns=True)
+                # the reference re-ingests routable stream output via
+                # flb_input_log_append (in_stream_processor), so the
+                # re-emitted records pass the [FILTER] chain again
+                # under their stream tag before routing. Mirror that
+                # one re-ingestion pass here; SP tasks themselves are
+                # NOT re-triggered (they were registered against the
+                # original record stream — matching the reference's
+                # single sp engine instance, which does not cascade a
+                # stream into itself).
+                re_in = out
+                for fs in (s for s in sections if s.kind == "filter"):
+                    re_in = _apply_filter(re_in, fs, parsers)
+                df = df.unionByName(re_in, allowMissingColumns=True)
 
     outputs: dict[str, DataFrame] = {}
     out_secs: dict[str, Section] = {}

@@ -48,12 +48,60 @@ class ModifyCondition:
     b: str | None = None
 
 
+def _resolve(df: DataFrame, key: str) -> Column | None:
+    """Column for a condition key: a plain top-level name, or a record
+    accessor path (``$nest['k1']`` — modify.c conditions take RA paths,
+    flb_ra_get per record). Nested subscripts into a STRING column
+    navigate it as JSON text (the columnar rendering of a nested
+    msgpack submap the input left unexploded). None = key can never
+    exist in this schema."""
+    from pyspark.sql import types as T
+
+    from fluent_bit_spark.functions import accessor as _ra
+
+    key = key.strip()
+    if not key.startswith("$"):
+        return F.col(key) if key in df.columns else None
+    m = _ra._ACCESSOR_RE.fullmatch(key)
+    if not m or m.group(0).startswith("$TAG") or m.group(2) is None:
+        return _ra.ra_col(key)
+    root = m.group(2)
+    if root not in df.columns:
+        return None
+    subs = _ra._subscripts(m.group(3) or "")
+    col = F.col(root)
+    if subs and isinstance(df.schema[root].dataType, T.StringType):
+        path = "$" + "".join(
+            f"[{s}]" if isinstance(s, int) else f".{s}" for s in subs
+        )
+        return F.get_json_object(col, path)
+    # walk the schema alongside the column: getItem on a struct field
+    # the schema lacks is an ANALYSIS error, but for a condition it
+    # just means the key can never exist (flb_ra_get returns not-found)
+    dt = df.schema[root].dataType
+    for s in subs:
+        if isinstance(dt, T.StructType):
+            if not isinstance(s, str) or s not in dt.fieldNames():
+                return None
+            dt = dt[s].dataType
+        elif isinstance(dt, T.MapType):
+            dt = dt.valueType
+        elif isinstance(dt, T.ArrayType):
+            dt = dt.elementType
+        else:
+            return None
+        col = col.getItem(s)
+    return col
+
+
 def _exists(df: DataFrame, key: str) -> Column:
-    return F.col(key).isNotNull() if key in df.columns else F.lit(False)
+    col = _resolve(df, key)
+    return col.isNotNull() if col is not None else F.lit(False)
 
 
 def compile_modify_condition(df: DataFrame, c: ModifyCondition) -> Column:
     op = c.op.lower()
+    a_col = _resolve(df, c.a)
     if op == "key_exists":
         return _exists(df, c.a)
     if op == "key_does_not_exist":
@@ -67,20 +115,24 @@ def compile_modify_condition(df: DataFrame, c: ModifyCondition) -> Column:
     if op == "no_key_matches":
         return ~compile_modify_condition(df, ModifyCondition("a_key_matches", c.a))
     if op == "key_value_equals":
-        return _exists(df, c.a) & (F.col(c.a).cast("string") == c.b) if c.a in df.columns else F.lit(False)
+        if a_col is None:
+            return F.lit(False)
+        return F.coalesce(a_col.cast("string") == c.b, F.lit(False))
     if op == "key_value_does_not_equal":
         # requires key exists (modify.c:808-819)
-        if c.a not in df.columns:
+        if a_col is None:
             return F.lit(False)
-        return _exists(df, c.a) & ~(F.col(c.a).cast("string") == c.b)
+        return a_col.isNotNull() & ~(a_col.cast("string") == c.b)
     if op == "key_value_matches":
-        if c.a not in df.columns:
+        if a_col is None:
             return F.lit(False)
-        return F.coalesce(F.col(c.a).cast("string").rlike(c.b), F.lit(False))
+        return F.coalesce(a_col.cast("string").rlike(c.b), F.lit(False))
     if op == "key_value_does_not_match":
-        if c.a not in df.columns:
+        if a_col is None:
             return F.lit(False)
-        return _exists(df, c.a) & ~F.coalesce(F.col(c.a).cast("string").rlike(c.b), F.lit(False))
+        return a_col.isNotNull() & ~F.coalesce(
+            a_col.cast("string").rlike(c.b), F.lit(False)
+        )
     if op == "matching_keys_have_matching_values":
         cols = [k for k in df.columns if re.search(c.a, k)]
         pred = F.lit(True)
@@ -122,8 +174,25 @@ def modify(
             src, dst = r.key, r.value
             if src not in df.columns:
                 continue  # no key matching -> NOTOUCH
+            # case-only rename (A3 -> a3): record keys are
+            # case-sensitive in the reference but Spark resolves
+            # column names case-insensitively, so withColumn would
+            # clobber the source; express it as a schema rename.
+            # (A gated case-only rename — two same-spelling keys
+            # differing only in case within one column — is not
+            # representable columnar-side and stays a documented
+            # limitation.)
+            if (
+                op in ("rename", "hard_rename")
+                and not has_gate
+                and src != dst
+                and src.lower() == dst.lower()
+            ):
+                df = df.withColumnRenamed(src, dst)
+                continue
             src_c = F.col(src)
-            dst_c = F.col(dst) if dst in df.columns else F.lit(None).cast(
+            dst_in_schema = dst in df.columns
+            dst_c = F.col(dst) if dst_in_schema else F.lit(None).cast(
                 df.schema[src].dataType
             )
             if op in ("rename", "copy"):
@@ -133,11 +202,20 @@ def modify(
             df = df.withColumn(dst, F.when(applies, src_c).otherwise(dst_c))
             if op in ("rename", "hard_rename"):
                 if src != dst:
-                    df = df.withColumn(src, F.when(applies, F.lit(None)).otherwise(F.col(src)))
-                    # schema-level: drop the source column entirely when
-                    # unconditional (mirrors the reference's key removal)
-                    if not has_gate:
+                    # drop the source column outright only when the move
+                    # provably applied to every row holding it: no gate,
+                    # and either hard_rename or a dst that cannot block
+                    # (absent from the schema). A plain rename onto an
+                    # existing dst is a per-row no-op where dst is set —
+                    # dropping src there would LOSE the source key
+                    # (reference keeps it, modify.c RENAME precondition)
+                    if not has_gate and (op == "hard_rename" or not dst_in_schema):
                         df = df.drop(src)
+                    else:
+                        df = df.withColumn(
+                            src,
+                            F.when(applies, F.lit(None)).otherwise(F.col(src)),
+                        )
         elif op == "add":
             if r.key in df.columns:
                 df = df.withColumn(

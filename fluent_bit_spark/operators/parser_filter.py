@@ -33,6 +33,7 @@ from fluent_bit_spark.parsers.compile import (
     logfmt_map_fast_col,
     ltsv_map_col,
     to_java_regex,
+    typecast_col,
 )
 from fluent_bit_spark.parsers.config import ParserSpec
 
@@ -107,6 +108,22 @@ def _parsed_keys(
     return static + [k for k in sampled if k not in static]
 
 
+def _effective_type(specs: list[ParserSpec], key: str) -> str:
+    """Column type for a parsed key across the try-chain
+    (flb_parser_typecast runs per winning parser, src/flb_parser.c:
+    1280-1350; msgpack values are dynamically typed). Spark columns are
+    statically typed, so the cast applies only when it is unambiguous:
+    the unique declared type among specs that can produce the key —
+    any disagreement (or an undeclared-keys map parser that could
+    produce it untyped) degrades to string."""
+    types: set[str] = set()
+    for s in specs:
+        declared = s.declared_keys()
+        if declared is None or key in declared:
+            types.add(s.types.get(key, "string"))
+    return types.pop() if len(types) == 1 else "string"
+
+
 def filter_parser(
     df: DataFrame,
     key_name: str,
@@ -170,12 +187,19 @@ def filter_parser(
         out = out.withColumn(
             key_name, F.when(app, F.lit(None)).otherwise(F.col(key_name))
         )
-    # parsed keys become columns; parsed value wins on applied rows
+    # parsed keys become columns; parsed value wins on applied rows.
+    # Types casts apply to NEW keys only — a colliding original column
+    # fixes the column type, and mixing a cast with NOTOUCH originals
+    # in one statically-typed column is not expressible
     for k in out_keys:
-        orig = F.col(k) if k in out.columns else F.lit(None).cast("string")
-        out = out.withColumn(
-            k, F.when(app, F.col("_fp_map").getItem(k)).otherwise(orig)
-        )
+        parsed = F.col("_fp_map").getItem(k)
+        if k in out.columns:
+            out = out.withColumn(k, F.when(app, parsed).otherwise(F.col(k)))
+            continue
+        ftype = _effective_type(specs, k)
+        if ftype != "string":
+            parsed = typecast_col(parsed, ftype)
+        out = out.withColumn(k, F.when(app, parsed).otherwise(F.lit(None)))
     # parser-extracted time replaces the record time (out_time)
     if ts_col in out.columns:
         out = out.withColumn(

@@ -129,10 +129,12 @@ def parse_parsers_conf(text: str) -> dict[str, ParserSpec]:
                 raise ValueError(f"[PARSER] {name}: Format grok needs Grok_Pattern")
             regex, grok_types = grok_to_regex(pattern)
             fmt = "regex"
-            for k, v in grok_types.items():
-                cur.setdefault("types", "")
-                if k not in cur["types"]:
-                    cur["types"] = (cur["types"] + f" {k}:{v}").strip()
+            # merge as dicts, explicit Types winning — a substring test
+            # on the raw Types string would drop a grok cast whenever a
+            # field name is a substring of any existing types text
+            merged = dict(grok_types)
+            merged.update(_parse_types(cur.get("types", "")))
+            cur["types"] = " ".join(f"{k}:{t}" for k, t in merged.items())
         if name and fmt:
             specs[name] = ParserSpec(
                 name=name,

@@ -45,6 +45,46 @@ PAGES_SCHEMA = (
 )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(
+    spark: SparkSession, bounded_memory_mb: int | None = None
+) -> None:
+    """Switch stateful streaming operators to the RocksDB state store
+    (spark.sql.streaming.stateStore.providerClass).
+
+    Why this is the 100x default: the built-in HDFSBackedStateStore
+    keeps EVERY key of every active state-store partition as JVM
+    objects on the executor heap. For the watermarked dedup that is
+    one ~50-byte entry (16-byte digest key + timestamp + store
+    overhead) per distinct document inside the watermark horizon —
+    at 10^9 in-horizon keys that is ~50 GB of heap spread over the
+    shuffle partitions, all GC-scanned. RocksDB keeps the working set
+    in native memory + local SST files and only pins the block cache,
+    so state capacity scales with executor DISK, not heap:
+    10^9 keys ≈ 50 GB of SSTs, a rounding error on local SSDs, with
+    `bounded_memory_mb` capping the off-heap block cache + memtables
+    (spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage).
+
+    Takes effect for queries STARTED after this call (the provider is
+    pinned into each query's checkpoint at start). Changed-file-count
+    per micro-batch is unchanged — only the state backend moves.
+    """
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    if bounded_memory_mb is not None:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true"
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+            str(bounded_memory_mb),
+        )
+
+
 def read_pages_stream(
     spark: SparkSession,
     source_dir: str,

@@ -50,24 +50,33 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     loop_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph.
 
     ``edges`` holds one row per pair; ``vertices`` (one ``id`` column)
     optionally supplies the full vertex set so isolated documents come
-    back as singleton components. Returns ``(id, component)`` where
+    back as singleton components (edge endpoints outside the supplied
+    set are unioned in — they are graph vertices either way, and
+    leaving them label-less would let the convergence check pass
+    before their labels propagate). Returns ``(id, component)`` where
     ``component`` is the minimum vertex id reachable from ``id`` —
     deterministic regardless of executor count or round count.
 
     Implementation notes (the two classic iterative-Spark traps are
     both handled):
 
-    - every round ends in ``localCheckpoint(eager=True)``, because
+    - every round ends in a plan-truncating checkpoint, because
       persist() does NOT truncate the *logical* plan — without the
       checkpoint each round re-analyzes a strictly deeper tree and
-      round time grows super-linearly. On a real cluster swap in
-      reliable ``checkpoint()`` (localCheckpoint is not
-      executor-loss-tolerant); the loop shape is identical.
+      round time grows super-linearly. Default is
+      ``localCheckpoint`` (executor-local blocks: zero extra I/O, the
+      right choice on local mode / short loops). Pass
+      ``checkpoint_dir`` to use reliable ``DataFrame.checkpoint()``
+      instead: blocks go to the shared filesystem, so on a real
+      cluster a lost executor late in the loop costs a re-read, not
+      the whole job. Finished rounds' checkpoint files are deleted as
+      soon as the next round materializes, so disk state stays O(V).
 
     - propagation is hash-min WITH pointer jumping: each round a
       vertex takes the min over its own label, its neighbors' labels,
@@ -92,34 +101,74 @@ def connected_components(
     spark = edges.sparkSession
     jsc = spark.sparkContext._jsc
 
-    def _rdd_ids() -> set[int]:
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt_fs_paths() -> set[str]:
+        """rdd-* checkpoint directories currently on the reliable
+        checkpoint filesystem (Hadoop FS — works for hdfs:///s3a://
+        the same as for a local path)."""
+        jvm = spark.sparkContext._jvm
+        dir_ = jsc.sc().getCheckpointDir()
+        if dir_.isEmpty():
+            return set()
+        root = jvm.org.apache.hadoop.fs.Path(dir_.get())
+        fs = root.getFileSystem(jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return set()
+        out: set[str] = set()
+        for st in fs.listStatus(root):
+            if st.isDirectory():
+                out.add(str(st.getPath().toString()))
+        return out
+
+    def _snapshot() -> set:
+        if checkpoint_dir is not None:
+            return _ckpt_fs_paths()
         # getPersistentRDDs returns a fresh snapshot each call
         return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
 
-    def _free(ids: set[int]) -> None:
+    def _free(ids: set) -> None:
+        if checkpoint_dir is not None:
+            jvm = spark.sparkContext._jvm
+            for p in ids:
+                path = jvm.org.apache.hadoop.fs.Path(p)
+                fs = path.getFileSystem(jsc.hadoopConfiguration())
+                fs.delete(path, True)
+            return
         m = jsc.getPersistentRDDs()
         for k in list(m.keySet().toArray()):
             if int(k) in ids:
                 m.get(k).unpersist(False)
 
+    def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
     sym = edges.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
     sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    endpoints = sym.select(F.col("src").alias("id"))
     if vertices is None:
-        vertices = sym.select(F.col("src").alias("id")).distinct()
-    pre_ids = _rdd_ids()
+        vertices = endpoints.distinct()
+    else:
+        # edge endpoints outside the vertex set still need label rows
+        # from round 0 — see docstring
+        vertices = vertices.select(F.col("id").cast("long")).union(endpoints)
+    pre_ids = _snapshot()
     if loop_partitions:
         sym = sym.repartition(loop_partitions, "src")
     else:
         sym = ensure_parallelism(sym)
-    sym = sym.localCheckpoint(eager=True)
-    sym_ids = _rdd_ids() - pre_ids
+    sym = _ckpt(sym, eager=True)
+    sym_ids = _snapshot() - pre_ids
     lab = vertices.select(F.col("id").cast("long")).distinct()
     if loop_partitions:
         lab = lab.repartition(loop_partitions, "id")
-    lab = lab.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
-    lab_ids = _rdd_ids() - pre_ids - sym_ids
+    lab = _ckpt(lab.withColumn("comp", F.col("id")), eager=True)
+    lab_ids = _snapshot() - pre_ids - sym_ids
     converged = False
     for _ in range(max_iter):
         # neighbor labels flow along edges; min with own label keeps
@@ -137,7 +186,7 @@ def connected_components(
                 F.lit(False).alias("own"),
             )
         )
-        before = _rdd_ids()
+        before = _snapshot()
         # the old label rides along (max over the `own` branch), so the
         # convergence check is a flat scan; the checkpoint is LAZY and
         # materializes inside that same count — ONE job per round
@@ -153,9 +202,15 @@ def connected_components(
         )
         if loop_partitions:
             agg = agg.repartition(loop_partitions, "id")
-        new = agg.localCheckpoint(eager=False)
-        changed = new.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
-        new_ids = _rdd_ids() - before
+        new = _ckpt(agg, eager=False)
+        # null-safe: a label row whose old_comp is somehow NULL must
+        # count as changed, never silently converge
+        changed = (
+            new.filter(~F.col("comp").eqNullSafe(F.col("old_comp")))
+            .limit(1)
+            .count()
+        )
+        new_ids = _snapshot() - before
         # previous round's label checkpoint is no longer referenced —
         # free it now so loop state stays O(V + E)
         _free(lab_ids)

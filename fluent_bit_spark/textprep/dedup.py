@@ -158,6 +158,28 @@ def shingle_hashes(
     )
 
 
+def guard_quadratic(
+    df: DataFrame, what: str, scale_sibling: str, max_rows: int, force: bool
+) -> None:
+    """Refuse to build an exact-quadratic baseline plan over a large
+    input (a 10^9-row DataFrame passed by accident would be a ~10^18
+    pair job). The probe is ``limit(max_rows+1).count()`` — early-out,
+    never a full scan — and runs once at operator construction, the
+    same bounded-job budget as the Bloom bitset guard in
+    webfilters.benchmark_ngram_overlap_bloom. ``force=True`` skips it
+    (the caller is asserting the input is a verification-scale
+    sample)."""
+    if force:
+        return
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what}: input exceeds {max_rows} rows; this is the exact "
+            f"quadratic verification baseline — use {scale_sibling} at "
+            "scale, or pass force=True for a deliberate exact run"
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float,
@@ -165,13 +187,19 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     block_col: str | None = "lang",
     n: int = P.SHINGLE_N,
+    max_rows: int = 100_000,
+    force: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jacc rounded 6).
 
-    Quadratic within each block — the exact baseline. Blocks shuffle
-    once on block_col; within a block Spark broadcast/SMJ handles the
-    self-join.
+    Quadratic within each block — the exact baseline (guarded by
+    ``max_rows``/``force``; minhash_lsh_pairs is the scale path).
+    Blocks shuffle once on block_col; within a block Spark
+    broadcast/SMJ handles the self-join.
     """
+    guard_quadratic(
+        df, "ngram_jaccard_pairs", "minhash_lsh_pairs", max_rows, force
+    )
     cols = [F.col(id_col).alias("id"), F.col("hs")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
@@ -440,13 +468,19 @@ def embedding_neardup_pairs(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int = 100_000,
+    force: bool = False,
 ) -> DataFrame:
     """Exact cosine near-dup pairs over an embedding column.
 
-    Brute-force all-pairs — correctness baseline; the LSH-bucketed
-    scale path lives in simsearch.lsh_buckets (block by hyperplane
-    sign bits, then pair within buckets).
+    Brute-force all-pairs — correctness baseline (guarded by
+    ``max_rows``/``force``); the LSH-bucketed scale path lives in
+    simsearch.lsh_buckets (block by hyperplane sign bits, then pair
+    within buckets).
     """
+    guard_quadratic(
+        df, "embedding_neardup_pairs", "embedding_neardup_lsh", max_rows, force
+    )
     s = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     a, b = s.alias("a"), s.alias("b")
     dot = (

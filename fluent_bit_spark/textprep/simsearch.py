@@ -133,12 +133,23 @@ def cosine_topk(
     k: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_queries: int = 10_000,
+    force: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, rank, neighbor_id, cos).
 
-    ``queries`` must be small (it is broadcast). Deterministic
-    tie-break on neighbor id.
+    ``queries`` must be small (it is broadcast; guarded by
+    ``max_queries``/``force`` — pair work is |data| x |queries|, so a
+    large query side silently becomes the quadratic baseline; ivf_topk
+    / lsh_topk are the scale paths). Deterministic tie-break on
+    neighbor id.
     """
+    from fluent_bit_spark.textprep.dedup import guard_quadratic
+
+    guard_quadratic(
+        queries, "cosine_topk (query side)", "ivf_topk/lsh_topk",
+        max_queries, force,
+    )
     # squared norms hoisted to per-ROW columns: cosine_expr would
     # re-evaluate both interpreted norm folds per PAIR (once in the
     # zero guard, once in the divisor) — hoisting leaves one dot per
@@ -186,6 +197,26 @@ def hyperplanes(dim: int, n_planes: int, offset: int = 0) -> list[list[float]]:
             row.append(((x % 2000003) / 1000001.5) - 1.0)  # in [-1, 1)
         planes.append(row)
     return planes
+
+
+def fixed_centroids(dim: int, n_cells: int, offset: int = 0) -> list[list[float]]:
+    """Deterministic data-independent unit-norm centroids: the
+    ``hyperplanes`` directions L2-normalized driver-side (Python
+    ``math.sqrt`` — correctly-rounded IEEE, so the literal doubles
+    round-trip exactly into Spark SQL and any oracle engine via repr).
+
+    Use these when the cluster card must be reproducible with ZERO
+    data-derived state (no collect, no seed rows): both the Spark plan
+    and a SQL oracle consume the identical literal list, which removes
+    every cross-engine derivation (normalization, zero-norm guards,
+    seed ordering) from the comparison surface."""
+    import math
+
+    cents = []
+    for row in hyperplanes(dim, n_cells, offset):
+        n = math.sqrt(sum(x * x for x in row)) or 1.0
+        cents.append([x / n for x in row])
+    return cents
 
 
 def bucket_expr(vec_col: str, planes: list[list[float]]) -> str:
@@ -499,15 +530,24 @@ def quantized_topk(
     k: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_queries: int = 10_000,
+    force: bool = False,
 ) -> DataFrame:
     """Exact top-k under int8-quantized cosine: (query_id, rank,
     neighbor_id, qcos).
 
     The scan reads 1/4 the bytes of the float index and the pair
     scoring is exact integer arithmetic (the per-vector scale cancels
-    out of the cosine). Same broadcast/crossJoin shape as cosine_topk
-    — swap in the LSH/IVF candidate generation for the pruned form.
+    out of the cosine). Same broadcast/crossJoin shape (and the same
+    ``max_queries``/``force`` guard) as cosine_topk — swap in the
+    LSH/IVF candidate generation for the pruned form.
     """
+    from fluent_bit_spark.textprep.dedup import guard_quadratic
+
+    guard_quadratic(
+        queries, "quantized_topk (query side)", "ivf_topk/lsh_topk",
+        max_queries, force,
+    )
     q_expr, n2_t = quantize_expr(vec_col)
     qn2 = n2_t.format(q="q")
 
@@ -580,12 +620,19 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    data_bucket_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's bucket.
 
     At scale, bucket the data table ONCE (write partitioned/bucketed
     by the LSH bucket), then each query probes a single partition —
-    the scan is pruned by ~2^n_planes.
+    the scan is pruned by ~2^n_planes. Pass ``data_bucket_col`` when
+    ``data`` already carries that stored bucket (e.g. read back from
+    the partitioned index): the probe then joins the PARTITION column
+    directly, so the broadcast hash join's dynamic partition pruning
+    skips every unprobed bucket's files — recomputing the bucket with
+    the UDF would defeat the pruning and rescan the whole index
+    (tests/test_rag_index.py proves the pruned plan both ways).
     """
     dim = _infer_dim(data, vec_col, dim)
     b = bucket_udf(hyperplanes(dim, n_planes))
@@ -595,7 +642,11 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("dv"),
         F.expr(_NORM2.format(v=vec_col)).alias("_dn"),
-        b(F.col(vec_col)).alias("bucket"),
+        (
+            F.col(data_bucket_col).cast("int")
+            if data_bucket_col is not None
+            else b(F.col(vec_col))
+        ).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

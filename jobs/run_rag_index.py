@@ -65,8 +65,12 @@ def main() -> None:
         chunks = chunk_documents(
             df, chunk_tokens=args.chunk_tokens, overlap=args.overlap
         )
+        # collision-free composite key: chunk_id occupies the low 32
+        # bits (a single document can never have 2^32 chunks), so
+        # vec_id round-trips to (doc_id, chunk_id) exactly
         return hash_embed(chunks, dim=args.dim, text_col="chunk_text").withColumn(
-            "vec_id", (F.col("doc_id") * 100000 + F.col("chunk_id")).cast("bigint")
+            "vec_id",
+            F.shiftleft(F.col("doc_id").cast("bigint"), 32) + F.col("chunk_id"),
         )
 
     docs = spark.read.parquet(args.input)
@@ -88,14 +92,17 @@ def main() -> None:
 
     if args.probe:
         queries = chunk_embed(spark.read.parquet(args.probe))
-        # the written index IS the data side: each query joins its own
-        # bucket's partition (pruned scan), exact cosine within it
+        # the written index IS the data side: join on the STORED
+        # bucket partition column (data_bucket_col) so dynamic
+        # partition pruning skips every unprobed bucket's files —
+        # recomputing the bucket here would rescan the whole index
         topk = lsh_topk(
             index,
             queries,
             k=args.k,
             n_planes=args.n_planes,
             dim=args.dim,
+            data_bucket_col="bucket",
         )
         topk_dir = os.path.join(args.output, "topk")
         topk.write.mode("overwrite").parquet(topk_dir)

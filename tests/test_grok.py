@@ -92,3 +92,70 @@ def test_grok_parser_end_to_end(spark):
     assert r["httpver"] == 1.0  # typed float
     bad = [r for r in rows if not r["_parse_ok"]]
     assert len(bad) == 1 and bad[0]["client_ip"] is None
+
+
+def test_grok_types_merge_substring_names(spark):
+    """A field whose name is a substring of other types text must keep
+    its grok typecast (the pre-fix merge did a substring test on the
+    raw Types string: %{INT:ab:int} %{INT:a:int} silently dropped a's
+    cast, and an explicit Types entry clobbered unrelated grok casts)."""
+    from fluent_bit_spark.parsers import apply_parser, parse_parsers_conf
+
+    specs = parse_parsers_conf(
+        """
+[PARSER]
+    Name         sub
+    Format       grok
+    Grok_Pattern %{INT:ab:int} %{INT:a:int}
+"""
+    )
+    assert specs["sub"].types == {"ab": "integer", "a": "integer"}
+    r = apply_parser(
+        spark.createDataFrame([("12 7",)], ["text"]), "text", specs["sub"]
+    ).first()
+    assert r["ab"] == 12 and r["a"] == 7
+
+    # explicit Types wins over the grok cast for the SAME field but
+    # leaves other grok casts intact
+    specs = parse_parsers_conf(
+        """
+[PARSER]
+    Name         override
+    Format       grok
+    Grok_Pattern %{INT:id:int} %{INT:uid:int}
+    Types        uid:string
+"""
+    )
+    assert specs["override"].types == {"id": "integer", "uid": "string"}
+
+
+def test_filter_parser_applies_grok_types(spark):
+    """filter_parser try-order: the winning grok spec's Types casts
+    land as column types (flb_parser_typecast after flb_parser_do);
+    NOTOUCH rows keep nulls in the new typed columns."""
+    from fluent_bit_spark.operators.parser_filter import filter_parser
+    from fluent_bit_spark.parsers import parse_parsers_conf
+
+    specs = parse_parsers_conf(
+        """
+[PARSER]
+    Name         j
+    Format       json
+    Keys         k
+[PARSER]
+    Name         g
+    Format       grok
+    Grok_Pattern code=%{INT:code:int} took=%{NUMBER:took:float}
+"""
+    )
+    df = spark.createDataFrame(
+        [(1, '{"k": "v"}'), (2, "code=200 took=1.5"), (3, "garbage")],
+        ["id", "log"],
+    )
+    out = filter_parser(df, "log", [specs["j"], specs["g"]], reserve_data=True)
+    assert dict(out.dtypes)["code"] == "bigint"
+    assert dict(out.dtypes)["took"] == "double"
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["k"] == "v" and rows[1]["code"] is None
+    assert rows[2]["code"] == 200 and rows[2]["took"] == 1.5
+    assert rows[3]["code"] is None and rows[3]["k"] is None

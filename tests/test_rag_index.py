@@ -53,3 +53,46 @@ def test_chunk_index_partition_pruned_probe(spark, tmp_path):
     assert rows and all(r["bucket"] == some_bucket for r in rows)
     expected = index.filter(F.col("bucket") == some_bucket).count()
     assert len(rows) == expected
+
+
+def test_probe_join_uses_dynamic_partition_pruning(spark, tmp_path):
+    """The probe path joins the STORED bucket partition column
+    (lsh_topk data_bucket_col): the broadcast hash join plants a
+    dynamic-pruning subquery in the scan's PartitionFilters, so only
+    probed buckets' files are read (ADVICE r3: the pre-fix path
+    recomputed buckets with the UDF and rescanned the whole index)."""
+    from fluent_bit_spark.textprep.simsearch import (
+        bucket_udf,
+        hash_embed,
+        hyperplanes,
+        lsh_topk,
+    )
+    from fluent_bit_spark.textprep.webfilters import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(40))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    emb = hash_embed(chunks, dim=16, text_col="chunk_text").withColumn(
+        "vec_id", F.shiftleft(F.col("doc_id").cast("bigint"), 32) + F.col("chunk_id")
+    )
+    b = bucket_udf(hyperplanes(16, 4))
+    out = str(tmp_path / "chunk_index")
+    (
+        emb.select("vec_id", "embedding", b("embedding").alias("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out)
+    )
+    index = spark.read.parquet(out)
+    queries = emb.filter(F.col("doc_id") < 2)
+    topk = lsh_topk(index, queries, k=3, n_planes=4, dim=16, data_bucket_col="bucket")
+    plan = topk._sc._jvm.PythonSQLUtils.explainString(
+        topk._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "dynamicpruning" in m.group(1), plan[:3000]
+    # values identical to the recomputed-bucket path
+    base = lsh_topk(index, queries, k=3, n_planes=4, dim=16)
+    assert sorted(map(tuple, topk.collect())) == sorted(map(tuple, base.collect()))

@@ -1,0 +1,286 @@
+"""Reference runtime goldens replayed VERBATIM through classic.py.
+
+The reference's runtime tests (tests/runtime/filter_modify.c,
+filter_grep.c shape) drive a lib input with a literal JSON record,
+configure the filter with flb_filter_set property pairs, and assert a
+JSON fragment appears in the routed output. This module extracts those
+exact fixtures from the C source at test time (no copying — the C file
+is parsed in place) and replays each one through the classic-conf
+pipeline: same properties, same record, same expected key/values.
+
+Equality semantics: the C harness substring-matches the JSON-rendered
+record, which also pins fluent-bit's key ORDER; Spark columns are
+unordered by nature, so the replay asserts the expected fragment as a
+key->value subset of the routed row (values compared structurally,
+nested objects json-parsed). Key-drop ops additionally assert the
+dropped key reads NULL.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pytest
+
+from fluent_bit_spark.classic import build_classic_pipeline
+
+MODIFY_SRC = "/root/reference/tests/runtime/filter_modify.c"
+
+
+def _unescape(s: str) -> str:
+    return s.encode().decode("unicode_escape")
+
+
+def _c_args(stmt: str) -> list[str]:
+    """String arguments of a C call argument list, honoring adjacent
+    string-literal concatenation ('"a " "b"' is ONE argument)."""
+    args: list[str] = []
+    cur: list[str] = []
+    pos = 0
+    lit = re.compile(r'"((?:[^"\\]|\\.)*)"')
+    while pos < len(stmt):
+        ch = stmt[pos]
+        if ch == '"':
+            m = lit.match(stmt, pos)
+            cur.append(_unescape(m.group(1)))
+            pos = m.end()
+        elif ch == ",":
+            if cur:
+                args.append("".join(cur))
+                cur = []
+            pos += 1
+        else:
+            pos += 1
+    if cur:
+        args.append("".join(cur))
+    return args
+
+
+def extract_modify_cases() -> list:
+    """(test_name, [(prop, value)...], record_dict, expected_dict) per
+    reference test function that follows the uniform fixture shape."""
+    text = open(MODIFY_SRC).read()
+    parts = re.split(r"static void (flb_test_\w+)\(", text)[1:]
+    cases = []
+    for name, body in zip(parts[0::2], parts[1::2]):
+        props: list[tuple[str, str]] = []
+        for m in re.finditer(
+            r"flb_filter_set\(ctx->flb,\s*ctx->f_ffd,(.*?)NULL\s*\)",
+            body,
+            re.S,
+        ):
+            lits = _c_args(m.group(1))
+            props.extend(zip(lits[0::2], lits[1::2]))
+        recm = re.search(r'p = "((?:[^"\\]|\\.)*)";', body)
+        expm = re.search(r'cb_data\.data = "((?:[^"\\]|\\.)*)";', body)
+        if not (props and recm and expm):
+            continue
+        try:
+            record = json.loads(_unescape(recm.group(1)))[1]
+            expected = json.loads("{" + _unescape(expm.group(1)) + "}")
+        except (ValueError, IndexError):
+            continue
+        cases.append(pytest.param(props, record, expected, id=name))
+    return cases
+
+
+MODIFY_CASES = extract_modify_cases()
+
+
+def test_extraction_found_the_reference_suite():
+    # filter_modify.c carries 36 test functions; the uniform-fixture
+    # subset must stay large — a parser regression would silently
+    # skip the whole suite otherwise
+    assert len(MODIFY_CASES) >= 25, len(MODIFY_CASES)
+
+
+@pytest.mark.parametrize("props,record,expected", MODIFY_CASES)
+def test_modify_runtime_golden(spark, props, record, expected):
+    conf_lines = [
+        "[INPUT]",
+        "    Name dummy",
+        "    Tag test",
+        "    Dummy " + json.dumps(record),
+        "    Samples 1",
+        "[FILTER]",
+        "    Name modify",
+        "    Match *",
+    ]
+    conf_lines += [f"    {k} {v}" for k, v in props]
+    conf_lines += ["[OUTPUT]", "    Name null", "    Match *"]
+    pipe = build_classic_pipeline(spark, "\n".join(conf_lines))
+    rows = pipe.records.collect()
+    assert len(rows) == 1
+    row = rows[0].asDict()
+    for k, v in expected.items():
+        assert k in row, f"expected key {k!r} missing; row={row}"
+        got = row[k]
+        if isinstance(v, (dict, list)):
+            got = json.loads(got)
+        elif isinstance(v, bool):
+            # documented typing divergence: msgpack booleans surface
+            # as their JSON text in string columns
+            v = str(v).lower()
+        assert got == v, f"{k}: {got!r} != {v!r}; row={row}"
+
+
+# ---------------------------------------------------------------- nest
+# tests/runtime/filter_nest.c fixtures, replayed verbatim. The C
+# harness asserts the routed event COUNT; the replay also asserts the
+# nest/lift content the fixture implies.
+
+def _classic_rows(spark, conf):
+    pipe = build_classic_pipeline(spark, conf)
+    return pipe.records.collect()
+
+
+def test_nest_multi_nest_golden(spark):
+    """filter_nest.c flb_test_filter_nest_multi_nest (:89-161):
+    Operation nest, Wildcard to_nest, Nest_under nested_key; two
+    records, both routed."""
+    rows = _classic_rows(
+        spark,
+        """
+[INPUT]
+    Name dummy
+    Tag test
+    Dummy {"to_nest":"This is the data to nest", "extra":"Some more data"}
+[INPUT]
+    Name dummy
+    Tag test
+    Dummy {"not_nest":"dummy data", "extra":"dummy more data"}
+[FILTER]
+    Name nest
+    Match *
+    Operation nest
+    Wildcard to_nest
+    Nest_under nested_key
+[OUTPUT]
+    Name null
+    Match test
+""",
+    )
+    assert len(rows) == 2
+    by_extra = {r["extra"]: r for r in rows}
+    nested = by_extra["Some more data"]["nested_key"]
+    assert nested["to_nest"] == "This is the data to nest"
+    assert by_extra["dummy more data"]["not_nest"] == "dummy data"
+
+
+def test_nest_multi_lift_golden(spark):
+    """filter_nest.c flb_test_filter_nest_multi_lift (:163-234):
+    Operation lift, Nested_under nested; the child key surfaces."""
+    rows = _classic_rows(
+        spark,
+        """
+[INPUT]
+    Name dummy
+    Tag test
+    Dummy {"nested": {"child":"nested data"}, "not_nestd":"not nested data"}
+[FILTER]
+    Name nest
+    Match *
+    Operation lift
+    Nested_under nested
+[OUTPUT]
+    Name null
+    Match test
+""",
+    )
+    assert len(rows) == 1
+    assert rows[0]["child"] == "nested data"
+    assert rows[0]["not_nestd"] == "not nested data"
+    assert "nested" not in rows[0].asDict()
+
+
+def test_nest_lift_add_prefix_golden(spark):
+    """filter_nest.c flb_test_filter_nest_add_prefix (:306-370):
+    lift with Add_prefix _nested_key. over {"nested_key":{"key":"value"}}."""
+    rows = _classic_rows(
+        spark,
+        """
+[INPUT]
+    Name dummy
+    Tag test
+    Dummy {"nested_key":{"key":"value"}}
+[FILTER]
+    Name nest
+    Match *
+    Operation lift
+    Nested_under nested_key
+    Add_prefix _nested_key.
+[OUTPUT]
+    Name null
+    Match test
+""",
+    )
+    assert len(rows) == 1
+    assert rows[0]["_nested_key.key"] == "value"
+
+
+# ---------------------------------------------------------- rewrite_tag
+# tests/runtime/filter_rewrite_tag.c fixtures: routed-row equality per
+# output Match, exactly the C harness's count assertions.
+
+def _routed_counts(spark, conf):
+    pipe = build_classic_pipeline(spark, conf)
+    return {oid: df.count() for oid, df in pipe.outputs.items()}
+
+
+REWRITE_BASE = """
+[INPUT]
+    Name dummy
+    Tag rewrite
+    Dummy {record}
+[FILTER]
+    Name rewrite_tag
+    Match rewrite
+    Rule {rule}
+[OUTPUT]
+    Name null
+    Match {out_match}
+"""
+
+
+def test_rewrite_tag_matched_golden(spark):
+    """filter_rewrite_tag.c flb_test_matched (:133-181): $key matches,
+    keep false -> record leaves ONLY under the new tag."""
+    conf = REWRITE_BASE.format(
+        record='{"key":"rewrite"}',
+        rule="$key ^(rewrite)$ updated false",
+        out_match="updated",
+    )
+    assert _routed_counts(spark, conf) == {"null.0": 1}
+
+
+def test_rewrite_tag_not_matched_golden(spark):
+    """flb_test_not_matched (:187-236): value doesn't match the rule
+    regex -> record stays under the original tag."""
+    conf = REWRITE_BASE.format(
+        record='{"key":"not_match"}',
+        rule="$key ^(rewrite)$ updated false",
+        out_match="rewrite",
+    )
+    assert _routed_counts(spark, conf) == {"null.0": 1}
+
+
+def test_rewrite_tag_keep_true_golden(spark):
+    """flb_test_keep_true (:242-289): keep true -> BOTH the original
+    and the re-tagged record route (got == 2 in the C harness)."""
+    conf = REWRITE_BASE.format(
+        record='{"key":"rewrite"}',
+        rule="$key ^(rewrite)$ updated true",
+        out_match="*",
+    )
+    assert _routed_counts(spark, conf) == {"null.0": 2}
+
+
+def test_rewrite_tag_tag_accessor_golden(spark):
+    """flb_test_issue_5846 (:509-556): the rule key is $TAG itself."""
+    conf = REWRITE_BASE.format(
+        record='{"key":"rewrite"}',
+        rule="$TAG ^(rewrite)$ updated false",
+        out_match="updated",
+    )
+    assert _routed_counts(spark, conf) == {"null.0": 1}

@@ -1170,3 +1170,34 @@ def test_lsh_and_ivf_udfs_null_safe(spark):
     assert got[2]["probes"] is None and got[3]["probes"] is None
     assert got[1]["cell"] == 0 and got[4]["cell"] == 1
     assert got[1]["bucket"] is not None and got[1]["probes"] is not None
+
+
+def test_quadratic_baseline_guard(spark):
+    """The exact-quadratic baselines refuse oversized inputs unless
+    force=True (VERDICT r3 #4) — the probe is an early-out limit scan,
+    so it is cheap even when the input is huge."""
+    import pytest as _pytest
+
+    from fluent_bit_spark.textprep.dedup import (
+        embedding_neardup_pairs,
+        ngram_jaccard_pairs,
+    )
+    from fluent_bit_spark.textprep.simsearch import cosine_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"some text {i}", "en") for i in range(8)],
+        ["doc_id", "text", "lang"],
+    )
+    with _pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(docs, 0.5, max_rows=4)
+    # force=True runs the exact plan anyway
+    assert ngram_jaccard_pairs(docs, 0.99, max_rows=4, force=True).count() == 0
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)], ["vec_id", "embedding"]
+    )
+    with _pytest.raises(ValueError, match="embedding_neardup_lsh"):
+        embedding_neardup_pairs(vecs, 0.5, max_rows=4)
+    with _pytest.raises(ValueError, match="ivf_topk"):
+        cosine_topk(vecs, vecs, k=2, max_queries=4)
+    assert cosine_topk(vecs, vecs.limit(2), k=2, max_queries=4).count() == 4

@@ -252,3 +252,53 @@ def test_cluster_card_partitions_corpus(spark):
     assert all(r["n_vectors"] == 10 for r in card.values())
     assert card[0]["min_vec_id"] == 0 and card[1]["min_vec_id"] == 1
     assert all(r["sum_norm_micros"] > 0 for r in card.values())
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the loop to reliable DataFrame.checkpoint
+    (executor-loss-tolerant); results identical to the localCheckpoint
+    path, and finished rounds' checkpoint files are freed so at most
+    the live label + edge tables remain on disk."""
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    # 16-vertex chain: several pointer-jumping rounds, so round-N
+    # cleanup actually runs mid-loop
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], ["id_a", "id_b"]
+    )
+    out = {
+        r["id"]: r["comp"]
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert out == {i: 0 for i in range(16)}
+
+    def _rdd_dirs():
+        return [
+            d
+            for root, dirs, _ in os.walk(ckpt)
+            for d in dirs
+            if d.startswith("rdd-")
+        ]
+
+    # live state bounded: the final label + the edge table (and at most
+    # the penultimate round not yet freed) — never one dir per round
+    assert 1 <= len(_rdd_dirs()) <= 3, _rdd_dirs()
+    cache.release_all()
+    assert _rdd_dirs() == []
+
+
+def test_connected_components_endpoints_outside_vertices(spark):
+    """Edge endpoints missing from the supplied vertex set get label
+    rows from round 0 — pre-fix they appeared mid-loop with NULL
+    old_comp and could freeze the convergence check early."""
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13)], ["id_a", "id_b"]
+    )
+    verts = spark.createDataFrame([(10,), (13,)], ["id"])
+    out = {
+        r["id"]: r["comp"]
+        for r in connected_components(edges, vertices=verts).collect()
+    }
+    cache.release_all()
+    assert out == {10: 10, 11: 10, 12: 10, 13: 10}
