@@ -1153,6 +1153,56 @@ def q_grok_conf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lua_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_lua with a REAL Lua script on the pure-Python Lua 5.1
+    interpreter (fluent_bit_spark.lua), exercising every return code
+    of the reference contract (plugins/filter_lua/lua.c): -1 drop,
+    2 replace-keep-timestamp, and 1 replace-with-new-timestamp plus
+    a 1->2 array split emitting an audit record. The script runs in
+    Arrow-batched mapInPandas (one interpreter per partition, AST
+    parsed once on the driver); the oracle replays the same logic in
+    SQL. Timestamps floor to whole seconds on both sides (DuckDB's
+    double->bigint cast rounds, Spark's truncates)."""
+    from fluent_bit_spark.operators.lua_filter import lua_filter_typed
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("ev."), F.col("event_type")).alias("tag"),
+        F.col("ts").cast("double").alias("event_time"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+    )
+    script = """
+function cb_filter(tag, ts, record)
+  if record["value"] < 1.0 then return -1, 0, 0 end
+  if record["event_type"] == "purchase" then
+    local audit = {event_id = record["event_id"],
+                   user_id = record["user_id"],
+                   event_type = "audit",
+                   value = record["value"] * 2.0}
+    record["flagged"] = string.upper(tag)
+    return 1, ts + 1.0, {record, audit}
+  end
+  record["vbucket"] = math.floor(record["value"] / 10.0)
+  return 2, ts, record
+end
+"""
+    out = lua_filter_typed(
+        ev, script, extra_schema="flagged string, vbucket bigint"
+    )
+    return out.select(
+        "tag",
+        F.col("event_time").cast("long").alias("epoch"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "flagged",
+        "vbucket",
+    )
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text for dedup/shingling: lowercase + accent fold +
     control strip + whitespace collapse, zero-shuffle codegen. The
@@ -2289,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed": q_hash_embed,
         "embedding_clusters": q_embedding_clusters,
         "grok_conf_parse": q_grok_conf_parse,
+        "lua_script": q_lua_script,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -3641,6 +3692,28 @@ def oracle_sql() -> dict[str, str]:
                                             '%d/%b/%Y:%H:%M:%S'))::bigint
                    END AS epoch
             FROM l
+        """,
+        "lua_script": """
+            WITH kept AS (
+              SELECT 'ev.' || event_type AS tag, ts, event_id, user_id,
+                     event_type, value
+              FROM events WHERE value >= 1.0
+            )
+            SELECT tag, floor(epoch(ts))::bigint AS epoch, event_id, user_id,
+                   event_type, value, CAST(NULL AS varchar) AS flagged,
+                   floor(value / 10.0)::bigint AS vbucket
+            FROM kept WHERE event_type <> 'purchase'
+            UNION ALL
+            SELECT tag, floor(epoch(ts))::bigint + 1 AS epoch, event_id,
+                   user_id, event_type, value, upper(tag) AS flagged,
+                   CAST(NULL AS bigint) AS vbucket
+            FROM kept WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT tag, floor(epoch(ts))::bigint + 1 AS epoch, event_id,
+                   user_id, 'audit' AS event_type, value * 2.0 AS value,
+                   CAST(NULL AS varchar) AS flagged,
+                   CAST(NULL AS bigint) AS vbucket
+            FROM kept WHERE event_type = 'purchase'
         """,
         "yaml_conf": """
             SELECT 'ev.lib' AS tag, event_id, event_type, value,

@@ -869,9 +869,40 @@ def _apply_filter(
         return df  # debugging passthrough
 
     if name == "lua":
-        raise ValueError(
-            "filter lua is not config-loadable (no Lua runtime); use "
-            "fluent_bit_spark.operators.udf_hook programmatically"
+        # plugins/filter_lua/lua_config.c:71-160 property surface:
+        # script|code, call, type_int_key, type_array_key,
+        # protected_mode, time_as_table. result_schema is a Spark-first
+        # extension (msgpack is schemaless; DataFrames are not) that
+        # declares keys the script ADDS beyond the input columns.
+        call = sec.get("call")
+        if not call:
+            # mandatory in the reference (lua_config.c:116)
+            raise ValueError("filter lua: function name `call` is not set")
+        code = sec.get("code")
+        if code is None:
+            path = sec.get("script")
+            if not path:
+                raise ValueError("filter lua requires `script` or `code`")
+            with open(path) as fh:
+                code = fh.read()
+        from fluent_bit_spark.operators.lua_filter import lua_filter_typed
+
+        return lua_filter_typed(
+            df,
+            code,
+            call=call,
+            gate=gate,
+            extra_schema=sec.get("result_schema"),
+            type_int_key=tuple(
+                k for v in sec.get_all("type_int_key") for k in v.split()
+            ),
+            type_array_key=tuple(
+                k for v in sec.get_all("type_array_key") for k in v.split()
+            ),
+            protected_mode=sec.get("protected_mode", "true").lower()
+            not in ("false", "off", "no", "0"),
+            time_as_table=sec.get("time_as_table", "false").lower()
+            in ("true", "on", "yes", "1"),
         )
     raise ValueError(f"filter plugin {name!r} not supported")
 

@@ -44,12 +44,22 @@ def test_every_oracle_has_a_query():
     not os.path.exists("CORRECTNESS_r02.json"), reason="no driver artifact"
 )
 def test_driver_gate_ordering_never_checked_first():
-    """Entries without a driver CORRECTNESS row must occupy the first
-    positions of queries() — the driver's gate records ~50 rows per
-    round in dict order."""
+    """Entries without a green driver CORRECTNESS row in ANY past round
+    must occupy the first positions of queries() — the driver's gate
+    records ~50 rows per round in dict order, so the never-verified (and
+    previously-failed) entries are the ones that need a row next."""
+    import glob
+
     import __spark_entry__ as entry
 
-    r2 = json.load(open("CORRECTNESS_r02.json"))
+    verified: set[str] = set()
+    for path in glob.glob("CORRECTNESS_r*.json"):
+        art = json.load(open(path))
+        for name, row in art.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                verified.add(name)
     names = list(entry.queries())
-    unchecked = [n for n in names if n not in r2]
-    assert names[: len(unchecked)] == unchecked
+    unchecked = [n for n in names if n not in verified]
+    assert names[: len(unchecked)] == sorted(
+        unchecked, key=names.index
+    ) and set(names[: len(unchecked)]) == set(unchecked)
