@@ -1153,6 +1153,43 @@ def q_grok_conf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wasm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_wasm with a REAL WebAssembly binary on the pure-Python
+    wasm MVP interpreter (fluent_bit_spark.wasm), exercising the
+    reference contract (plugins/filter_wasm/filter_wasm.c JSON mode,
+    src/wasm/flb_wasm.c:249 call ABI): the module scans the record
+    JSON for `"event_type":"view"` in a hand-assembled strstr loop and
+    returns an empty string (skip), otherwise appends `,"wasm":1`
+    before the closing brace and returns the new record pointer.
+    Timestamps are always preserved (unlike lua, the wasm contract
+    never replaces them)."""
+    from fluent_bit_spark.operators.wasm_filter import wasm_filter_typed
+    from fluent_bit_spark.wasm.builder import demo_filter_module
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("ev."), F.col("event_type")).alias("tag"),
+        F.col("ts").cast("double").alias("event_time"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+    )
+    out = wasm_filter_typed(
+        ev,
+        demo_filter_module(needle=b'"event_type":"view"'),
+        extra_schema="wasm bigint",
+    )
+    return out.select(
+        "tag",
+        F.col("event_time").cast("long").alias("epoch"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "wasm",
+    )
+
+
 def q_lua_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     """filter_lua with a REAL Lua script on the pure-Python Lua 5.1
     interpreter (fluent_bit_spark.lua), exercising every return code
@@ -2340,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": q_embedding_clusters,
         "grok_conf_parse": q_grok_conf_parse,
         "lua_script": q_lua_script,
+        "wasm_filter": q_wasm_filter,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -3714,6 +3752,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS varchar) AS flagged,
                    CAST(NULL AS bigint) AS vbucket
             FROM kept WHERE event_type = 'purchase'
+        """,
+        "wasm_filter": """
+            SELECT 'ev.' || event_type AS tag,
+                   floor(epoch(ts))::bigint AS epoch, event_id, user_id,
+                   event_type, value, 1::bigint AS wasm
+            FROM events WHERE event_type <> 'view'
         """,
         "yaml_conf": """
             SELECT 'ev.lib' AS tag, event_id, event_type, value,

@@ -904,6 +904,37 @@ def _apply_filter(
             time_as_table=sec.get("time_as_table", "false").lower()
             in ("true", "on", "yes", "1"),
         )
+
+    if name == "wasm":
+        # plugins/filter_wasm/filter_wasm.c:401-431 property surface:
+        # wasm_path (mandatory), function_name (mandatory),
+        # event_format (json only — msgpack mode needs a msgpack
+        # runtime surface Spark rows don't have), wasm_heap_size.
+        # accessible_paths / wasm_stack_size are accepted and ignored
+        # (no WASI filesystem; Python recursion limit is the stack).
+        # result_schema is the same Spark-first extension as lua.
+        path = sec.get("wasm_path")
+        if not path:
+            raise ValueError("filter wasm: `wasm_path` is not set")
+        fn = sec.get("function_name")
+        if not fn:
+            raise ValueError("filter wasm: `function_name` is not set")
+        fmt = sec.get("event_format", "json").lower()
+        if fmt != "json":
+            raise ValueError(f"filter wasm: event_format {fmt!r} not supported")
+        with open(path, "rb") as fh:
+            wasm_bytes = fh.read()
+        heap = sec.get("wasm_heap_size")
+        from fluent_bit_spark.operators.wasm_filter import wasm_filter_typed
+
+        return wasm_filter_typed(
+            df,
+            wasm_bytes,
+            function_name=fn,
+            gate=gate,
+            extra_schema=sec.get("result_schema"),
+            heap_max_pages=(int(heap) + 65535) // 65536 if heap else 1024,
+        )
     raise ValueError(f"filter plugin {name!r} not supported")
 
 
