@@ -905,6 +905,47 @@ def _apply_filter(
             in ("true", "on", "yes", "1"),
         )
 
+    if name == "kubernetes":
+        # plugins/filter_kubernetes/kube_conf.c property surface
+        # (core subset): Kube_URL, Kube_Tag_Prefix, Kube_Token_File,
+        # Kube_CA_File, tls.verify, Labels, Annotations, Merge_Log,
+        # Merge_Log_Key, Keep_Log, Kube_Meta_Cache_TTL. The live
+        # fetch happens on the driver at plan-build time (see
+        # fluent_bit_spark.k8s docstring for the topology rationale).
+        from fluent_bit_spark.k8s import (
+            DEFAULT_KUBE_URL,
+            DEFAULT_TAG_PREFIX,
+            KubeMetaClient,
+            kubernetes_filter,
+        )
+
+        def b(key: str, default: str) -> bool:
+            return sec.get(key, default).lower() in ("true", "on", "yes", "1")
+
+        client = KubeMetaClient(
+            kube_url=sec.get("kube_url", DEFAULT_KUBE_URL),
+            token_file=sec.get("kube_token_file"),
+            ca_file=sec.get("kube_ca_file"),
+            tls_verify=b("tls.verify", "true"),
+            meta_cache_ttl=float(sec.get("kube_meta_cache_ttl", "0")),
+        )
+        matched = df.filter(gate) if gate is not None else df
+        enriched = kubernetes_filter(
+            matched,
+            client,
+            kube_tag_prefix=sec.get("kube_tag_prefix", DEFAULT_TAG_PREFIX),
+            labels=b("labels", "true"),
+            annotations=b("annotations", "false"),
+            merge_log=b("merge_log", "false"),
+            merge_log_key=sec.get("merge_log_key", "log_processed"),
+            keep_log=b("keep_log", "true"),
+        )
+        if gate is None:
+            return enriched
+        return df.filter(~gate).unionByName(
+            enriched, allowMissingColumns=True
+        )
+
     if name == "wasm":
         # plugins/filter_wasm/filter_wasm.c:401-431 property surface:
         # wasm_path (mandatory), function_name (mandatory),
