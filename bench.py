@@ -290,6 +290,19 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    # Per-rep spread + steal%% go to a sidecar file, NOT stdout: the
+    # r3 driver artifact captured only a truncated tail of the (huge)
+    # single JSON line and recorded parsed=None, so the stdout line
+    # must stay small enough to survive the driver's capture window.
+    detail_path = os.environ.get("BENCH_DETAIL_PATH", "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(
+                {"query_reps": rep_times, "query_steal_pct": rep_steal},
+                fh,
+            )
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -297,9 +310,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "query_reps": rep_times,
-                "query_steal_pct": rep_steal,
                 "reps": reps,
+                "detail": detail_path,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pipeline_rows": n_rows,
                 "pipeline_docs_per_sec": (

@@ -414,6 +414,46 @@ def main() -> int:
          f"{n_exchanges(p)} exchanges")
     )
 
+    # 25. lua_script / wasm_filter: interpreter runs in exactly ONE
+    #     Arrow MapInPandas stage, zero exchanges — the slow path is a
+    #     single map-only pass, never a shuffle participant
+    for qname in ("lua_script", "wasm_filter"):
+        p = plan_of(qs[qname](spark, sf_dir))
+        # formatted plans print each node twice (tree + numbered detail)
+        n_arrow = len(re.findall(r"\(\d+\) MapInPandas", p))
+        ok = n_exchanges(p) == 0 and n_arrow == 1
+        checks.append(
+            (f"{qname}: single MapInPandas stage, zero exchanges", ok,
+             f"{n_exchanges(p)} exchanges, {n_arrow} arrow stages")
+        )
+    sections.append((f"wasm_filter (single Arrow interpreter stage)", p, []))
+
+    # 26. kubernetes enrichment: metadata joined BROADCAST; tag regex
+    #     extraction stays codegen (no Python)
+    from fluent_bit_spark.k8s import kubernetes_filter
+
+    ktag = ("kube.var.log.containers.pod-1_ns_web-" + "a" * 64 + ".log",)
+    kdf = spark.createDataFrame([(ktag[0], "m")], "tag string, log string")
+    kmeta = spark.createDataFrame(
+        [("ns", "pod-1", "uid", {"a": "b"}, None, "n1", "10.0.0.1")],
+        "namespace_name string, pod_name string, pod_id string, "
+        "labels map<string,string>, annotations map<string,string>, "
+        "host string, pod_ip string",
+    )
+    p = plan_of(kubernetes_filter(kdf, metadata=kmeta))
+    # ("Python" appears in local createDataFrame RDD scan args —
+    # gate on UDF/Arrow markers instead)
+    ok = (
+        "BroadcastHashJoin" in p
+        and "SortMergeJoin" not in p
+        and "EvalPython" not in p
+        and "MapInPandas" not in p
+    )
+    checks.append(
+        ("kubernetes: broadcast metadata join, codegen tag regex", ok, "")
+    )
+    sections.append(("kubernetes_filter (broadcast pod metadata)", p, []))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
