@@ -2360,8 +2360,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per VERDICT.md #2: positions 1-8 are the eight entries that had
     # never received a driver row (r1-r3 kept them past the window),
     # position 9 is the re-fixed embedding_clusters (the one r3 red
-    # row), position 10 the new grok_conf_parse; the remaining window
-    # re-verifies the heavy dedup/ANN/corpus family. Everything at
+    # row), positions 10-12 the new round-4 queries (grok_conf_parse,
+    # lua_script on the real Lua interpreter, wasm_filter on the real
+    # wasm runtime); the remaining window re-verifies the heavy
+    # dedup/ANN/corpus family. Everything at
     # 51+ already has a driver-green row from r1-r3 (see VERDICT.md
     # coverage table), so after this round every registry entry has
     # at least one independently-verified row.
