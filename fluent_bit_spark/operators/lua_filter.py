@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from ..lua.interp import Interpreter, LuaError, LuaTable
 from ..lua.lexer import LuaSyntaxError
+from .wasm_filter import rebalance_for_interp
 from ..lua.parser import parse
 
 OUT_SCHEMA = "tag string, ts double, record string"
@@ -247,6 +248,8 @@ def lua_filter_typed(
         *[F.col(c) for c in carry],
     )
 
+    src = rebalance_for_interp(src)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rt = compiled.make_runtime()  # one lua_State per partition
         for pdf in batches:
@@ -334,6 +337,8 @@ def lua_filter(
         F.col(ts_col).cast("double").alias("ts"),
         F.to_json(F.struct(*[F.col(c) for c in cols])).alias("record"),
     )
+
+    src = rebalance_for_interp(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rt = compiled.make_runtime()  # one lua_State per partition

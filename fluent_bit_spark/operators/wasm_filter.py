@@ -48,6 +48,19 @@ from ..wasm.module import WasmDecodeError
 OUT_SCHEMA = "tag string, ts double, record string"
 
 
+def rebalance_for_interp(src: DataFrame) -> DataFrame:
+    """Per-record interpreter stages are CPU-bound: spread them over
+    every core even when the upstream scan is a single small file
+    (one 2 MB parquet = one partition = one busy core while 31 idle).
+    At real scale the scan already has more partitions than cores and
+    this is a no-op; the round-robin exchange is deliberate and cheap
+    relative to the interpreter work it parallelizes."""
+    n = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < n:
+        return src.repartition(n)
+    return src
+
+
 class WasmScript:
     """A loaded filter_wasm program: driver-side decode + validation,
     executor-side instantiation."""
@@ -134,6 +147,8 @@ def wasm_filter(
         F.to_json(F.struct(*[F.col(c) for c in cols])).alias("record"),
     )
 
+    src = rebalance_for_interp(src)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rt = compiled.make_runtime()  # one instance per partition
         for pdf in batches:
@@ -200,6 +215,8 @@ def wasm_filter_typed(
         F.to_json(F.struct(*[F.col(c) for c in record_cols])).alias("record"),
         *[F.col(c) for c in carry],
     )
+
+    src = rebalance_for_interp(src)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rt = compiled.make_runtime()

@@ -354,7 +354,7 @@ class Instance:
         or a branch depth to unwind (0 = this level's label)."""
         for inst in seq:
             op = inst[0]
-            # ---- most frequent first: locals, consts, memory, arith
+            # ---- most frequent first: locals, consts, hot i32 ops
             if op == 0x20:  # local.get
                 stack.append(loc[inst[1]])
             elif op == 0x21:  # local.set
@@ -363,7 +363,33 @@ class Instance:
                 loc[inst[1]] = stack[-1]
             elif op == 0x41 or op == 0x42 or op == 0x43 or op == 0x44:
                 stack.append(inst[1])
-            elif 0x45 <= op <= 0xBF or 0xC0 <= op <= 0xC4 or op >= 0xFC00:
+            elif op == 0x6A:  # i32.add (inlined hot ops)
+                b = stack.pop()
+                stack[-1] = (stack[-1] + b) & 0xFFFFFFFF
+            elif op == 0x6B:  # i32.sub
+                b = stack.pop()
+                stack[-1] = (stack[-1] - b) & 0xFFFFFFFF
+            elif op == 0x46:  # i32.eq
+                b = stack.pop()
+                stack[-1] = 1 if stack[-1] == b else 0
+            elif op == 0x47:  # i32.ne
+                b = stack.pop()
+                stack[-1] = 1 if stack[-1] != b else 0
+            elif op == 0x49:  # i32.lt_u
+                b = stack.pop()
+                stack[-1] = 1 if stack[-1] < b else 0
+            elif op == 0x4B:  # i32.gt_u
+                b = stack.pop()
+                stack[-1] = 1 if stack[-1] > b else 0
+            elif op == 0x45:  # i32.eqz
+                stack[-1] = 1 if stack[-1] == 0 else 0
+            elif op == 0x2D:  # i32.load8_u (byte scan hot path)
+                addr = stack.pop() + inst[1]
+                try:
+                    stack.append(self.memory[addr])
+                except IndexError:
+                    raise WasmTrap("out of bounds memory access")
+            elif 0x48 <= op <= 0xC4 or op >= 0xFC00:
                 self._numeric(op, stack)
             elif 0x28 <= op <= 0x3E:
                 self._memop(op, inst[1], stack)
@@ -376,14 +402,18 @@ class Instance:
                         continue
                     return d - 1 if d != _RET else _RET
             elif op == 0x03:  # loop (br target = loop start, arity 0)
+                # entry height is loop-invariant (wasm validation):
+                # push the ctrl entry once, not per iteration
+                ctrl.append((len(stack), 0))
+                body = inst[2]
                 while True:
-                    ctrl.append((len(stack), 0))
-                    d = self._exec(inst[2], loc, stack, ctrl)
-                    ctrl.pop()
+                    d = self._exec(body, loc, stack, ctrl)
                     if d is None:
+                        ctrl.pop()
                         break
                     if d == 0:
                         continue  # br to loop head
+                    ctrl.pop()
                     return d - 1 if d != _RET else _RET
             elif op == 0x04:  # if
                 cond = stack.pop()

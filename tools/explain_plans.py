@@ -421,10 +421,14 @@ def main() -> int:
         p = plan_of(qs[qname](spark, sf_dir))
         # formatted plans print each node twice (tree + numbered detail)
         n_arrow = len(re.findall(r"\(\d+\) MapInPandas", p))
-        ok = n_exchanges(p) == 0 and n_arrow == 1
+        # exactly ONE exchange: the deliberate round-robin rebalance
+        # that spreads the CPU-bound interpreter over all cores when
+        # the scan has fewer partitions than the cluster (no-op at
+        # real scale); and exactly one Arrow stage
+        ok = n_exchanges(p) <= 1 and n_arrow == 1
         checks.append(
-            (f"{qname}: single MapInPandas stage, zero exchanges", ok,
-             f"{n_exchanges(p)} exchanges, {n_arrow} arrow stages")
+            (f"{qname}: single MapInPandas stage, <=1 rebalance exchange",
+             ok, f"{n_exchanges(p)} exchanges, {n_arrow} arrow stages")
         )
     sections.append((f"wasm_filter (single Arrow interpreter stage)", p, []))
 
