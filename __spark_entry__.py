@@ -1153,6 +1153,60 @@ def q_grok_conf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kubernetes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_kubernetes shape end-to-end WITHOUT the network: the
+    reference tag regex (kube_regex.h:25) parses synthetic container
+    log tags built from events, and the (namespace,pod) broadcast
+    metadata join fills pod_id/host/labels — exactly what the live
+    path does after KubeMetaClient fetches (fluent_bit_spark/k8s.py;
+    the live client itself is pytest-verified against a real local
+    HTTP API server in tests/test_k8s.py). Deterministic docker_id =
+    md5(user_id) doubled to 64 hex chars in both engines."""
+    from fluent_bit_spark.k8s import kubernetes_filter
+
+    ev = _t(spark, sf_dir, "events")
+    did = F.concat(F.md5(F.col("user_id").cast("string")),
+                   F.md5(F.col("user_id").cast("string")))
+    tagged = ev.select(
+        F.concat(
+            F.lit("kube.var.log.containers.pod-"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit("_ns"),
+            (F.col("event_id") % 3).cast("string"),
+            F.lit("_"),
+            F.col("event_type"),
+            F.lit("-"),
+            did,
+            F.lit(".log"),
+        ).alias("tag"),
+        "event_id",
+        F.col("props").alias("log"),
+    )
+    meta = spark.range(0, 20).select(
+        F.concat(F.lit("ns"), (F.col("id") % 3).cast("string")).alias(
+            "namespace_name"
+        ),
+        F.concat(F.lit("pod-"), F.col("id").cast("string")).alias("pod_name"),
+        F.md5(F.col("id").cast("string")).alias("pod_id"),
+        F.create_map(F.lit("app"), F.concat(F.lit("app-"), (F.col("id") % 4).cast("string"))).alias("labels"),
+        F.lit(None).cast("map<string,string>").alias("annotations"),
+        F.concat(F.lit("node-"), (F.col("id") % 5).cast("string")).alias("host"),
+        F.concat(F.lit("10.0.0."), F.col("id").cast("string")).alias("pod_ip"),
+    )
+    out = kubernetes_filter(tagged, metadata=meta)
+    return out.select(
+        "event_id",
+        F.col("kubernetes.pod_name").alias("pod_name"),
+        F.col("kubernetes.namespace_name").alias("namespace_name"),
+        F.col("kubernetes.container_name").alias("container_name"),
+        F.col("kubernetes.docker_id").alias("docker_id"),
+        F.col("kubernetes.pod_id").alias("pod_id"),
+        F.col("kubernetes.labels")["app"].alias("app_label"),
+        F.col("kubernetes.host").alias("host"),
+        F.col("kubernetes.pod_ip").alias("pod_ip"),
+    )
+
+
 def q_wasm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """filter_wasm with a REAL WebAssembly binary on the pure-Python
     wasm MVP interpreter (fluent_bit_spark.wasm), exercising the
@@ -2380,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_conf_parse": q_grok_conf_parse,
         "lua_script": q_lua_script,
         "wasm_filter": q_wasm_filter,
+        "kubernetes_meta": q_kubernetes_meta,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -3754,6 +3809,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS varchar) AS flagged,
                    CAST(NULL AS bigint) AS vbucket
             FROM kept WHERE event_type = 'purchase'
+        """,
+        "kubernetes_meta": """
+            WITH meta AS (
+              SELECT 'ns' || (i % 3)::varchar AS ns,
+                     'pod-' || i::varchar AS pod,
+                     md5(i::varchar) AS pod_id,
+                     'app-' || (i % 4)::varchar AS app_label,
+                     'node-' || (i % 5)::varchar AS host,
+                     '10.0.0.' || i::varchar AS pod_ip
+              FROM range(20) t(i)
+            )
+            SELECT e.event_id,
+                   'pod-' || (e.user_id % 20)::varchar AS pod_name,
+                   'ns' || (e.event_id % 3)::varchar AS namespace_name,
+                   e.event_type AS container_name,
+                   md5(e.user_id::varchar) || md5(e.user_id::varchar)
+                       AS docker_id,
+                   m.pod_id, m.app_label, m.host, m.pod_ip
+            FROM events e
+            LEFT JOIN meta m
+              ON m.ns = 'ns' || (e.event_id % 3)::varchar
+             AND m.pod = 'pod-' || (e.user_id % 20)::varchar
         """,
         "wasm_filter": """
             SELECT 'ev.' || event_type AS tag,
