@@ -203,18 +203,83 @@ def ngram_jaccard_pairs(
     cols = [F.col(id_col).alias("id"), F.col("hs")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    s = shingle_hashes(ensure_parallelism(df), text_col, n).select(*cols)
-    a = s.alias("a")
-    b = s.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
-    pairs = a.join(b, cond).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
+    else:
+        cols.append(F.lit(0).alias("blk"))
+    s = cache.track(
+        shingle_hashes(ensure_parallelism(df), text_col, n).select(*cols)
+    )
+    id_type = s.schema["id"].dataType.simpleString()
+
+    # phase 1: per-block EXACT intersection counts in numpy. Each
+    # block builds a dictionary of its distinct gram hashes and a 0/1
+    # doc x gram bit matrix, chunked along the gram axis so memory is
+    # bounded; one float32 matmul per chunk accumulates pairwise
+    # intersection counts (integers <= shingles/doc, exact in
+    # float32). Catalyst's array_intersect/array_union are set-
+    # semantic, so unique-hash counts replicate them exactly:
+    # U = |set(a)| + |set(b)| - I. Pairs are pre-filtered at
+    # threshold - 1e-6 (round(.,6) can lift a value by at most 5e-7;
+    # the exact-integer division is correctly rounded to ~1e-16), so
+    # no pair the naive plan would emit can be dropped.
+    _CHUNK_COLS = 16384
+
+    def screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].values
+        nrows = len(ids)
+        empty = pd.DataFrame(
+            {
+                "id_a": ids[:0],
+                "id_b": ids[:0],
+                "inter": np.zeros(0, np.int64),
+                "sa": np.zeros(0, np.int64),
+                "sb": np.zeros(0, np.int64),
+            }
+        )
+        if nrows < 2:
+            return empty
+        uniq = [np.unique(np.asarray(hs, dtype=np.int64)) for hs in pdf["hs"].values]
+        sizes = np.array([len(u) for u in uniq], dtype=np.int64)
+        vocab = np.unique(np.concatenate(uniq)) if len(uniq) else np.zeros(0, np.int64)
+        rows = np.repeat(np.arange(nrows), sizes)
+        cols = np.searchsorted(vocab, np.concatenate(uniq))
+        inter = np.zeros((nrows, nrows), dtype=np.float32)
+        for lo in range(0, len(vocab), _CHUNK_COLS):
+            hi = min(lo + _CHUNK_COLS, len(vocab))
+            m = (cols >= lo) & (cols < hi)
+            bits = np.zeros((nrows, hi - lo), dtype=np.float32)
+            bits[rows[m], cols[m] - lo] = 1.0
+            inter += bits @ bits.T
+        inter_i = inter.astype(np.int64)
+        union = sizes[:, None] + sizes[None, :] - inter_i
+        jacc = inter_i / union  # union >= 1: every doc has >= 1 shingle
+        keep = (jacc >= threshold - 1e-6) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(keep)
+        if not len(ai):
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": ids[ai],
+                "id_b": ids[bi],
+                "inter": inter_i[ai, bi],
+                "sa": sizes[ai],
+                "sb": sizes[bi],
+            }
+        )
+
+    cand = s.groupBy("blk").applyInPandas(
+        screen,
+        schema=f"id_a {id_type}, id_b {id_type}, inter long, sa long, sb long",
+    )
+
+    # phase 2: the rounded value itself comes from Catalyst (scalar
+    # codegen round/divide — same HALF_UP semantics as the naive
+    # array_intersect/array_union expression, which these exact
+    # integer counts reproduce by construction)
+    pairs = cand.select(
+        "id_a",
+        "id_b",
         F.expr(
-            "round(cast(size(array_intersect(a.hs, b.hs)) as double)"
-            " / size(array_union(a.hs, b.hs)), 6)"
+            "round(cast(inter as double) / (sa + sb - inter), 6)"
         ).alias("jacc"),
     )
     return pairs.filter(F.col("jacc") >= threshold)
@@ -470,28 +535,91 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     max_rows: int = 100_000,
     force: bool = False,
+    screen_margin: float = 1e-4,
 ) -> DataFrame:
     """Exact cosine near-dup pairs over an embedding column.
 
-    Brute-force all-pairs — correctness baseline (guarded by
+    All-pairs recall — correctness baseline (guarded by
     ``max_rows``/``force``); the LSH-bucketed scale path lives in
     simsearch.lsh_buckets (block by hyperplane sign bits, then pair
     within buckets).
+
+    Two-phase plan: a numpy matmul over Arrow batches screens the
+    N x N cosine matrix against ``threshold - screen_margin`` (the
+    full vector table, bounded by the quadratic guard, rides along as
+    a broadcast variable — <= max_rows * dim * 8 bytes), and only the
+    surviving candidate pairs pay the exact interpreted-expression
+    verify. The reported ``cos`` values come from the SAME sequential
+    left-fold Catalyst expression as the naive all-pairs join, so the
+    oracle contract is untouched: float64 matmul error on unit-scale
+    vectors is ~dim * 2^-53, ~9 orders of magnitude inside the screen
+    margin, so no true pair can be screened out. Cuts the per-pair
+    zip_with/aggregate interpretation (the old plan's entire cost)
+    down to the few pairs that actually pass.
     """
     guard_quadratic(
         df, "embedding_neardup_pairs", "embedding_neardup_lsh", max_rows, force
     )
-    s = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    a, b = s.alias("a"), s.alias("b")
+    from fluent_bit_spark.textprep.simsearch import _infer_dim, _vec_mat
+
+    dim = _infer_dim(df, vec_col, None)
+    s = cache.track(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
+    id_type = s.schema["id"].dataType.simpleString()
+
+    # phase 1: candidate screen. Bounded driver collect (same budget
+    # as the guard probe above); broadcast the matrix once, stream the
+    # row side through Arrow so each task screens its slab vs all.
+    all_rows = s.collect()
+    all_ids = np.asarray([r["id"] for r in all_rows])
+    mat_all, valid_all = _vec_mat(pd.Series([r["v"] for r in all_rows]), dim)
+    norms_all = np.sqrt(np.einsum("ij,ij->i", mat_all, mat_all))
+    bc = df.sparkSession.sparkContext.broadcast(
+        (all_ids, mat_all, norms_all, valid_all)
+    )
+    cut = threshold - screen_margin
+
+    def screen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b, norms_b, valid_b = bc.value
+        denom_b = np.where(norms_b == 0, 1.0, norms_b)
+        for pdf in batches:
+            mat_a, valid_a = _vec_mat(pdf["v"], dim)
+            norms_a = np.sqrt(np.einsum("ij,ij->i", mat_a, mat_a))
+            denom_a = np.where(norms_a == 0, 1.0, norms_a)
+            cos = (mat_a @ mat_b.T) / denom_a[:, None] / denom_b[None, :]
+            ids_a = pdf["id"].values
+            # id_a < id_b halves the matrix; invalid/zero-norm rows
+            # never become candidates (the naive plan would NULL or
+            # divide-by-zero them out of the >= filter anyway)
+            keep = (
+                (cos >= cut)
+                & (ids_a[:, None] < ids_b[None, :])
+                & valid_a[:, None]
+                & valid_b[None, :]
+                & (norms_a[:, None] > 0)
+                & (norms_b[None, :] > 0)
+            )
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame({"id_a": ids_a[ai], "id_b": ids_b[bi]})
+
+    cand = s.mapInPandas(screen, schema=f"id_a {id_type}, id_b {id_type}")
+
+    # phase 2: exact verify — byte-identical expression to the naive
+    # all-pairs form, evaluated only on screened candidates
     dot = (
         "aggregate(zip_with(a.v, b.v, (x, y) -> cast(x as double)*cast(y as double)),"
         " cast(0 as double), (acc, z) -> acc + z)"
     )
     na = "aggregate(a.v, cast(0 as double), (acc, x) -> acc + cast(x as double)*cast(x as double))"
     nb = "aggregate(b.v, cast(0 as double), (acc, x) -> acc + cast(x as double)*cast(x as double))"
-    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.expr(f"round(({dot}) / sqrt(({na}) * ({nb})), 6)").alias("cos"),
+    pairs = (
+        cand.join(s.alias("a"), F.col("id_a") == F.col("a.id"))
+        .join(s.alias("b"), F.col("id_b") == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(f"round(({dot}) / sqrt(({na}) * ({nb})), 6)").alias("cos"),
+        )
     )
     return pairs.filter(F.col("cos") >= threshold)
