@@ -478,7 +478,6 @@ def embedding_neardup_lsh(
     from fluent_bit_spark.textprep.simsearch import (
         _infer_dim,
         bucket_udf,
-        cosine_expr,
         hyperplanes,
     )
 
@@ -516,15 +515,41 @@ def embedding_neardup_lsh(
     cand = cand.repartition(
         df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
     )
-    verified = (
+    id_type = s.schema["id"].dataType.simpleString()
+    joined = (
         cand.join(s.alias("sa"), F.col("id_a") == F.col("sa.id"))
         .join(s.alias("sb"), F.col("id_b") == F.col("sb.id"))
         .select(
-            "id_a",
-            "id_b",
-            F.expr(f"round({cosine_expr('sa.v', 'sb.v')}, 6)").alias("cos"),
+            "id_a", "id_b", F.col("sa.v").alias("va"), F.col("sb.v").alias("vb")
         )
     )
+
+    # exact verify, numpy over Arrow: per-pair dot and norms use the
+    # SAME sequential left-fold IEEE order as the interpreted
+    # cosine_expr (cumsum prefix — see simsearch._seq_dots), and the
+    # zero-norm CASE maps to cos := 0, so the unrounded values are
+    # bit-identical; only round(.,6) (HALF_UP) stays in Catalyst.
+    # Fully distributed — no broadcast, no driver collect: this is
+    # the 100 TB verify.
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fluent_bit_spark.textprep.simsearch import _vec_mat
+
+        for pdf in batches:
+            A, _ = _vec_mat(pdf["va"], dim)
+            B, _ = _vec_mat(pdf["vb"], dim)
+            dot = np.cumsum(A * B, axis=1)[:, -1]
+            na = np.cumsum(A * A, axis=1)[:, -1]
+            nb = np.cumsum(B * B, axis=1)[:, -1]
+            denom = na * nb
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0, 0.0, dot / np.sqrt(denom))
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos": cos}
+            )
+
+    verified = joined.mapInPandas(
+        verify, schema=f"id_a {id_type}, id_b {id_type}, cos double"
+    ).select("id_a", "id_b", F.expr("round(cos, 6)").alias("cos"))
     return verified.filter(F.col("cos") >= threshold)
 
 
