@@ -990,13 +990,18 @@ def q_rag_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst; the embedding is one numpy bucket-add per Arrow batch;
     the query side broadcasts. Every stage is the already-oracled
     operator (doc_chunks + hash_embed + ann_cosine_topk), composed."""
+    from fluent_bit_spark import cache
     from fluent_bit_spark.textprep.simsearch import cosine_topk, hash_embed
     from fluent_bit_spark.textprep.webfilters import chunk_documents
 
     docs = _t(spark, sf_dir, "documents")
     chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
-    emb = hash_embed(chunks, dim=16, text_col="chunk_text").withColumn(
-        "vec_id", (F.col("doc_id") * 1000 + F.col("chunk_id")).cast("bigint")
+    # persisted: the query-side collect and the corpus-side scoring
+    # job would otherwise each recompute the chunk+embed lineage
+    emb = cache.track(
+        hash_embed(chunks, dim=16, text_col="chunk_text").withColumn(
+            "vec_id", (F.col("doc_id") * 1000 + F.col("chunk_id")).cast("bigint")
+        )
     )
     queries = emb.filter(F.col("doc_id") % 100 == 0)
     corpus = emb.filter(F.col("doc_id") % 100 != 0)

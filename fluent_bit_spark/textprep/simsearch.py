@@ -144,35 +144,84 @@ def cosine_topk(
     / lsh_topk are the scale paths). Deterministic tie-break on
     neighbor id.
     """
-    from fluent_bit_spark.textprep.dedup import guard_quadratic
+    # the query side is bounded (guard above) and rides along as a
+    # broadcast numpy matrix; each data partition scores its rows
+    # against ALL queries in one numpy pass. Dots and squared norms
+    # use the SAME sequential left-fold IEEE order as the interpreted
+    # expressions they replace (_seq_dots cumsum prefix), and the
+    # zero-norm CASE maps to cos := 0 — bit-identical unrounded
+    # values; round(.,6) (HALF_UP) stays in Catalyst.
+    q_id_type = queries.schema[id_col].dataType.simpleString()
+    d_id_type = data.schema[id_col].dataType.simpleString()
+    # the quadratic guard IS the collect: pull at most max_queries+1
+    # rows in the one job that also materializes the broadcast matrix
+    # (pair work is |data| x |queries|, so an oversized query side
+    # silently becomes the quadratic baseline; ivf_topk / lsh_topk are
+    # the scale paths)
+    sel = queries.select(id_col, vec_col)
+    if force:
+        q_rows = sel.collect()
+    else:
+        q_rows = sel.limit(max_queries + 1).collect()
+        if len(q_rows) > max_queries:
+            raise ValueError(
+                f"cosine_topk (query side): input exceeds {max_queries} "
+                "rows; this is the exact quadratic verification baseline "
+                "— use ivf_topk/lsh_topk at scale, or pass force=True "
+                "for a deliberate exact run"
+            )
+    dim = len(q_rows[0][vec_col]) if q_rows else 1
+    q_ids = np.asarray([r[id_col] for r in q_rows])
+    q_mat, q_valid = _vec_mat(pd.Series([r[vec_col] for r in q_rows]), dim)
+    q_n2 = np.cumsum(q_mat * q_mat, axis=1)[:, -1] if len(q_rows) else np.zeros(0)
+    bc = data.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_n2, q_valid))
 
-    guard_quadratic(
-        queries, "cosine_topk (query side)", "ivf_topk/lsh_topk",
-        max_queries, force,
-    )
-    # squared norms hoisted to per-ROW columns: cosine_expr would
-    # re-evaluate both interpreted norm folds per PAIR (once in the
-    # zero guard, once in the divisor) — hoisting leaves one dot per
-    # pair and keeps the arithmetic bit-identical to the oracle
-    # (same folds, same values, just computed once)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.expr(_NORM2.format(v=vec_col)).alias("_qn"),
-    )
-    d = data.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("dv"),
-        F.expr(_NORM2.format(v=vec_col)).alias("_dn"),
-    )
-    dot = _DOT.format(a="qv", b="dv")
-    scored = d.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "neighbor_id",
-        F.expr(
-            "round(CASE WHEN _qn * _dn = 0 THEN cast(0 as double) "
-            f"ELSE ({dot}) / sqrt(_qn * _dn) END, 6)"
-        ).alias("cos"),
+    def score(batches):
+        qi, qm, qn2, qok = bc.value
+        nq = len(qi)
+        for pdf in batches:
+            if not nq or not len(pdf):
+                continue
+            dm, dok = _vec_mat(pdf[vec_col], dim)
+            dn2 = np.cumsum(dm * dm, axis=1)[:, -1]
+            dots = _seq_dots(dm, qm)
+            denom = dn2[:, None] * qn2[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0, 0.0, dots / np.sqrt(denom))
+            # invalid vectors: the interpreted form yields NULL cos,
+            # which the downstream rank filter never selects — drop
+            valid = dok[:, None] & qok[None, :]
+            # per-batch top-k prune: only rows within 2e-6 of the
+            # batch's k-th best unrounded cos can enter the global
+            # rounded top-k (round(.,6) moves a value < 5e-7, so a
+            # > 2e-6 unrounded gap stays a strict rounded gap against
+            # >= k batch-local rows) — the window sees thousands of
+            # candidate rows instead of |data| x |queries|
+            m = len(pdf)
+            cosm = np.where(valid, cos, -np.inf)
+            if m > k:
+                th = np.partition(cosm, m - k, axis=0)[m - k, :] - 2e-6
+                keep = valid & (cosm >= th[None, :])
+            else:
+                keep = valid
+            di, qidx = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": qi[qidx],
+                    "neighbor_id": pdf[id_col].values[di],
+                    "cos": cos[di, qidx],
+                }
+            )
+
+    scored = (
+        data.select(id_col, vec_col)
+        .mapInPandas(
+            score,
+            schema=(
+                f"query_id {q_id_type}, neighbor_id {d_id_type}, cos double"
+            ),
+        )
+        .select("query_id", "neighbor_id", F.expr("round(cos, 6)").alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
