@@ -994,7 +994,9 @@ def q_rag_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_spark.textprep.simsearch import cosine_topk, hash_embed
     from fluent_bit_spark.textprep.webfilters import chunk_documents
 
-    docs = _t(spark, sf_dir, "documents")
+    from fluent_bit_spark.textprep.dedup import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
     # persisted: the query-side collect and the corpus-side scoring
     # job would otherwise each recompute the chunk+embed lineage
@@ -1013,13 +1015,18 @@ def q_rag_chunk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     query chunk's hyperplane-LSH bucket (data bucketed once; at scale
     the chunk index is WRITTEN partitioned by bucket and each query
     probes one partition)."""
+    from fluent_bit_spark import cache
     from fluent_bit_spark.textprep.simsearch import hash_embed, lsh_topk
     from fluent_bit_spark.textprep.webfilters import chunk_documents
 
-    docs = _t(spark, sf_dir, "documents")
+    from fluent_bit_spark.textprep.dedup import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
-    emb = hash_embed(chunks, dim=16, text_col="chunk_text").withColumn(
-        "vec_id", (F.col("doc_id") * 1000 + F.col("chunk_id")).cast("bigint")
+    emb = cache.track(
+        hash_embed(chunks, dim=16, text_col="chunk_text").withColumn(
+            "vec_id", (F.col("doc_id") * 1000 + F.col("chunk_id")).cast("bigint")
+        )
     )
     queries = emb.filter(F.col("doc_id") % 100 == 0)
     corpus = emb.filter(F.col("doc_id") % 100 != 0)
