@@ -1122,6 +1122,7 @@ def q_grok_conf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     record time (tests/internal/data/parser/regex.conf matrix)."""
     from fluent_bit_spark.operators.parser_filter import filter_parser
     from fluent_bit_spark.parsers.config import parse_parsers_conf
+    from fluent_bit_spark.textprep.dedup import ensure_parallelism
 
     conf = (
         "[PARSER]\n    Name j\n    Format json\n    Keys k\n"
@@ -1136,7 +1137,7 @@ def q_grok_conf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    Time_Format %d/%b/%Y:%H:%M:%S\n"
     )
     specs = parse_parsers_conf(conf)
-    ev = _t(spark, sf_dir, "events").select(
+    ev = ensure_parallelism(_t(spark, sf_dir, "events")).select(
         "event_id",
         F.col("ts").alias("event_time"),
         F.when(F.col("event_id") % 3 == 0, F.col("props"))
