@@ -72,6 +72,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # ------------------------------------------------------------------ entry
 
+def _ep(df: DataFrame) -> DataFrame:
+    """Spread a one-file parquet scan across cores (metadata-only
+    check; a no-op on already-wide inputs at scale)."""
+    from fluent_bit_spark.textprep.dedup import ensure_parallelism
+
+    return ensure_parallelism(df)
+
+
 def _pages_from_documents(docs: DataFrame) -> DataFrame:
     """Derive the north-rule ingest shape (url, warc_ts, html, text,
     lang) deterministically from the documents table.  ``html`` is a
@@ -446,7 +454,7 @@ def q_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fields back out of the emitted JSON line."""
     from fluent_bit_spark.functions.gelf import to_gelf
 
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _ep(_t(spark, sf_dir, "events")).select(
         "event_id",
         F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")).alias("host"),
         F.col("event_type").alias("msg"),
@@ -1233,7 +1241,7 @@ def q_wasm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_spark.operators.wasm_filter import wasm_filter_typed
     from fluent_bit_spark.wasm.builder import demo_filter_module
 
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _ep(_t(spark, sf_dir, "events")).select(
         F.concat(F.lit("ev."), F.col("event_type")).alias("tag"),
         F.col("ts").cast("double").alias("event_time"),
         "event_id",
@@ -1269,7 +1277,7 @@ def q_lua_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     double->bigint cast rounds, Spark's truncates)."""
     from fluent_bit_spark.operators.lua_filter import lua_filter_typed
 
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _ep(_t(spark, sf_dir, "events")).select(
         F.concat(F.lit("ev."), F.col("event_type")).alias("tag"),
         F.col("ts").cast("double").alias("event_time"),
         "event_id",
