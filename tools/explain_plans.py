@@ -388,13 +388,22 @@ def main() -> int:
          f"{n_exchanges(p)} exchanges")
     )
 
-    # 22. rag_chunk_topk: ONE Arrow embedding stage feeding both sides,
-    #     query side broadcast; chunking stays codegen
+    # 22. rag_chunk_topk: chunking stays codegen (Generate), the
+    #     embedding is one Arrow stage, and scoring is a single
+    #     MapInPandas pass over the data side (the query matrix rides
+    #     along as a broadcast VARIABLE, not a join) — no cartesian /
+    #     nested-loop join node anywhere
     p = plan_of(qs["rag_chunk_topk"](spark, sf_dir))
-    ok = "ArrowEvalPython" in p and "Broadcast" in p and "Generate" in p
+    ok = (
+        "ArrowEvalPython" in p
+        and "MapInPandas" in p
+        and "Generate" in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoop" not in p
+    )
     checks.append(
-        ("rag_chunk_topk: codegen chunking + Arrow embed + broadcast query side",
-         ok, "")
+        ("rag_chunk_topk: codegen chunking + Arrow embed + MapInPandas "
+         "top-k scoring (no cartesian)", ok, "")
     )
 
     # 23. text_normalize: zero-exchange codegen projection
