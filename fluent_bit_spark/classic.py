@@ -994,6 +994,17 @@ class ClassicPipeline:
     # routed record stream (in_stream_processor semantics)
     stream_results: dict[str, DataFrame] = field(default_factory=dict)
 
+    def retry_limits(self) -> dict[str, int]:
+        """Per-output parsed ``Retry_Limit`` (src/flb_output.c:874-896)
+        for delivery.deliver_outputs — default 1, no_limits/false -> -1,
+        no_retries -> 0."""
+        from fluent_bit_spark.delivery import parse_retry_limit
+
+        return {
+            oid: parse_retry_limit(sec.get("retry_limit"))
+            for oid, sec in self.output_sections.items()
+        }
+
 
 def build_classic_pipeline(
     spark: SparkSession,
