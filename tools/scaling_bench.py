@@ -146,12 +146,23 @@ warm = build_pipeline(
     generate_pages(spark, max(rows // 10, 100_000), partitions=parts)
 ).aggregates
 warm.write.format("noop").mode("overwrite").save()
-times = []
+
+def ticks():
+    try:
+        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        return sum(v), (v[7] if len(v) > 7 else 0)
+    except (OSError, ValueError):
+        return 0, 0
+
+times, steal = [], []
 for _ in range(reps):
+    tk0, st0 = ticks()
     t0 = time.perf_counter()
     plan.write.format("noop").mode("overwrite").save()
     times.append(round(time.perf_counter() - t0, 3))
-print("RESULT:" + json.dumps(times))
+    tk1, st1 = ticks()
+    steal.append(round(100 * (st1 - st0) / max(tk1 - tk0, 1), 1))
+print("RESULT:" + json.dumps({{"times": times, "steal_pct": steal}}))
 spark.stop()
 """
 
@@ -170,7 +181,8 @@ def run_cluster_level(
         [sys.executable, "-c", src], capture_output=True, text=True, check=True,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("RESULT:")][-1]
-    return json.loads(line[len("RESULT:"):])
+    r = json.loads(line[len("RESULT:"):])
+    return r["times"], r["steal_pct"]
 
 
 def run_cluster_concurrent(
@@ -193,11 +205,14 @@ def run_cluster_concurrent(
         for _ in range(k)
     ]
     results = []
+    steals = []
     for p in procs:
         out, _ = p.communicate()
         line = [l for l in out.splitlines() if l.startswith("RESULT:")][-1]
-        results.append(json.loads(line[len("RESULT:"):]))
-    return results
+        r = json.loads(line[len("RESULT:"):])
+        results.append(r["times"])
+        steals.append(r["steal_pct"])
+    return results, steals
 
 
 def main() -> None:
@@ -231,13 +246,18 @@ def main() -> None:
         solo: list[float] = []
         conc_worst: list[float] = []
         conc_all: list[list[float]] = []
+        solo_steal: list[list[float]] = []
+        conc_steal: list[list[list[float]]] = []
         for _ in range(args.rounds):
-            solo += run_cluster_level(
+            ts, st = run_cluster_level(
                 1, args.cores, args.rows, args.reps, parts, args.mem_mb)
-            group = run_cluster_concurrent(
+            solo += ts
+            solo_steal.append(st)
+            group, gst = run_cluster_concurrent(
                 args.execs_high, args.cores, args.rows, args.reps, parts,
                 args.mem_mb)
             conc_all.append(group)
+            conc_steal.append(gst)
             # group aggregate finishes when its slowest member's best rep would
             conc_worst.append(max(min(g) for g in group))
         t_solo, t_conc = min(solo), min(conc_worst)
@@ -247,6 +267,8 @@ def main() -> None:
             "cores_per_executor": args.cores,
             "solo_sec": t_solo, "concurrent_worst_sec": t_conc,
             "solo_reps_sec": solo, "concurrent_groups_sec": conc_all,
+            "solo_steal_pct": solo_steal,
+            "concurrent_steal_pct": conc_steal,
             "agg_docs_per_sec_1x": round(args.rows / t_solo, 1),
             "agg_docs_per_sec_4x": round(args.execs_high * args.rows / t_conc, 1),
             "scaling_efficiency": round(t_solo / t_conc, 3),
@@ -262,11 +284,17 @@ def main() -> None:
         parts = args.parts_mult * args.execs_high * args.cores  # same task size both levels
         lo_times: list[float] = []
         hi_times: list[float] = []
+        lo_steal: list[float] = []
+        hi_steal: list[float] = []
         for _ in range(args.rounds):
-            lo_times += run_cluster_level(
+            ts, st = run_cluster_level(
                 args.execs_low, args.cores, args.rows, args.reps, parts, args.mem_mb)
-            hi_times += run_cluster_level(
+            lo_times += ts
+            lo_steal += st
+            ts, st = run_cluster_level(
                 args.execs_high, args.cores, args.rows, args.reps, parts, args.mem_mb)
+            hi_times += ts
+            hi_steal += st
         t_lo, t_hi = min(lo_times), min(hi_times)
         ratio = args.execs_high / args.execs_low
         speedup = t_lo / t_hi
@@ -276,6 +304,7 @@ def main() -> None:
             "executors_high": f"{args.execs_high}x{args.cores}",
             "low_sec": t_lo, "high_sec": t_hi,
             "low_reps_sec": lo_times, "high_reps_sec": hi_times,
+            "low_steal_pct": lo_steal, "high_steal_pct": hi_steal,
             "low_docs_per_sec": round(args.rows / t_lo, 1),
             "high_docs_per_sec": round(args.rows / t_hi, 1),
             "speedup": round(speedup, 3),
