@@ -1247,24 +1247,43 @@ def start_classic_stream(
     return writer.start()
 
 
-def run_classic_outputs(pipe: ClassicPipeline, out_dir: str) -> dict[str, int]:
+def run_classic_outputs(
+    pipe: ClassicPipeline, out_dir: str, with_retry: bool = True
+) -> dict[str, int]:
     """Deliver every output (file formats via sinks.write_per_tag;
-    null/stdout as noop) and return per-output row counts."""
+    null/stdout as noop) and return per-output row counts.
+
+    ``with_retry`` runs each file delivery under the reference's flush
+    retry contract (delivery.deliver with the output's Retry_Limit):
+    a transient endpoint failure on one sink's write action is retried
+    with capped full-jitter backoff and never blocks the other sinks
+    (an exhausted sink is dropped and accounted, as the engine does).
+    """
     import os
 
+    from fluent_bit_spark.delivery import FLB_OK, deliver
     from fluent_bit_spark.sinks import write_per_tag
 
+    limits = pipe.retry_limits()
     counts: dict[str, int] = {}
     for oid, df in pipe.outputs.items():
         sec = pipe.output_sections[oid]
         if sec.name == "file":
             fmt = (sec.get("format") or "json_lines").replace("out_file", "")
             ts = "event_time" if "event_time" in df.columns else None
-            write_per_tag(
-                df, os.path.join(out_dir, oid),
-                fmt="json_lines" if fmt == "plain" else fmt,
-                template=sec.get("template"), ts_col=ts,
-            )
+
+            def flush(df=df, oid=oid, fmt=fmt, ts=ts, sec=sec) -> int:
+                write_per_tag(
+                    df, os.path.join(out_dir, oid),
+                    fmt="json_lines" if fmt == "plain" else fmt,
+                    template=sec.get("template"), ts_col=ts,
+                )
+                return FLB_OK
+
+            if with_retry:
+                deliver(flush, retry_limit=limits[oid])
+            else:
+                flush()
             counts[oid] = df.count()
         elif sec.name in ("null", "stdout", "counter", "flowcounter"):
             counts[oid] = df.count()
