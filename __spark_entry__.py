@@ -773,7 +773,26 @@ def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_duplicated_stream_input,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    from pyspark.sql import Window
+
+    # pre-dedup internal text duplicates deterministically (min doc_id
+    # per text): the sf0.1 corpus HAS same-text documents, and a
+    # within-micro-batch dropDuplicates survivor among them is not
+    # deterministic — the state-store behavior under test is the
+    # CROSS-batch dedup of the re-keyed replay slice, which survives
+    # this intact, and the oracle stays exact at any scale
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("text").orderBy(F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     d = tempfile.mkdtemp(prefix="dedup_stream_")
     write_duplicated_stream_input(
         docs, d, F.col("doc_id") % 10 == 0, id_col="doc_id"
@@ -1496,9 +1515,29 @@ def q_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_duplicated_stream_input,
     )
 
+    from pyspark.sql import Window
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     index = docs.filter(F.col("doc_id") % 5 != 0)
-    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    # the sf0.1 corpus has genuine same-text docs, both inside the new
+    # batch and straddling batch/index — those survivors are decided
+    # by within-micro-batch ordering, not by the operators under test
+    # (stream-static index join + cross-batch state store, which the
+    # injected re-keyed copies exercise). Keep the batch text-unique
+    # and index-disjoint so the oracle is exact at any scale.
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("text").orderBy(F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .join(index.select("text"), "text", "left_anti")
+        .select("doc_id", "text", "lang")
+    )
     inject = index.filter(F.col("doc_id") % 7 == 1).withColumn(
         "doc_id", F.col("doc_id") + F.lit(2_000_000_000)
     )
@@ -3469,7 +3508,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "dedup_exact_stream": """
-            SELECT doc_id, md5(text) AS digest, lang FROM documents
+            -- min doc_id per distinct text: the stream input is
+            -- pre-deduped the same way (see q_dedup_exact_stream)
+            SELECT doc_id, md5(text) AS digest, lang
+            FROM (SELECT doc_id, text, lang,
+                         row_number() OVER (PARTITION BY text
+                                            ORDER BY doc_id) AS rn
+                  FROM documents)
+            WHERE rn = 1
         """,
         "corpus_stream": f"""
             WITH pages AS (
@@ -3913,10 +3959,17 @@ def oracle_sql() -> dict[str, str]:
         "embedding_clusters": _duck_embedding_clusters(),
         "curation_pipeline": _duck_curation_pipeline(),
         # streaming run drains micro-batches; survivors are exactly
-        # the %5==0 originals (see q_incremental_dedup_stream)
+        # the text-unique, index-disjoint %5==0 originals (see
+        # q_incremental_dedup_stream)
         "incremental_dedup_stream": """
             SELECT doc_id, md5(text) AS digest, lang
-            FROM documents WHERE doc_id % 5 = 0
+            FROM (SELECT doc_id, text, lang,
+                         row_number() OVER (PARTITION BY text
+                                            ORDER BY doc_id) AS rn
+                  FROM documents WHERE doc_id % 5 = 0)
+            WHERE rn = 1
+              AND text NOT IN (SELECT text FROM documents
+                               WHERE doc_id % 5 <> 0)
         """,
         "dedup_simhash": f"""
             WITH t AS (SELECT doc_id, {th} AS th FROM documents)
