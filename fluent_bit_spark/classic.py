@@ -700,6 +700,9 @@ def _apply_filter(
             if k in ("regex", "exclude")
         ]
         op = (sec.get("logical_op") or "legacy").lower()
+        # grep.c:90-97: under AND/OR the rule types must not mix
+        if op != "legacy" and len({r.action for r in rules}) > 1:
+            raise ValueError("Both 'regex' and 'exclude' are set.")
         from fluent_bit_spark.operators.grep import grep_predicate
 
         keep = grep_predicate(df, rules, op)

@@ -284,3 +284,127 @@ def test_rewrite_tag_tag_accessor_golden(spark):
         out_match="updated",
     )
     assert _routed_counts(spark, conf) == {"null.0": 1}
+
+
+# tests/runtime/filter_grep.c fixtures: the C harness pushes 256 (or
+# 2x256) lib records `{"val": str(i*i), "log": ...}` and asserts the
+# routed record count. Replayed through the classic [INPUT] lib path
+# with the identical property strings; expected counts are the C
+# test's own TEST_CHECK values (or, for the stdout-only variants,
+# computed from the same fixture arithmetic).
+
+GREP_BASE = """
+[INPUT]
+    Name lib
+    Tag test
+[FILTER]
+    Name grep
+    Match *
+{rules}
+[OUTPUT]
+    Name null
+    Match test
+"""
+
+
+def _grep_two_record_fixture(spark):
+    """Per i in 0..255: record A log='Using deprecated option',
+    record B log='Using option' (filter_grep.c:240-253 et al.)."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 256).select(
+        (F.col("id") * F.col("id")).cast("string").alias("val")
+    )
+    a = base.withColumn("log", F.lit("Using deprecated option"))
+    b = base.withColumn("log", F.lit("Using option"))
+    return a.unionByName(b)
+
+
+def _grep_count(spark, rules: str, df) -> int:
+    conf = GREP_BASE.format(rules=rules)
+    pipe = build_classic_pipeline(spark, conf, lib_inputs={"test": df})
+    return pipe.outputs["null.0"].count()
+
+
+def test_grep_multi_exclude_golden(spark):
+    """flb_test_filter_grep_multi_exclude (:193-264): two Excludes are
+    OR'ed in legacy mode; the deprecated record drops -> got == 256."""
+    rules = "    Exclude log deprecated\n    Exclude log hoge"
+    assert _grep_count(spark, rules, _grep_two_record_fixture(spark)) == 256
+
+
+def test_grep_and_regex_golden(spark):
+    """flb_test_AND_regex: both regexes must hit -> only the
+    'deprecated option' record survives, got == 256."""
+    rules = (
+        "    Regex log deprecated\n    Regex log option\n"
+        "    Logical_Op AND"
+    )
+    assert _grep_count(spark, rules, _grep_two_record_fixture(spark)) == 256
+
+
+def test_grep_or_regex_golden(spark):
+    """flb_test_OR_regex: either regex keeps -> both records survive,
+    got == 512."""
+    rules = (
+        "    Regex log deprecated\n    Regex log option\n"
+        "    Logical_Op OR"
+    )
+    assert _grep_count(spark, rules, _grep_two_record_fixture(spark)) == 512
+
+
+def test_grep_and_exclude_golden(spark):
+    """flb_test_AND_exclude: both excludes must hit to drop -> only
+    the record containing BOTH words drops, got == 256."""
+    rules = (
+        "    Exclude log deprecated\n    Exclude log option\n"
+        "    Logical_Op AND"
+    )
+    assert _grep_count(spark, rules, _grep_two_record_fixture(spark)) == 256
+
+
+def test_grep_or_exclude_golden(spark):
+    """flb_test_OR_exclude: either exclude drops -> the deprecated
+    record drops ('other' hits nothing), got == 256."""
+    rules = (
+        "    Exclude log deprecated\n    Exclude log other\n"
+        "    Logical_Op OR"
+    )
+    assert _grep_count(spark, rules, _grep_two_record_fixture(spark)) == 256
+
+
+@pytest.mark.parametrize("op", ["AND", "OR"])
+def test_grep_mixed_rules_error_golden(spark, op):
+    """flb_test_error_AND/OR_regex_exclude (:458-540): mixing Regex and
+    Exclude under a Logical_Op fails at start (grep.c:90-97)."""
+    rules = (
+        "    Regex val 1\n    Exclude val2 3\n"
+        f"    Logical_Op {op}"
+    )
+    with pytest.raises(ValueError, match="Both 'regex' and 'exclude'"):
+        _grep_count(spark, rules, _grep_two_record_fixture(spark))
+
+
+def test_grep_invalid_rule_error_golden(spark):
+    """flb_test_filter_grep_invalid (:146-188): 'Regex val' has no
+    pattern token -> config rejected (grep.c:102-108)."""
+    with pytest.raises(ValueError):
+        _grep_count(
+            spark, "    Regex val", _grep_two_record_fixture(spark)
+        )
+
+
+def test_grep_regex_and_exclude_counts_golden(spark):
+    """flb_test_filter_grep_regex/_exclude (:56-144): 256 records
+    `{"val": str(i*i)}`, rule 'val 1' — keep (regex) or drop (exclude)
+    the values whose decimal digits contain a '1'."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 256).select(
+        (F.col("id") * F.col("id")).cast("string").alias("val")
+    )
+    n_match = sum(1 for i in range(256) if _re.search("1", str(i * i)))
+    assert _grep_count(spark, "    Regex val 1", df) == n_match
+    assert _grep_count(spark, "    Exclude val 1", df) == 256 - n_match
