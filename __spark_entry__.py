@@ -3406,10 +3406,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM r WHERE run <= 20000
         """,
         "type_converter": """
+            -- string->int follows flb_typecast.c:99-105: strtoimax
+            -- leading-prefix parse, and a parsed 0 is a conversion
+            -- ERROR (no value appended) — quirk included
             SELECT event_id, user_id,
                    json_extract_string(props, '$.k') AS k,
                    CAST(user_id AS VARCHAR) AS uid_str,
-                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+                   NULLIF(TRY_CAST(regexp_extract(
+                       json_extract_string(props, '$.k'),
+                       '^\\s*([+-]?[0-9]+)', 1) AS BIGINT), 0) AS k_int
             FROM events
         """,
         "filter_parser": """

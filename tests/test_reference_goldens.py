@@ -408,3 +408,94 @@ def test_grep_regex_and_exclude_counts_golden(spark):
     n_match = sum(1 for i in range(256) if _re.search("1", str(i * i)))
     assert _grep_count(spark, "    Regex val 1", df) == n_match
     assert _grep_count(spark, "    Exclude val 1", df) == 256 - n_match
+
+
+# tests/runtime/filter_type_converter.c fixtures: JSON_TEST_DATA
+# `{"numstr":"123.456","int":123,"float":123.456,"hexstr":"0xff"}`
+# through each property string; the C callback substring-checks the
+# converted key:value, replayed here as typed row equality.
+
+TC_BASE = """
+[INPUT]
+    Name lib
+    Tag test
+[FILTER]
+    Name type_converter
+    Match *
+{rules}
+[OUTPUT]
+    Name null
+    Match test
+"""
+
+
+def _tc_row(spark, rules: str, nested: bool = False):
+    from pyspark.sql import functions as F
+
+    if nested:
+        # JSON_NEST_DATA: {"nest":{"numstr":"123.456","float":123.456}}
+        df = spark.range(0, 1).select(
+            F.struct(
+                F.lit("123.456").alias("numstr"),
+                F.lit(123.456).alias("float"),
+            ).alias("nest")
+        )
+    else:
+        df = spark.range(0, 1).select(
+            F.lit("123.456").alias("numstr"),
+            F.lit(123).alias("int"),
+            F.lit(123.456).alias("float"),
+            F.lit("0xff").alias("hexstr"),
+        )
+    pipe = build_classic_pipeline(
+        spark, TC_BASE.format(rules=rules), lib_inputs={"test": df}
+    )
+    return pipe.outputs["null.0"].first()
+
+
+def test_type_converter_str_to_int_golden(spark):
+    """flb_test_str_to_int (:112-147): 'numstr new int' -> new:123."""
+    row = _tc_row(spark, "    str_key numstr new int")
+    assert row["new"] == 123
+
+
+def test_type_converter_str_to_hex_golden(spark):
+    """flb_test_str_to_hex (:150-185): 'hexstr new hex' -> new:255."""
+    row = _tc_row(spark, "    str_key hexstr new hex")
+    assert row["new"] == 255
+
+
+def test_type_converter_str_to_float_golden(spark):
+    """flb_test_str_to_float (:188-223): 'numstr new float' ->
+    new:123.456."""
+    row = _tc_row(spark, "    str_key numstr new float")
+    assert row["new"] == 123.456
+
+
+def test_type_converter_int_to_str_golden(spark):
+    """flb_test_int_to_str (:226-261): 'int new str' -> new:"123"."""
+    row = _tc_row(spark, "    int_key int new str")
+    assert row["new"] == "123"
+
+
+def test_type_converter_int_to_float_golden(spark):
+    """flb_test_int_to_float (:264-299): 'int new float' -> new:123.0
+    (the C callback prefix-matches '"new":123.')."""
+    row = _tc_row(spark, "    int_key int new float")
+    assert row["new"] == 123.0
+
+
+def test_type_converter_two_rules_golden(spark):
+    """flb_test_str_to_int_and_int_to_str (:302-340): both rules in
+    one filter -> new1:123 AND new2:"123"."""
+    row = _tc_row(
+        spark, "    str_key numstr new1 int\n    int_key int new2 str"
+    )
+    assert row["new1"] == 123 and row["new2"] == "123"
+
+
+def test_type_converter_nest_key_golden(spark):
+    """flb_test_nest_key (:342-380): record-accessor source
+    $nest['numstr'] -> new:123."""
+    row = _tc_row(spark, "    str_key $nest['numstr'] new int", nested=True)
+    assert row["new"] == 123
