@@ -142,7 +142,9 @@ def strptime_consume_regex(fmt: str) -> str:
             out.append(piece)
             i += 2
         elif fmt[i] == " ":
-            out.append(r"\s+")  # strptime: whitespace matches a run
+            # flb_strptime.c:277-283: format whitespace eats ZERO or
+            # more input whitespace ('%L %z' must accept '.648-04:00')
+            out.append(r"\s*")
             i += 1
         else:
             out.append(_re.escape(fmt[i]))
@@ -175,6 +177,13 @@ def time_parse_col(
 
     # Normalize ±HH:MM offsets to ±HHMM so java "XX" accepts all forms.
     if "%z" in fmt:
+        if _re.search(r"\s+%z", fmt):
+            # the format's whitespace matched zero-or-more input
+            # whitespace above; the java pattern needs the literal
+            # space, so canonicalize to exactly one before the offset
+            c = F.regexp_replace(
+                c, r"\s*([+-]\d{2}:?\d{2}|[+-]\d{2}|Z)$", r" $1"
+            )
         c = F.regexp_replace(c, r"([+-]\d{2}):(\d{2})$", r"$1$2")
 
     if not has_year(fmt):

@@ -139,7 +139,21 @@ def filter_parser(
     """Apply the filter_parser semantics above. ``gate`` scopes
     application row-wise (classic Match), composing with the
     parse-failed NOTOUCH path."""
-    if key_name not in df.columns:
+    src_is_ra = key_name.strip().startswith("$")
+    if src_is_ra:
+        # record-accessor Key_Name ($log['data']): the value is READ
+        # through the accessor, and the original nested key is always
+        # preserved — the reference only removes plain top-level keys
+        # (tests/runtime/filter_parser.c flb_test_..._record_accessor
+        # asserts the nested log.data survives with Preserve_Key Off)
+        from fluent_bit_spark.functions.accessor import ra_col_safe
+
+        df = df.withColumn(
+            "_fp_src", ra_col_safe(df, key_name).cast("string")
+        )
+        key_name = "_fp_src"
+        preserve_key = True
+    elif key_name not in df.columns:
         return df
     if not specs:
         raise ValueError("filter_parser needs at least one parser")
@@ -208,4 +222,7 @@ def filter_parser(
                 F.col(ts_col)
             ),
         )
-    return out.drop("_fp_map", "_fp_app", "_fp_ts")
+    drops = ["_fp_map", "_fp_app", "_fp_ts"]
+    if src_is_ra:
+        drops.append("_fp_src")
+    return out.drop(*drops)

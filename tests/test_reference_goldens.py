@@ -499,3 +499,190 @@ def test_type_converter_nest_key_golden(spark):
     $nest['numstr'] -> new:123."""
     row = _tc_row(spark, "    str_key $nest['numstr'] new int", nested=True)
     assert row["new"] == 123
+
+
+# tests/runtime/filter_parser.c fixtures: a lib record re-parsed via
+# Key_Name + parser chain; the C callback substring-checks the JSON
+# output (fields extracted / dropped / preserved, record time
+# replaced). Same parser regexes, same records, typed row equality.
+
+
+def _fp(spark, key_name, specs_conf, record_cols, reserve, preserve,
+        parser_names=None):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.parser_filter import filter_parser
+    from fluent_bit_spark.parsers.config import parse_parsers_conf
+
+    specs = parse_parsers_conf(specs_conf)
+    names = parser_names or list(specs)
+    cols = [F.lit(v).alias(k) for k, v in record_cols.items()]
+    df = spark.range(0, 1).select(
+        F.lit(datetime.datetime(2015, 11, 24, 22, 15, 40)).alias("event_time"),
+        *cols,
+    )
+    out = filter_parser(
+        df, key_name, [specs[n] for n in names],
+        reserve_data=reserve, preserve_key=preserve,
+    )
+    return out.first()
+
+
+DUMMY_PARSER = """
+[PARSER]
+    Name dummy_test
+    Format regex
+    Regex ^(?<INT>[^ ]+) (?<FLOAT>[^ ]+) (?<BOOL>[^ ]+) (?<STRING>.+)$
+"""
+
+DATA = "100 0.5 true This is an example"
+
+
+def test_parser_extract_fields_golden(spark):
+    """flb_test_filter_parser_extract_fields (:79-164): Reserve_Data
+    On + Preserve_Key Off -> fields extracted as strings, source key
+    dropped, extra preserved, record time unchanged."""
+    row = _fp(spark, "data", DUMMY_PARSER,
+              {"data": DATA, "extra": "Some more data"}, True, False)
+    assert (row["INT"], row["FLOAT"], row["BOOL"], row["STRING"]) == (
+        "100", "0.5", "true", "This is an example")
+    assert row["data"] is None
+    assert row["extra"] == "Some more data"
+    assert row["event_time"].year == 2015  # 1448403340 kept
+
+
+def test_parser_record_accessor_golden(spark):
+    """flb_test_filter_parser_record_accessor (:166-252): Key_Name
+    $log['data'] reads the nested value; the nested original is
+    PRESERVED even with Preserve_Key Off."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.parser_filter import filter_parser
+    from fluent_bit_spark.parsers.config import parse_parsers_conf
+
+    specs = parse_parsers_conf(DUMMY_PARSER)
+    df = spark.range(0, 1).select(
+        F.lit(datetime.datetime(2015, 11, 24, 22, 15, 40)).alias("event_time"),
+        F.struct(F.lit(DATA).alias("data")).alias("log"),
+        F.lit("Some more data").alias("extra"),
+    )
+    row = filter_parser(
+        df, "$log['data']", [specs["dummy_test"]],
+        reserve_data=True, preserve_key=False,
+    ).first()
+    assert (row["INT"], row["FLOAT"], row["BOOL"], row["STRING"]) == (
+        "100", "0.5", "true", "This is an example")
+    assert row["log"]["data"] == DATA  # nested key survives
+    assert row["extra"] == "Some more data"
+
+
+def test_parser_reserve_data_off_golden(spark):
+    """flb_test_filter_parser_reserve_data_off (:253-330): extra is
+    NOT preserved."""
+    row = _fp(spark, "data", DUMMY_PARSER,
+              {"data": DATA, "extra": "Some more data"}, False, False)
+    assert row["INT"] == "100" and row["extra"] is None
+
+
+def test_parser_handle_time_key_golden(spark):
+    """flb_test_filter_parser_handle_time_key (:330-410): the parsed
+    time replaces the record time — 2017-11-01T22:25:21.648+00:00
+    under '%Y-%m-%dT%H:%M:%S.%L' -> epoch 1509575121.648."""
+    conf = """
+[PARSER]
+    Name timestamp
+    Format regex
+    Regex ^(?<time>.*)$
+    Time_Key time
+    Time_Format %Y-%m-%dT%H:%M:%S.%L
+"""
+    row = _fp(spark, "@timestamp", conf,
+              {"@timestamp": "2017-11-01T22:25:21.648+00:00",
+               "message": "This is an example"}, True, False)
+    assert row["event_time"].timestamp() == 1509575121.648
+    assert row["message"] == "This is an example"
+
+
+def test_parser_time_key_with_time_zone_golden(spark):
+    """flb_test_filter_parser_handle_time_key_with_time_zone
+    (:490-585): '%Y-%m-%dT%H:%M:%S.%L %z' on ...648-04:00 ->
+    epoch 1509589521.648."""
+    conf = """
+[PARSER]
+    Name timestamp
+    Format regex
+    Regex ^(?<time>.*)$
+    Time_Key time
+    Time_Format %Y-%m-%dT%H:%M:%S.%L %z
+"""
+    row = _fp(spark, "@timestamp", conf,
+              {"@timestamp": "2017-11-01T22:25:21.648-04:00",
+               "message": "This is an example"}, True, False)
+    assert row["event_time"].timestamp() == 1509589521.648
+
+
+def test_parser_ignore_malformed_time_golden(spark):
+    """flb_test_filter_parser_ignore_malformed_time (:755-833): the
+    regex matches but the time string is garbage -> the reference
+    keeps the record with its ORIGINAL time and fields."""
+    conf = """
+[PARSER]
+    Name timestamp
+    Format regex
+    Regex ^(?<time>.*)$
+    Time_Key time
+    Time_Format %Y-%m-%dT%H:%M:%S.%L
+"""
+    row = _fp(spark, "@timestamp", conf,
+              {"@timestamp": "2017_$!^-11-01T22:25:21.648",
+               "log": "An example"}, True, True)
+    assert row["event_time"].year == 2015  # original record time kept
+    assert row["log"] == "An example"
+    assert row["@timestamp"] == "2017_$!^-11-01T22:25:21.648"
+
+
+def test_parser_preserve_original_field_golden(spark):
+    """flb_test_filter_parser_preserve_original_field (:834-917):
+    Preserve_Key On -> source key survives alongside the extraction."""
+    row = _fp(spark, "data", DUMMY_PARSER,
+              {"data": DATA, "log": "An example"}, True, True)
+    assert row["data"] == DATA
+    assert row["INT"] == "100" and row["log"] == "An example"
+
+
+def test_parser_first_matched_multi_parser_golden(spark):
+    """flb_test_filter_parser_first_matched_when_mutilple_parser
+    (:919-1010): two parsers both match; the FIRST wins -> key 'one'
+    set, key 'two' absent, source preserved."""
+    conf = """
+[PARSER]
+    Name one
+    Format regex
+    Regex ^(?<one>.+?)$
+[PARSER]
+    Name two
+    Format regex
+    Regex ^(?<two>.+?)$
+"""
+    row = _fp(spark, "data", conf, {"data": "hoge"}, True, True,
+              parser_names=["one", "two"])
+    assert row["one"] == "hoge" and row["data"] == "hoge"
+    assert row["two"] is None
+
+
+def test_parser_skip_empty_source_notouch_golden(spark):
+    """flb_test_filter_parser_skip_empty_values_false (:1010-1100):
+    empty source value fails `^(?<one>.+?)$` -> NOTOUCH, the empty
+    key survives."""
+    conf = """
+[PARSER]
+    Name one
+    Format regex
+    Regex ^(?<one>.+?)$
+"""
+    row = _fp(spark, "data", conf, {"data": ""}, False, False)
+    assert row["data"] == "" and row["one"] is None
