@@ -686,3 +686,99 @@ def test_parser_skip_empty_source_notouch_golden(spark):
 """
     row = _fp(spark, "data", conf, {"data": ""}, False, False)
     assert row["data"] == "" and row["one"] is None
+
+
+# tests/runtime/filter_record_modifier.c fixtures through the classic
+# lib input: records append, allowlist/whitelist keep-set, remove_key,
+# record+allowlist combo, uuid_key shape.
+
+RM_BASE = """
+[INPUT]
+    Name lib
+    Tag test
+[FILTER]
+    Name record_modifier
+    Match *
+{rules}
+[OUTPUT]
+    Name null
+    Match test
+"""
+
+
+def _rm_row(spark, rules: str, record: dict):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1).select(
+        *[F.lit(v).alias(k) for k, v in record.items()]
+    )
+    pipe = build_classic_pipeline(
+        spark, RM_BASE.format(rules=rules), lib_inputs={"test": df}
+    )
+    return pipe.outputs["null.0"].first()
+
+
+def test_record_modifier_records_golden(spark):
+    """flb_records (:139-190): two 'record k v' appends land alongside
+    the original key."""
+    row = _rm_row(
+        spark,
+        "    record new_key new_val\n    record add_key add_val",
+        {"k": "sample"},
+    )
+    assert row["k"] == "sample"
+    assert row["new_key"] == "new_val" and row["add_key"] == "add_val"
+
+
+@pytest.mark.parametrize("prop", ["allowlist_key", "whitelist_key"])
+def test_record_modifier_allowlist_golden(spark, prop):
+    """flb_allowlist/whitelist (:192-300): only listed keys survive —
+    ccc is removed."""
+    row = _rm_row(
+        spark,
+        f"    {prop} aaa\n    {prop} bbb",
+        {"aaa": "ok", "ccc": "removed", "bbb": "ok"},
+    )
+    d = row.asDict()
+    assert d["aaa"] == "ok" and d["bbb"] == "ok"
+    assert "ccc" not in d
+
+
+def test_record_modifier_remove_keys_golden(spark):
+    """flb_remove_keys (:296-345): ccc and ddd removed, rest kept."""
+    row = _rm_row(
+        spark,
+        "    remove_key ccc\n    remove_key ddd",
+        {"aaa": "ok", "ccc": "removed", "ddd": "removed", "bbb": "ok"},
+    )
+    d = row.asDict()
+    assert d["aaa"] == "ok" and d["bbb"] == "ok"
+    assert "ccc" not in d and "ddd" not in d
+
+
+def test_record_modifier_record_plus_allowlist_golden(spark):
+    """flb_records_allowlist-shape (:345-395): the appended record key
+    is itself allowlisted — survivors are exactly {aaa, new_key}."""
+    row = _rm_row(
+        spark,
+        "    record new_key new_val\n"
+        "    allowlist_key new_key\n    allowlist_key aaa",
+        {"aaa": "ok", "ddd": "removed", "bbb": "ok"},
+    )
+    d = row.asDict()
+    assert d["aaa"] == "ok" and d["new_key"] == "new_val"
+    assert "ddd" not in d and "bbb" not in d
+
+
+def test_record_modifier_uuid_key_golden(spark):
+    """flb_test_uuid_key (:545-590): a well-formed random UUID lands
+    under the configured key (value nondeterministic -> shape check)."""
+    import re as _re
+
+    row = _rm_row(spark, "    uuid_key my_uuid", {"key_name": "sample"})
+    assert row["key_name"] == "sample"
+    assert _re.fullmatch(
+        r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+        r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+        row["my_uuid"],
+    )
