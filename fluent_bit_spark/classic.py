@@ -733,6 +733,35 @@ def _apply_filter(
                 )
         return modify(df, rules, conds, gate=gate)
 
+    if name == "checklist":
+        # plugins/filter_checklist/checklist.c property surface:
+        # file (one list entry per line, # comments), lookup_key,
+        # record k v (repeatable), mode exact|partial, ignore_case
+        from fluent_bit_spark.enrich import checklist as _checklist
+
+        path = sec.get("file")
+        if not path:
+            raise ValueError("filter checklist: `file` is not set")
+        with open(path) as fh:
+            values = [
+                ln.strip() for ln in fh
+                if ln.strip() and not ln.lstrip().startswith("#")
+            ]
+        lookup = (sec.get("lookup_key") or "log").lstrip("$")
+        recs = dict(_two(v) for v in sec.get_all("record")) or None
+        out = _checklist(
+            df if gate is None else df.filter(gate),
+            values,
+            lookup,
+            records=recs,
+            mode=(sec.get("mode") or "exact").lower(),
+            ignore_case=sec.get("ignore_case", "false").lower()
+            in ("true", "on", "yes", "1"),
+        )
+        if gate is None:
+            return out
+        return df.filter(~gate).unionByName(out, allowMissingColumns=True)
+
     if name == "record_modifier":
         records = dict(_two(v) for v in sec.get_all("record"))
         remove = sec.get_all("remove_key")

@@ -54,27 +54,48 @@ def checklist(
     lookup_key: str,
     records: dict[str, str] | None = None,
     mode: str = "exact",
+    ignore_case: bool = False,
 ) -> DataFrame:
     """filter_checklist: set ``records`` k/v on rows whose lookup_key
-    value appears in the list. Small lists fold to an ``isin`` literal
-    (pure Catalyst, partition-prunable); larger ones broadcast-join.
+    value appears in the list (plugins/filter_checklist/checklist.c —
+    ``mode`` exact/partial, ``ignore_case``, one ``record k v`` per
+    rewrite; non-matched rows keep their original values). Small lists
+    fold to an ``isin`` literal (pure Catalyst, partition-prunable);
+    larger ones broadcast-join.
     """
     records = records or {"matched": "true"}
+    key = F.col(lookup_key)
+    if ignore_case:
+        key = F.lower(key)
+
+    def norm(v: str) -> str:
+        return v.lower() if ignore_case else v
+
     if isinstance(values, list):
-        hit = F.col(lookup_key).isin(values) if mode == "exact" else F.lit(False)
         if mode == "partial":
             hit = F.lit(False)
             for v in values:
-                hit = hit | F.col(lookup_key).contains(v)
+                hit = hit | key.contains(norm(v))
+        else:
+            hit = key.isin([norm(v) for v in values])
     else:
         vcol = values.columns[0]
-        small = values.select(F.col(vcol).alias("_cl_value")).dropDuplicates()
+        vexpr = F.col(vcol)
+        if ignore_case:
+            vexpr = F.lower(vexpr)
+        small = values.select(vexpr.alias("_cl_value")).dropDuplicates()
         df = df.join(
-            F.broadcast(small), on=df[lookup_key] == small["_cl_value"], how="left"
+            F.broadcast(small), on=key == small["_cl_value"], how="left"
         )
         hit = F.col("_cl_value").isNotNull()
+    # materialize the match BEFORE any rewrite: a `record` targeting
+    # the lookup_key itself must not change later rules' verdicts
+    df = df.withColumn("_cl_hit", hit)
+    hit = F.col("_cl_hit")
     for k, v in records.items():
-        df = df.withColumn(k, F.when(hit, F.lit(v)))
-    if "_cl_value" in df.columns:
-        df = df.drop("_cl_value")
-    return df
+        old = (
+            F.col(k).cast("string") if k in df.columns
+            else F.lit(None).cast("string")
+        )
+        df = df.withColumn(k, F.when(hit, F.lit(v)).otherwise(old))
+    return df.drop("_cl_value", "_cl_hit")

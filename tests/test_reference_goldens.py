@@ -782,3 +782,93 @@ def test_record_modifier_uuid_key_golden(spark):
         r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
         row["my_uuid"],
     )
+
+
+# tests/runtime/filter_checklist.c fixtures: a temp checklist file +
+# lookup_key + `record k v` rewrites applied only on matched rows.
+
+CL_BASE = """
+[INPUT]
+    Name lib
+    Tag test
+[FILTER]
+    Name checklist
+    Match *
+    file {path}
+    lookup_key secret
+{extra}
+[OUTPUT]
+    Name null
+    Match test
+"""
+
+
+def _cl_rows(spark, tmp_path, body, extra, records):
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "checklist.txt"
+    p.write_text(body)
+    df = spark.createDataFrame(records, "secret string, other string")
+    pipe = build_classic_pipeline(
+        spark,
+        CL_BASE.format(path=p, extra=extra),
+        lib_inputs={"test": df},
+    )
+    return {r["secret"]: r for r in pipe.outputs["null.0"].collect()}
+
+
+def test_checklist_simple_log_golden(spark, tmp_path):
+    """flb_test_simple_log (:159-204): listed value -> secret
+    rewritten to ----; unlisted untouched."""
+    rows = _cl_rows(
+        spark, tmp_path, "malicious word\n",
+        "    record secret ----",
+        [("malicious word", "a"), ("clean", "b")],
+    )
+    assert "----" in rows and rows["----"]["other"] == "a"
+    assert rows["clean"]["other"] == "b"
+
+
+def test_checklist_lookup_keys_golden(spark, tmp_path):
+    """flb_test_lookup_keys (:205-256): BOTH listed values rewrite."""
+    rows = _cl_rows(
+        spark, tmp_path, "malicious word\nconfidential\n",
+        "    record secret ----",
+        [("malicious word", "a"), ("confidential", "b"), ("ok", "c")],
+    )
+    assert len([k for k in rows if k == "----"]) == 1  # dict collapses
+    assert rows["ok"]["other"] == "c"
+
+
+def test_checklist_two_records_golden(spark, tmp_path):
+    """flb_test_records (:257-303): two `record` rewrites land on the
+    matched row (secret:---- AND checklist:true)."""
+    rows = _cl_rows(
+        spark, tmp_path, "malicious word\n",
+        "    record secret ----\n    record checklist true",
+        [("malicious word", "a"), ("clean", "b")],
+    )
+    assert rows["----"]["checklist"] == "true"
+    assert rows["clean"]["checklist"] is None
+
+
+def test_checklist_ignore_case_golden(spark, tmp_path):
+    """flb_test_ignore_case (:304-350): 'MALICIOUS WORD' matches the
+    lowercase list entry when ignore_case on."""
+    rows = _cl_rows(
+        spark, tmp_path, "malicious word\n",
+        "    record secret ----\n    ignore_case true",
+        [("MALICIOUS WORD", "a"), ("clean", "b")],
+    )
+    assert "----" in rows and rows["clean"]["other"] == "b"
+
+
+def test_checklist_mode_partial_golden(spark, tmp_path):
+    """flb_test_mode_partial (:351+): substring match under
+    mode partial."""
+    rows = _cl_rows(
+        spark, tmp_path, "malicious\n",
+        "    record secret ----\n    mode partial",
+        [("this has a malicious word inside", "a"), ("clean", "b")],
+    )
+    assert "----" in rows and rows["clean"]["other"] == "b"
