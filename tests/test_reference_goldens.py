@@ -872,3 +872,44 @@ def test_checklist_mode_partial_golden(spark, tmp_path):
         [("this has a malicious word inside", "a"), ("clean", "b")],
     )
     assert "----" in rows and rows["clean"]["other"] == "b"
+
+
+def test_core_routes_257_outputs_golden(spark):
+    """tests/runtime/core_routes.c flb_test_basic_functionality_test:
+    ONE record, 257 outputs all matching its tag -> delivered 257
+    times (the C test exists to prove routing works past the 256th
+    output — a fixed-width bitmask would truncate). Our routes mask is
+    an array of sink names, so the fan-out must yield exactly 257
+    rows."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.router import Route, fan_out_exploded
+
+    df = spark.range(0, 1).select(
+        F.lit("test").alias("tag"), F.lit("test").alias("log")
+    )
+    routes = [Route(sink=f"out{i}", match="test") for i in range(257)]
+    out = fan_out_exploded(df, routes)
+    assert out.count() == 257
+    assert out.select("sink").distinct().count() == 257
+
+
+def test_core_routes_classic_mixed_match_golden(spark):
+    """Same shape through classic.py with matching and non-matching
+    outputs: only the 'test'-matched sections deliver."""
+    from pyspark.sql import functions as F
+
+    outs = "\n".join(
+        f"[OUTPUT]\n    Name null\n    Match {m}"
+        for m in ["test", "test", "te*", "other", "*", "t?st"]
+    )
+    conf = f"[INPUT]\n    Name lib\n    Tag test\n{outs}\n"
+    df = spark.range(0, 1).select(F.lit("x").alias("log"))
+    pipe = build_classic_pipeline(spark, conf, lib_inputs={"test": df})
+    counts = {oid: d.count() for oid, d in pipe.outputs.items()}
+    # 't?st' does NOT match: flb_router_match (src/flb_router.c:63-111)
+    # implements only '*' — '?' is a literal character
+    assert counts == {
+        "null.0": 1, "null.1": 1, "null.2": 1,
+        "null.3": 0, "null.4": 1, "null.5": 0,
+    }
