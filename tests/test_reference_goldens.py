@@ -913,3 +913,94 @@ def test_core_routes_classic_mixed_match_golden(spark):
         "null.0": 1, "null.1": 1, "null.2": 1,
         "null.3": 0, "null.4": 1, "null.5": 0,
     }
+
+
+# tests/runtime/filter_log_to_metrics.c fixtures: JSON_MSG1-3 (color/
+# direction/duration fields) -> counter/gauge/histogram metrics; the C
+# callback substring-checks value + labels in the cmetrics JSON.
+
+
+def _ltm_msgs(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        # 5x MSG1 (red/right/20), then MSG2 (red/left), MSG3 (hello)
+        ("dummy", "20", "red", "right", i) for i in range(5)
+    ] + [("dummy", "20", "red", "left", 5), ("hello", "20", "red", "left", 6)]
+    return spark.createDataFrame(
+        rows, "message string, duration string, color string, "
+              "direction string, seq long",
+    )
+
+
+def test_log_to_metrics_counter_golden(spark):
+    """flb_test_log_to_metrics_counter (:257-323): 5x MSG1 with
+    label_field color+direction -> one counter sample value 5.0,
+    labels [red, right]."""
+    from fluent_bit_spark.operators.log_to_metrics import counter_metric
+
+    df = _ltm_msgs(spark).filter("seq < 5")
+    out = counter_metric(df, ["color", "direction"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["value"], r["color"], r["direction"]) == (5.0, "red", "right")
+
+
+def test_log_to_metrics_counter_two_tuples_golden(spark):
+    """flb_test_log_to_metrics_counter_k8s_two_tuples (:324-400): MSG1
+    x5 then MSG2 -> two label tuples, values 5.0 and 1.0."""
+    from fluent_bit_spark.operators.log_to_metrics import counter_metric
+
+    df = _ltm_msgs(spark).filter("seq < 6")
+    out = {
+        (r["color"], r["direction"]): r["value"]
+        for r in counter_metric(df, ["color", "direction"]).collect()
+    }
+    assert out == {("red", "right"): 5.0, ("red", "left"): 1.0}
+
+
+def test_log_to_metrics_gauge_golden(spark):
+    """flb_test_log_to_metrics_gauge (:401-462): value_field duration
+    -> gauge takes the last observed value (20)."""
+    from fluent_bit_spark.operators.log_to_metrics import gauge_metric
+
+    out = gauge_metric(
+        _ltm_msgs(spark), ["color"], "duration", "seq"
+    ).collect()
+    assert {(r["color"], r["value"]) for r in out} == {("red", 20.0)}
+
+
+def test_log_to_metrics_regex_include_golden(spark):
+    """flb_test_log_to_metrics_reg (:528-594): regex on message
+    'dummy' -> only the 6 dummy records count (MSG3 'hello' is
+    excluded)."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.operators.log_to_metrics import counter_metric
+
+    df = _ltm_msgs(spark)
+    out = counter_metric(
+        df, ["color"], match=F.col("message").rlike("dummy")
+    ).collect()
+    assert len(out) == 1 and out[0]["value"] == 6.0
+
+
+def test_log_to_metrics_histogram_golden(spark):
+    """flb_test_log_to_metrics_histogram (:463-527): duration=20 with
+    default prometheus buckets -> every le bucket below 20 counts 0,
+    +Inf counts all 7; sum = 140."""
+    from fluent_bit_spark.operators.log_to_metrics import (
+        DEFAULT_BUCKETS,
+        histogram_metric,
+    )
+
+    rows = histogram_metric(
+        _ltm_msgs(spark), ["color"], "duration"
+    ).collect()
+    by_le = {r["le"]: r for r in rows}
+    assert by_le["+Inf"]["bucket_count"] == 7
+    assert all(
+        by_le[str(b)]["bucket_count"] == 0 for b in DEFAULT_BUCKETS
+    )
+    assert by_le["+Inf"]["metric_sum"] == 140.0
+    assert by_le["+Inf"]["metric_count"] == 7
