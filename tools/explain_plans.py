@@ -467,6 +467,40 @@ def main() -> int:
     )
     sections.append(("kubernetes_filter (broadcast pod metadata)", p, []))
 
+    # 27. round-4 two-phase exact baselines: the quadratic interpreted
+    #     join is GONE — candidate screens run in one Arrow stage
+    #     (MapInPandas / grouped pandas), the value-defining round()
+    #     stays in Catalyst, and no cartesian/nested-loop join exists
+    p = plan_of(qs["dedup_embedding_exact"](spark, sf_dir))
+    ok = (
+        "MapInPandas" in p
+        and "BroadcastNestedLoop" not in p
+        and "CartesianProduct" not in p
+    )
+    checks.append(
+        ("dedup_embedding_exact: Arrow matmul screen + Catalyst verify, "
+         "no nested-loop join", ok, "")
+    )
+    sections.append(("dedup_embedding_exact (two-phase screen)", p, []))
+
+    p = plan_of(qs["dedup_ngram_jaccard"](spark, sf_dir))
+    ok = (
+        "FlatMapGroupsInPandas" in p
+        and "BroadcastNestedLoop" not in p
+        and "CartesianProduct" not in p
+        and "SortMergeJoin" not in p
+    )
+    checks.append(
+        ("dedup_ngram_jaccard: per-block exact-intersection matmul, "
+         "no pair self-join", ok, "")
+    )
+
+    p = plan_of(qs["dedup_embedding_lsh"](spark, sf_dir))
+    ok = "MapInPandas" in p and "CartesianProduct" not in p
+    checks.append(
+        ("dedup_embedding_lsh: Arrow sequential-fold verify stage", ok, "")
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
