@@ -445,7 +445,66 @@ def _input_df(
         path = sec.get("path")
         if not path:
             raise ValueError("[INPUT] tail requires Path")
-        df = spark.read.text(path).withColumnRenamed("value", "log")
+        # Path accepts a comma-separated glob list (tail_scan.c)
+        paths = [p.strip() for p in path.split(",") if p.strip()]
+        df = spark.read.text(paths).withColumnRenamed("value", "log")
+        # Exclude_Path: comma-separated globs dropped from the set
+        # (in_tail fnmatch semantics: '*' crosses separators)
+        excl = sec.get("exclude_path")
+        if excl:
+            import fnmatch as _fn
+
+            fname = F.input_file_name()
+            for pat in (p.strip() for p in excl.split(",") if p.strip()):
+                rx = _fn.translate(pat).replace(r"\Z", "$")
+                hit = fname.rlike(rx)
+                if "/" not in pat:  # basename patterns match basenames
+                    hit = hit | F.element_at(F.split(fname, "/"), -1).rlike(
+                        "^" + rx
+                    )
+                df = df.filter(~hit)
+        # skip_empty_lines (tail_file.c:505-530): default OFF; when on,
+        # lines that are empty or a lone CR are dropped
+        if sec.get("skip_empty_lines", "false").lower() in (
+            "true", "on", "yes", "1",
+        ):
+            df = df.filter(~F.col("log").isin("", "\r"))
+
+        def tail_tag_col(fname: Column | None = None) -> Column:
+            """Tag for this input's rows. With Tag_Regex the Tag is a
+            template over the file path's named captures —
+            tail_file.c:709-790 tag_compose: '<name>' placeholders
+            fill from tag_regex matches, per file."""
+            tag_rx = sec.get("tag_regex")
+            if not tag_rx:
+                return F.lit(tag)
+            import re as _re2
+
+            from fluent_bit_spark.parsers.compile import to_java_regex
+
+            jrx = to_java_regex(tag_rx)
+            g = 0
+            names: dict[str, int] = {}
+            for m in _re2.finditer(r"\(\?<(\w+)>|\((?!\?)", tag_rx):
+                g += 1
+                if m.group(1):
+                    names[m.group(1)] = g
+            parts: list[Column] = []
+            pos = 0
+            if fname is None:
+                fname = F.input_file_name()
+            for m in _re2.finditer(r"<(\w+)>", tag):
+                if m.start() > pos:
+                    parts.append(F.lit(tag[pos : m.start()]))
+                gi = names.get(m.group(1))
+                parts.append(
+                    F.regexp_extract(fname, jrx, gi) if gi else F.lit("")
+                )
+                pos = m.end()
+            if pos < len(tag):
+                parts.append(F.lit(tag[pos:]))
+            return F.concat(*parts) if parts else F.lit(tag)
+
         ml = sec.get("multiline.parser")
         if ml:
             # in_tail multiline (plugins/in_tail: multiline.parser
@@ -486,7 +545,9 @@ def _input_df(
             df = joined.select(*keep)
             if sec.get("path_key"):
                 df = df.withColumn(sec.get("path_key"), F.col("_file"))
-            df = df.drop("_file").withColumn("tag", F.lit(tag))
+            df = df.withColumn(
+                "tag", tail_tag_col(F.col("_file"))
+            ).drop("_file")
             pname = sec.get("parser")
             if pname:
                 if pname not in parsers:
@@ -498,7 +559,7 @@ def _input_df(
             return df
         if sec.get("path_key"):
             df = df.withColumn(sec.get("path_key"), F.input_file_name())
-        df = df.withColumn("tag", F.lit(tag))
+        df = df.withColumn("tag", tail_tag_col())
         pname = sec.get("parser")
         if pname:
             if pname not in parsers:

@@ -1004,3 +1004,97 @@ def test_log_to_metrics_histogram_golden(spark):
     )
     assert by_le["+Inf"]["metric_sum"] == 140.0
     assert by_le["+Inf"]["metric_count"] == 7
+
+
+# tests/runtime/in_tail.c fixtures: Path comma lists, Exclude_Path,
+# Skip_Empty_Lines, Path_Key, Tag_Regex tag composition.
+
+
+def _tail_pipe(spark, tmp_path, files: dict, input_props: str,
+               out_match: str = "*"):
+    for name, body in files.items():
+        (tmp_path / name).write_text(body)
+    conf = f"""
+[INPUT]
+    Name tail
+{input_props}
+[OUTPUT]
+    Name null
+    Match {out_match}
+"""
+    return build_classic_pipeline(spark, conf)
+
+
+def test_tail_path_comma_golden(spark, tmp_path):
+    """flb_test_path_comma (:1005-1056): a comma-separated Path list
+    reads every named file."""
+    pipe = _tail_pipe(
+        spark, tmp_path,
+        {"a.log": "one\n", "b.log": "two\n", "c.log": "three\n"},
+        f"    Tag t\n    Path {tmp_path}/a.log,{tmp_path}/b.log,"
+        f"{tmp_path}/c.log",
+    )
+    logs = {r["log"] for r in pipe.records.collect()}
+    assert logs == {"one", "two", "three"}
+
+
+def test_tail_exclude_path_golden(spark, tmp_path):
+    """flb_test_exclude_path (:1116-1165): Exclude_Path globs drop
+    matching files from the Path set."""
+    pipe = _tail_pipe(
+        spark, tmp_path,
+        {"keep.log": "kept\n", "skip_me.log": "skipped\n",
+         "also_skip.log": "skipped2\n"},
+        f"    Tag t\n    Path {tmp_path}/*.log\n"
+        "    Exclude_Path *skip_me.log,also_*.log",
+    )
+    logs = {r["log"] for r in pipe.records.collect()}
+    assert logs == {"kept"}
+
+
+def test_tail_skip_empty_lines_golden(spark, tmp_path):
+    """flb_test_skip_empty_lines(_crlf) (:1240-1380): empty and
+    CR-only lines are dropped when Skip_Empty_Lines on, kept (default
+    off) otherwise."""
+    body = "first\n\nsecond\r\n\r\nthird\n"
+    on = _tail_pipe(
+        spark, tmp_path, {"s.log": body},
+        f"    Tag t\n    Path {tmp_path}/s.log\n    Skip_Empty_Lines on",
+    )
+    # spark strips the \r of CRLF line endings itself; the lone-CR
+    # line ('\r\n' after a \n) must be dropped by the option
+    assert sorted(r["log"] for r in on.records.collect()) == [
+        "first", "second", "third",
+    ]
+    off = _tail_pipe(
+        spark, tmp_path, {"s2.log": body},
+        f"    Tag t\n    Path {tmp_path}/s2.log",
+    )
+    assert len(off.records.collect()) == 5
+
+
+def test_tail_path_key_golden(spark, tmp_path):
+    """flb_test_path_key (:1057-1115): Path_Key adds the source file
+    path to every record."""
+    pipe = _tail_pipe(
+        spark, tmp_path, {"pk.log": "hello\n"},
+        f"    Tag t\n    Path {tmp_path}/pk.log\n    Path_Key filepath",
+    )
+    row = pipe.records.first()
+    assert row["filepath"].endswith("pk.log")
+
+
+def test_tail_tag_regex_golden(spark, tmp_path):
+    """flb_test_tag_regex (:1666-1750): Tag '<first>.<second>.<third>'
+    over Tag_Regex named captures of the file name -> tag aa.bb.cc,
+    routed by an output matching exactly that."""
+    pipe = _tail_pipe(
+        spark, tmp_path, {"aa_bb_cc.log": "hello world\n"},
+        "    Tag <first>.<second>.<third>\n"
+        f"    Path {tmp_path}/aa_bb_cc.log\n"
+        r"    Tag_Regex (?<first>[a-z]+)_(?<second>[a-z]+)_(?<third>[a-z]+)\.log",
+        out_match="aa.bb.cc",
+    )
+    rows = pipe.outputs["null.0"].collect()
+    assert len(rows) == 1
+    assert rows[0]["tag"] == "aa.bb.cc" and rows[0]["log"] == "hello world"
