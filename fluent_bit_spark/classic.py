@@ -964,7 +964,8 @@ def _apply_filter(
     if name == "lua":
         # plugins/filter_lua/lua_config.c:71-160 property surface:
         # script|code, call, type_int_key, type_array_key,
-        # protected_mode, time_as_table. result_schema is a Spark-first
+        # protected_mode, time_as_table, enable_flb_null.
+        # result_schema is a Spark-first
         # extension (msgpack is schemaless; DataFrames are not) that
         # declares keys the script ADDS beyond the input columns.
         call = sec.get("call")
@@ -995,6 +996,8 @@ def _apply_filter(
             protected_mode=sec.get("protected_mode", "true").lower()
             not in ("false", "off", "no", "0"),
             time_as_table=sec.get("time_as_table", "false").lower()
+            in ("true", "on", "yes", "1"),
+            enable_flb_null=sec.get("enable_flb_null", "false").lower()
             in ("true", "on", "yes", "1"),
         )
 

@@ -27,6 +27,57 @@ _CONVERT = {"int": "long", "integer": "long", "double": "double", "float": "doub
             "boolean": "boolean", "bool": "boolean", "string": "string"}
 
 
+# OTel envelope contexts -> (map column, fixed entry key or None).
+# cm_config.c:119-199: resource/scope attribute contexts edit the
+# attribute maps carried by the envelope (otel_envelope_cols columns);
+# scope name/version edit fixed entries of the scope body.
+_OTEL_CONTEXTS = {
+    "otel_resource_attributes": ("resource", None),
+    "otel_scope_attributes": ("scope", None),
+    "otel_scope_name": ("scope", "name"),
+    "otel_scope_version": ("scope", "version"),
+}
+
+
+def _map_entry_op(
+    df: DataFrame,
+    col: str,
+    action: str,
+    key: str,
+    value: str | None,
+    gate: Column,
+) -> DataFrame:
+    """Apply a content_modifier action to one entry of a map column
+    (cm_logs.c attribute-context path). Catalyst map functions only —
+    no shuffle, stays in codegen."""
+    m = F.col(col)
+    has = F.map_contains_key(m, key)
+    without = F.map_filter(m, lambda k, _: k != F.lit(key))
+    with_kv = F.map_concat(without, F.create_map(F.lit(key), F.lit(value)))
+    if action == "insert":
+        new = F.when(gate & ~has, with_kv).otherwise(m)
+    elif action == "upsert":
+        new = F.when(gate, with_kv).otherwise(m)
+    elif action == "delete":
+        new = F.when(gate, without).otherwise(m)
+    elif action == "rename":
+        renamed = F.transform_keys(
+            m, lambda k, _: F.when(k == F.lit(key), F.lit(value)).otherwise(k)
+        )
+        new = F.when(gate, renamed).otherwise(m)
+    elif action == "hash":
+        hashed = F.transform_values(
+            m,
+            lambda k, v: F.when(k == F.lit(key), F.sha2(v, 256)).otherwise(v),
+        )
+        new = F.when(gate, hashed).otherwise(m)
+    else:
+        raise ValueError(
+            f"content_modifier action {action!r} unsupported for map context"
+        )
+    return df.withColumn(col, new)
+
+
 def content_modifier(
     df: DataFrame,
     action: str,
@@ -36,9 +87,31 @@ def content_modifier(
     pattern: str | None = None,
     conditions: list[ConditionRule] | None = None,
     combine: str = "and",
+    context: str | None = None,
 ) -> DataFrame:
     gate: Column = compile_condition(conditions or [], combine)
     action = action.lower()
+
+    ctx = (context or "").lower()
+    if ctx in _OTEL_CONTEXTS:
+        col, fixed = _OTEL_CONTEXTS[ctx]
+        if col not in df.columns:
+            raise ValueError(
+                f"context {context!r} needs the {col!r} envelope column "
+                "(run processor_opentelemetry_envelope first, as the "
+                "reference requires a group to exist — cm_logs.c otel path)"
+            )
+        if fixed is not None:
+            # scope name/version: the property VALUE goes to a fixed key;
+            # the reference reads it from the rule's value field
+            return _map_entry_op(df, col, action, fixed, value or key, gate)
+        return _map_entry_op(df, col, action, key, value, gate)
+    if ctx in ("attributes", "metadata", "log_metadata") and "metadata" in df.columns:
+        # logs "attributes" context = the record metadata map
+        # (cm_config.c:104-110); only when the pipeline carries one
+        return _map_entry_op(df, "metadata", action, key, value, gate)
+    if ctx not in ("", "attributes", "body", "metadata", "log_metadata", "log_body"):
+        raise ValueError(f"unknown content_modifier context {context!r}")
 
     if action == "insert":
         if key in df.columns:

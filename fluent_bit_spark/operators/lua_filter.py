@@ -22,10 +22,17 @@ model.
 Value mapping mirrors src/flb_lua.c:
 - Lua numbers that are integral emit as ints, fractional as doubles
   (flb_lua.c:248-262 lua_isinteger pack path).
-- table with array length > 0 emits as a JSON array, else as a map
-  (flb_lua.c lua_table_maxn > 0 branch) — so ``{}`` emits ``{}``.
+- decoded containers carry a metatable type marker
+  (flb_lua_setmetatable, flb_lua.c:67-86), so arrays stay arrays on the
+  round-trip even when empty or holding nil holes ([1,null,"world"],
+  []); a SCRIPT-built table packs as an array only when its integer
+  keys are exactly 1..n (flb_lua_arraylength, flb_lua.c:304-336), else
+  as a map — so a script's ``{}`` emits ``{}``.
 - ``type_int_key`` (lua_config.c:130) forces listed keys to int;
   ``type_array_key`` (lua_config.c:149) forces listed keys to arrays.
+- ``enable_flb_null`` (lua.c:143-144): record nulls decode to the
+  ``flb_null`` global and pack back to null; when off they decode to
+  nil and map keys vanish, exactly like the reference.
 - ``protected_mode``: a Lua runtime error keeps the record unchanged
   (reference logs the error and drops the whole batch result on the
   failing record; we keep-and-count, surfacing a `_lua_error` counter
@@ -53,36 +60,111 @@ from ..lua.parser import parse
 OUT_SCHEMA = "tag string, ts double, record string"
 
 
-def py_to_lua(v: Any) -> Any:
+class _FlbNull:
+    """The ``flb_null`` sentinel (flb_lua.c:28-37): a lightuserdata(NULL)
+    global the reference sets when ``enable_flb_null`` is on. Record nulls
+    decode to it (flb_lua.c:99 mpack_type_nil -> lua_getglobal) and it
+    packs back to msgpack nil (flb_lua.c:625 LUA_TLIGHTUSERDATA==NULL)."""
+
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # tostring() surface
+        return "flb_null"
+
+
+FLB_NULL = _FlbNull()
+
+# flb_lua.h:38-40 enum: INT=0, ARRAY=1, MAP=2 — stored in the metatable
+# "type" field by flb_lua_setmetatable (flb_lua.c:67-86) on every decoded
+# container so round-trips keep array-ness (empty arrays, nil holes).
+_TYPE_ARRAY = 1.0
+_TYPE_MAP = 2.0
+
+
+def _marked(t: LuaTable, dtype: float) -> LuaTable:
+    mt = LuaTable()
+    mt.raw_set("type", dtype)
+    t.metatable = mt
+    return t
+
+
+def py_to_lua(v: Any, *, null: Any = None) -> Any:
+    """Python record value -> Lua value (flb_lua_pushmpack path).
+
+    ``null`` is what JSON null becomes: ``None`` (Lua nil — vanishes from
+    maps exactly like the reference without enable_flb_null) or
+    ``FLB_NULL`` when enable_flb_null is on."""
     if isinstance(v, dict):
         t = LuaTable()
         for k, val in v.items():
-            t.raw_set(k, py_to_lua(val))
-        return t
+            t.raw_set(k, py_to_lua(val, null=null))
+        return _marked(t, _TYPE_MAP)
     if isinstance(v, (list, tuple)):
         t = LuaTable()
         for i, val in enumerate(v, 1):
-            t.raw_set(float(i), py_to_lua(val))
-        return t
-    if isinstance(v, bool) or v is None or isinstance(v, str):
+            t.raw_set(float(i), py_to_lua(val, null=null))
+        return _marked(t, _TYPE_ARRAY)
+    if v is None:
+        return null
+    if isinstance(v, bool) or isinstance(v, str):
         return v
     if isinstance(v, (int, float)):
         return float(v)
     return str(v)
 
 
+def _maxn(t: LuaTable) -> int:
+    """Largest positive integer key (table.maxn, flb_lua.c:270-302)."""
+    mx = 0
+    for k, _ in t.lua_pairs():
+        if isinstance(k, float) and k.is_integer() and k >= 1:
+            mx = max(mx, int(k))
+    return mx
+
+
+def _arraylength(t: LuaTable) -> int:
+    """flb_lua_arraylength (flb_lua.c:304-336): the unmarked-table
+    heuristic — maxn if the table holds EXACTLY maxn integer keys (no
+    holes, no string keys), else -1 meaning pack as a map."""
+    mx = 0
+    count = 0
+    for k, _ in t.lua_pairs():
+        if not (isinstance(k, float) and k.is_integer() and k >= 1):
+            return -1
+        count += 1
+        mx = max(mx, int(k))
+    if mx != count:
+        return -1
+    return mx
+
+
 def lua_to_py(v: Any, *, int_keys: frozenset = frozenset(),
               array_keys: frozenset = frozenset(), _key: str | None = None) -> Any:
+    if v is FLB_NULL:
+        return None
     if isinstance(v, LuaTable):
-        if v.length() > 0:
-            n = int(v.length())
+        dtype = (
+            v.metatable.raw_get("type") if v.metatable is not None else None
+        )
+        if dtype == _TYPE_ARRAY:
+            # lua_toarray path (flb_lua.c:358-377): walk 1..len; nil
+            # holes pack as null — this is how [1,null,"world"] and []
+            # survive the round-trip byte-identically.
             return [
                 lua_to_py(v.raw_get(float(i)), int_keys=int_keys,
                           array_keys=array_keys)
-                for i in range(1, n + 1)
+                for i in range(1, _maxn(v) + 1)
             ]
-        if _key is not None and _key in array_keys and not v.data:
-            return []
+        if dtype != _TYPE_MAP:
+            n = _arraylength(v)
+            if n > 0:
+                return [
+                    lua_to_py(v.raw_get(float(i)), int_keys=int_keys,
+                              array_keys=array_keys)
+                    for i in range(1, n + 1)
+                ]
+            if _key is not None and _key in array_keys and not v.data:
+                return []
         out = {}
         for k, val in v.lua_pairs():
             ks = k if isinstance(k, str) else _num_key(k)
@@ -117,6 +199,7 @@ class LuaScript:
         type_array_key: tuple[str, ...] = (),
         protected_mode: bool = True,
         time_as_table: bool = False,
+        enable_flb_null: bool = False,
     ):
         self.ast = parse(source)  # raises LuaSyntaxError on the driver
         self.call = call
@@ -124,6 +207,7 @@ class LuaScript:
         self.array_keys = frozenset(type_array_key)
         self.protected_mode = protected_mode
         self.time_as_table = time_as_table
+        self.enable_flb_null = enable_flb_null
         # driver-side validation that the callback exists (reference
         # lua_config.c flb_lua_is_valid_func check at init time)
         probe = Interpreter()
@@ -140,6 +224,10 @@ class LuaRuntime:
     def __init__(self, script: LuaScript):
         self.script = script
         self.interp = Interpreter()
+        if script.enable_flb_null:
+            # reference sets the global BEFORE loading the script
+            # (plugins/filter_lua/lua.c:143-144) so top-level code sees it
+            self.interp.globals.raw_set("flb_null", FLB_NULL)
         self.interp.run_ast(script.ast)
         self.fn = self.interp.get_global(script.call)
         self.errors = 0
@@ -155,8 +243,11 @@ class LuaRuntime:
             ts_arg: Any = tt
         else:
             ts_arg = float(ts)
+        null = FLB_NULL if s.enable_flb_null else None
         try:
-            rets = self.interp.call(self.fn, [tag, ts_arg, py_to_lua(record)])
+            rets = self.interp.call(
+                self.fn, [tag, ts_arg, py_to_lua(record, null=null)]
+            )
         except LuaError as exc:
             if s.protected_mode:
                 self.errors += 1
@@ -198,6 +289,8 @@ def lua_filter_typed(
     type_array_key: tuple[str, ...] = (),
     protected_mode: bool = True,
     time_as_table: bool = False,
+    enable_flb_null: bool = False,
+    record_cols: list[str] | None = None,
 ) -> DataFrame:
     """Schema-preserving :func:`lua_filter` for the classic pipeline.
 
@@ -222,12 +315,23 @@ def lua_filter_typed(
         df = df.filter(gate)
     else:
         passthru = None
-    carry = [
-        c for c in df.columns if c.startswith("_") and c not in (tag_col, ts_col)
-    ]
-    record_cols = [
-        c for c in df.columns if c not in (tag_col, ts_col) and c not in carry
-    ]
+    if record_cols is not None:
+        # processor-group mode: only these columns form the Lua record;
+        # everything else (envelope metadata, attribute maps) is carried
+        # through untouched — the reference's lua unit likewise sees only
+        # the log body while group records bypass it (lua.c group path)
+        carry = [
+            c for c in df.columns
+            if c not in (tag_col, ts_col) and c not in record_cols
+        ]
+    else:
+        carry = [
+            c for c in df.columns
+            if c.startswith("_") and c not in (tag_col, ts_col)
+        ]
+        record_cols = [
+            c for c in df.columns if c not in (tag_col, ts_col) and c not in carry
+        ]
     has_ts = ts_col in df.columns
     ts_type = df.schema[ts_col].dataType if has_ts else T.DoubleType()
     compiled = LuaScript(
@@ -237,6 +341,7 @@ def lua_filter_typed(
         type_array_key=tuple(type_array_key),
         protected_mode=protected_mode,
         time_as_table=time_as_table,
+        enable_flb_null=enable_flb_null,
     )
     carry_ddl = "".join(
         f", {c} {df.schema[c].dataType.simpleString()}" for c in carry
@@ -314,6 +419,7 @@ def lua_filter(
     type_array_key: tuple[str, ...] = (),
     protected_mode: bool = True,
     time_as_table: bool = False,
+    enable_flb_null: bool = False,
 ) -> DataFrame:
     """Run a Lua filter over every record.
 
@@ -330,6 +436,7 @@ def lua_filter(
         type_array_key=tuple(type_array_key),
         protected_mode=protected_mode,
         time_as_table=time_as_table,
+        enable_flb_null=enable_flb_null,
     )
     cols = record_cols or [c for c in df.columns if c not in (tag_col, ts_col)]
     src = df.select(

@@ -329,6 +329,168 @@ class TestReferenceScripts:
         code, ts, rec = s.make_runtime().invoke("test", 0.0, {"key": "val"})
         assert rec["lua_int"] == 10 and isinstance(rec["lua_int"], int)
 
+    def test_helloworld_golden(self):
+        # tests/runtime/filter_lua.c flb_test_helloworld: print() runs,
+        # code 0 keeps the record untouched
+        s = LuaScript(
+            "function lua_main(tag, timestamp, record)\n"
+            '    print("hello world")\n'
+            "    return 0, timestamp, record\n"
+            "end",
+            call="lua_main",
+        )
+        code, ts, rec = s.make_runtime().invoke("test", 1.5, {"key": "val"})
+        assert (code, ts, rec) == (0, 1.5, {"key": "val"})
+
+    def test_type_int_key_multi_golden(self):
+        # tests/runtime/filter_lua.c flb_test_type_int_key_multi:
+        # "type_int_key", "lua_int_1 lua_int_2" -> both serialize as ints
+        s = LuaScript(
+            "function lua_main(tag, timestamp, record)\n"
+            "    new_record = record\n"
+            '    new_record["lua_int_1"] = 10.1\n'
+            '    new_record["lua_int_2"] = 100.2\n'
+            "    return 1, timestamp, new_record\n"
+            "end",
+            call="lua_main",
+            type_int_key=("lua_int_1", "lua_int_2"),
+        )
+        _, _, rec = s.make_runtime().invoke("test", 0.0, {"key": "val"})
+        out = json.dumps(rec, sort_keys=True)
+        assert '"lua_int_1": 10,' in out and '"lua_int_2": 100' in out
+
+    def test_type_array_key_golden(self):
+        # tests/runtime/filter_lua.c flb_test_type_array_key (issue #3343):
+        # script-created {} under type_array_key -> [], {1,2,3} -> [1,2,3]
+        s = LuaScript(
+            "function lua_main(tag, timestamp, record)\n"
+            "    new_record = record\n"
+            '    new_record["lua_array"] = {};\n'
+            '    new_record["lua_array2"] = {1,2,3};\n'
+            "    return 1, timestamp, new_record\n"
+            "end",
+            call="lua_main",
+            type_array_key=("lua_array", "lua_array2"),
+        )
+        _, _, rec = s.make_runtime().invoke("test", 0.0, {"key": "val"})
+        out = json.dumps(rec, sort_keys=True, separators=(",", ":"))
+        assert '"lua_array":[]' in out
+        assert '"lua_array2":[1,2,3]' in out
+
+    def test_array_contains_null_golden(self):
+        # tests/runtime/filter_lua.c flb_test_array_contains_null
+        # (issue #3433): nil holes inside a decoded array survive the
+        # round-trip — output must contain [1,null,"world"]
+        s = LuaScript(
+            "function lua_main(tag, timestamp, record)\n"
+            "    new_record = record\n"
+            '    new_record["modify"] = "yes"\n'
+            "    return 1, timestamp, new_record\n"
+            "end",
+            call="lua_main",
+        )
+        _, _, rec = s.make_runtime().invoke(
+            "test", 0.0, {"hello": [1, None, "world"]}
+        )
+        out = json.dumps(rec, sort_keys=True, separators=(",", ":"))
+        assert '[1,null,"world"]' in out and '"modify":"yes"' in out
+
+    def test_enable_flb_null_golden(self):
+        # tests/runtime/filter_lua.c flb_test_enable_flb_null (issue
+        # #5251): with enable_flb_null a top-level null value survives;
+        # without it the key vanishes (msgpack nil -> lua nil)
+        src = (
+            "function lua_main(tag, timestamp, record)\n"
+            "    return 1, timestamp, record\n"
+            "end"
+        )
+        on = LuaScript(src, call="lua_main", enable_flb_null=True)
+        _, _, rec = on.make_runtime().invoke("test", 0.0, {"hello": None})
+        assert json.dumps(rec) == '{"hello": null}'
+        off = LuaScript(src, call="lua_main")
+        _, _, rec = off.make_runtime().invoke("test", 0.0, {"hello": None})
+        assert rec == {}
+
+    def test_flb_null_visible_to_script(self):
+        # the global is set before script load (lua.c:143-144), so a
+        # script can both test against it and emit it
+        s = LuaScript(
+            "function lua_main(tag, timestamp, record)\n"
+            "    if record.hello == flb_null then\n"
+            '        record["was_null"] = true\n'
+            "    end\n"
+            '    record["emit_null"] = flb_null\n'
+            "    return 1, timestamp, record\n"
+            "end",
+            call="lua_main",
+            enable_flb_null=True,
+        )
+        _, _, rec = s.make_runtime().invoke("t", 0.0, {"hello": None})
+        assert rec == {"hello": None, "was_null": True, "emit_null": None}
+
+    def test_split_record_golden(self):
+        # tests/runtime/filter_lua.c flb_test_split_record (issue #5496):
+        # returning record.x (an array of maps) with ts 5 emits
+        # [5.000000,{"a1":"aa"}][5.000000,{"b1":"bb"}][5.000000,{"c1":"cc"}]
+        s = LuaScript(
+            "function lua_main(tag, timestamp, record)\n"
+            "    return 1, 5, record.x\n"
+            "end",
+            call="lua_main",
+        )
+        code, ts, recs = s.make_runtime().invoke(
+            "test", 0.0,
+            {"x": [{"a1": "aa"}, {"b1": "bb"}, {"c1": "cc"}]},
+        )
+        assert (code, ts) == (1, 5.0)
+        assert recs == [{"a1": "aa"}, {"b1": "bb"}, {"c1": "cc"}]
+
+    def test_empty_array_golden(self):
+        # tests/runtime/filter_lua.c flb_test_empty_array: expected
+        # output is exactly [5.000000,{"key":[]}] — the decoded-array
+        # metatable marker keeps [] an array even though Lua can't
+        # distinguish {} from {} (flb_lua_setmetatable, flb_lua.c:67-86)
+        s = LuaScript(
+            "function lua_main(tag, timestamp, record)\n"
+            "    return 1, 5, record\n"
+            "end",
+            call="lua_main",
+        )
+        code, ts, rec = s.make_runtime().invoke("test", 0.0, {"key": []})
+        assert (code, ts) == (1, 5.0)
+        assert json.dumps(rec, separators=(",", ":")) == '{"key":[]}'
+
+    def test_invalid_metatable_golden(self):
+        # tests/runtime/filter_lua.c flb_test_invalid_metatable: the
+        # record's metatable (the decode-time type marker) is mutated;
+        # the filter must still emit the record, not crash
+        s = LuaScript(
+            "function lua_main(tag, timestamp, record)\n"
+            "    meta = getmetatable(record)\n"
+            '    meta[10] = "hoge"\n'
+            "    return 1, timestamp, record\n"
+            "end",
+            call="lua_main",
+        )
+        code, _, rec = s.make_runtime().invoke("test", 0.0, {"key": "val"})
+        assert code == 1 and rec == {"key": "val"}
+
+    def test_unmarked_sparse_table_packs_as_map(self):
+        # flb_lua_arraylength (flb_lua.c:304-336): a script-built table
+        # with integer-key holes is NOT an array — packs as a map
+        s = LuaScript(
+            "function lua_main(tag, timestamp, record)\n"
+            "    local t = {}\n"
+            '    t[1] = "a"\n'
+            '    t[3] = "c"\n'
+            '    record["sparse"] = t\n'
+            "    return 1, timestamp, record\n"
+            "end",
+            call="lua_main",
+        )
+        _, _, rec = s.make_runtime().invoke("t", 0.0, {})
+        assert rec == {"sparse": {"1": "a", "3": "c"}}
+
 
 # ------------------------------------------------------ Spark operator
 
@@ -457,3 +619,113 @@ end
 """
         with pytest.raises(ValueError, match="call"):
             build_classic_pipeline(spark, conf)
+
+
+# ---------------------------------------------- processor-group goldens
+
+
+class TestGroupLuaProcessor:
+    """Mirrors tests/runtime/filter_lua.c flb_test_group_lua_processor_*:
+    dummy input -> opentelemetry_envelope -> content_modifier inserts on
+    the resource/scope attribute contexts -> a lua unit. The lua unit
+    sees only the log body (record_cols); the envelope columns — the
+    group metadata/body in the reference — pass through untouched."""
+
+    def _pipeline(self, spark, lua_src):
+        from fluent_bit_spark.operators.content_modifier import content_modifier
+        from fluent_bit_spark.operators.otel_envelope import otel_envelope_cols
+
+        df = spark.createDataFrame(
+            [("test", 0.0, "Hello, Fluent Bit!", {"record_meta": "ok"})],
+            "tag string, event_time double, message string, "
+            "metadata map<string,string>",
+        )
+        env = otel_envelope_cols(df)
+        env = content_modifier(
+            env, "insert", "my_res_attr", "my_value",
+            context="otel_resource_attributes",
+        )
+        env = content_modifier(
+            env, "insert", "my_scope_attr", "my_value",
+            context="otel_scope_attributes",
+        )
+        return lua_filter_typed(
+            env, lua_src, call="noop",
+            record_cols=["message"], extra_schema="new_field string",
+        )
+
+    def test_group_no_modified_golden(self, spark):
+        out = self._pipeline(
+            spark,
+            "function noop(tag, timestamp, record)\n"
+            "  return 0, timestamp, record\n"
+            "end",
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        # cb_check_group_no_modified: group metadata intact, attribute
+        # inserts visible, log body preserved
+        assert (r.otel_schema, r.resource_id, r.scope_id) == ("otlp", 0, 0)
+        assert r.resource == {"my_res_attr": "my_value"}
+        assert r.scope == {"my_scope_attr": "my_value"}
+        assert r.message == "Hello, Fluent Bit!"
+        assert r.metadata == {"record_meta": "ok"}
+
+    def test_group_modified_golden(self, spark):
+        out = self._pipeline(
+            spark,
+            "function noop(tag, timestamp, record)\n"
+            "  record[\"new_field\"] = 'This is a new field from Lua'\n"
+            "  return 1, timestamp, record\n"
+            "end",
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.message == "Hello, Fluent Bit!"
+        assert r.new_field == "This is a new field from Lua"
+        assert r.resource == {"my_res_attr": "my_value"}
+        assert r.scope == {"my_scope_attr": "my_value"}
+
+    def test_group_drop_golden(self, spark):
+        # flb_test_group_lua_drop: code -1 -> zero delivered events
+        out = self._pipeline(
+            spark,
+            "function noop(tag, ts, record)\n"
+            "  return -1, ts, record\n"
+            "end",
+        ).collect()
+        assert out == []
+
+    def test_scope_name_version_context(self, spark):
+        from fluent_bit_spark.operators.content_modifier import content_modifier
+        from fluent_bit_spark.operators.otel_envelope import otel_envelope_cols
+
+        df = spark.createDataFrame(
+            [("t", "x")], "tag string, message string"
+        )
+        env = otel_envelope_cols(df)
+        env = content_modifier(env, "upsert", "my.scope", context="otel_scope_name")
+        env = content_modifier(env, "upsert", "1.2.3", context="otel_scope_version")
+        r = env.collect()[0]
+        assert r.scope == {"name": "my.scope", "version": "1.2.3"}
+
+    def test_map_context_ops(self, spark):
+        from fluent_bit_spark.operators.content_modifier import content_modifier
+        from fluent_bit_spark.operators.otel_envelope import otel_envelope_cols
+
+        df = spark.createDataFrame([("t", "x")], "tag string, message string")
+        env = otel_envelope_cols(df)
+        env = content_modifier(env, "insert", "a", "1",
+                               context="otel_resource_attributes")
+        # insert must not overwrite
+        env = content_modifier(env, "insert", "a", "2",
+                               context="otel_resource_attributes")
+        env = content_modifier(env, "upsert", "b", "3",
+                               context="otel_resource_attributes")
+        env = content_modifier(env, "rename", "b", "c",
+                               context="otel_resource_attributes")
+        r = env.collect()[0]
+        assert r.resource == {"a": "1", "c": "3"}
+        env = content_modifier(env, "delete", "c",
+                               context="otel_resource_attributes")
+        assert env.collect()[0].resource == {"a": "1"}
