@@ -1045,8 +1045,8 @@ def _apply_filter(
     if name == "wasm":
         # plugins/filter_wasm/filter_wasm.c:401-431 property surface:
         # wasm_path (mandatory), function_name (mandatory),
-        # event_format (json only — msgpack mode needs a msgpack
-        # runtime surface Spark rows don't have), wasm_heap_size.
+        # event_format json|msgpack (msgpack crosses the boundary as
+        # raw msgpack both ways via wasm/mpack.py), wasm_heap_size.
         # accessible_paths / wasm_stack_size are accepted and ignored
         # (no WASI filesystem; Python recursion limit is the stack).
         # result_schema is the same Spark-first extension as lua.
@@ -1057,8 +1057,6 @@ def _apply_filter(
         if not fn:
             raise ValueError("filter wasm: `function_name` is not set")
         fmt = sec.get("event_format", "json").lower()
-        if fmt != "json":
-            raise ValueError(f"filter wasm: event_format {fmt!r} not supported")
         with open(path, "rb") as fh:
             wasm_bytes = fh.read()
         heap = sec.get("wasm_heap_size")
@@ -1071,6 +1069,7 @@ def _apply_filter(
             gate=gate,
             extra_schema=sec.get("result_schema"),
             heap_max_pages=(int(heap) + 65535) // 65536 if heap else 1024,
+            event_format=fmt,
         )
     raise ValueError(f"filter plugin {name!r} not supported")
 

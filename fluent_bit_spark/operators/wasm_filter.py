@@ -70,10 +70,15 @@ class WasmScript:
         wasm_bytes: bytes,
         function_name: str = "flb_filter",
         heap_max_pages: int = 1024,
+        event_format: str = "json",
     ):
         self.wasm_bytes = bytes(wasm_bytes)
         self.function_name = function_name
         self.heap_max_pages = heap_max_pages
+        if event_format not in ("json", "msgpack"):
+            # filter_wasm.c config map: "event_format" json|msgpack
+            raise ValueError(f"unknown wasm event_format {event_format!r}")
+        self.event_format = event_format
         # driver-side validation, mirroring the reference's init-time
         # lookup failure (flb_wasm.c:266 "wasm function is not found")
         mod = decode_module(self.wasm_bytes)
@@ -96,16 +101,29 @@ class WasmRuntime:
         self.errors = 0
 
     def invoke(self, tag: str, ts: float, record_json: str) -> str | None:
-        """Returns the new record JSON, or None to skip the record."""
+        """Returns the new record JSON, or None to skip the record.
+
+        ``event_format msgpack``: the record crosses the boundary as raw
+        msgpack both ways (filter_wasm.c:125-135 encode, :196-201
+        re-ingest) — the result is still read as a C string, the same
+        strlen() quirk the reference has."""
         inst = self.instance
         inst.reset_bump()
+        mp = self.script.event_format == "msgpack"
         tag_b = tag.encode("utf-8")
-        rec_b = record_json.encode("utf-8")
+        if mp:
+            from ..wasm import mpack
+
+            rec_b = mpack.packb(json.loads(record_json))
+        else:
+            rec_b = record_json.encode("utf-8")
         sec = math.floor(ts)
         nsec = int(round((ts - sec) * 1e9))
         try:
             tag_ptr = inst.dup_data(tag_b + b"\0")
-            rec_ptr = inst.dup_data(rec_b + b"\0")
+            # msgpack mode dups the record without the +1 terminator
+            # (flb_wasm.c:341-342 vs the JSON path)
+            rec_ptr = inst.dup_data(rec_b if mp else rec_b + b"\0")
             res = inst.invoke(
                 self.script.function_name,
                 [tag_ptr, len(tag_b), sec & 0xFFFFFFFF, nsec,
@@ -123,8 +141,20 @@ class WasmRuntime:
         if not isinstance(ptr, int) or ptr <= 0 or ptr >= len(inst.memory):
             return None  # wasm_runtime_validate_app_str_addr failure
         try:
-            out = inst.read_cstr(ptr).decode("utf-8")
-        except (WasmTrap, UnicodeDecodeError):
+            raw = inst.read_cstr(ptr)
+        except WasmTrap:
+            return None
+        if mp:
+            from ..wasm import mpack
+
+            try:
+                out = json.dumps(mpack.unpackb(raw), sort_keys=True)
+            except (ValueError, TypeError):
+                return None
+            return out
+        try:
+            out = raw.decode("utf-8")
+        except UnicodeDecodeError:
             return None
         return out if out else None
 
@@ -137,9 +167,10 @@ def wasm_filter(
     ts_col: str = "event_time",
     record_cols: list[str] | None = None,
     heap_max_pages: int = 1024,
+    event_format: str = "json",
 ) -> DataFrame:
     """Raw-shape wasm filter: returns (tag, ts double, record json)."""
-    compiled = WasmScript(wasm, function_name, heap_max_pages)
+    compiled = WasmScript(wasm, function_name, heap_max_pages, event_format)
     cols = record_cols or [c for c in df.columns if c not in (tag_col, ts_col)]
     src = df.select(
         F.col(tag_col).alias("tag"),
@@ -180,6 +211,7 @@ def wasm_filter_typed(
     extra_schema: str | None = None,
     gate=None,
     heap_max_pages: int = 1024,
+    event_format: str = "json",
 ) -> DataFrame:
     """Schema-preserving :func:`wasm_filter` for the classic pipeline.
 
@@ -205,7 +237,7 @@ def wasm_filter_typed(
     ]
     has_ts = ts_col in df.columns
     ts_type = df.schema[ts_col].dataType if has_ts else T.DoubleType()
-    compiled = WasmScript(wasm, function_name, heap_max_pages)
+    compiled = WasmScript(wasm, function_name, heap_max_pages, event_format)
     carry_ddl = "".join(
         f", {c} {df.schema[c].dataType.simpleString()}" for c in carry
     )

@@ -169,6 +169,14 @@ def _wasi_stubs() -> dict:
     def ret0(inst, args):
         return [0]
 
+    def badf(inst, args):
+        return [8]  # WASI errno EBADF
+
+    def fd_read(inst, args):
+        # nothing to read on any fd: report 0 bytes (EOF)
+        inst.store_u32(args[3], 0)
+        return [0]
+
     return {
         ("wasi_snapshot_preview1", "fd_write"): HostFunc(fd_write),
         ("wasi_snapshot_preview1", "proc_exit"): HostFunc(proc_exit, 0),
@@ -181,6 +189,18 @@ def _wasi_stubs() -> dict:
         ("wasi_snapshot_preview1", "fd_close"): HostFunc(ret0),
         ("wasi_snapshot_preview1", "fd_seek"): HostFunc(ret0),
         ("wasi_snapshot_preview1", "fd_fdstat_get"): HostFunc(ret0),
+        # no preopened dirs: EBADF(8) tells libpreopen to stop scanning —
+        # what a real runtime reports past the last preopen fd
+        ("wasi_snapshot_preview1", "fd_prestat_get"): HostFunc(badf),
+        ("wasi_snapshot_preview1", "fd_prestat_dir_name"): HostFunc(badf),
+        ("wasi_snapshot_preview1", "fd_read"): HostFunc(fd_read),
+        ("wasi_snapshot_preview1", "fd_readdir"): HostFunc(badf),
+        ("wasi_snapshot_preview1", "path_open"): HostFunc(badf),
+        ("wasi_snapshot_preview1", "fd_filestat_get"): HostFunc(badf),
+        ("wasi_snapshot_preview1", "path_filestat_get"): HostFunc(badf),
+        ("wasi_snapshot_preview1", "poll_oneoff"): HostFunc(ret0),
+        ("wasi_snapshot_preview1", "sched_yield"): HostFunc(ret0),
+        ("wasi_snapshot_preview1", "clock_res_get"): HostFunc(clock_time_get),
     }
 
 
