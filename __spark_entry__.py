@@ -2331,6 +2331,35 @@ def q_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("file", "record_id", "n_lines", "first_seq")
 
 
+def q_multiline_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_multiline ``mode partial_message``: Docker split-message
+    concat per (tag, partial_id) with packer epochs on id reuse
+    (plugins/filter_multiline/ml.c:600-733, ml_concat.c). Synthetic
+    fragments over events: 1/7 of rows are non-partial passthroughs,
+    partial ids are deliberately REUSED so the epoch (running count of
+    prior completed rows) splits groups exactly like packer
+    destruction on emit."""
+    from fluent_bit_spark.operators.multiline import partial_message_concat
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("c."), (F.col("user_id") % 8).cast("string")).alias("tag"),
+        F.col("event_id").alias("_seq"),
+        F.concat(
+            F.col("event_type"), F.lit("#"),
+            (F.col("event_id") % 100).cast("string"), F.lit(";"),
+        ).alias("log"),
+        F.when(F.col("user_id") % 7 != 0, F.lit("true")).alias("partial_message"),
+        (F.col("user_id") % 5).cast("string").alias("partial_id"),
+        F.when(F.col("event_id") % 4 == 3, F.lit("true"))
+        .otherwise(F.lit("false"))
+        .alias("partial_last"),
+    )
+    out = partial_message_concat(
+        ev, key_content="log", key_cols=["tag"], order_col="_seq"
+    )
+    return out.select("tag", "log", F.col("_seq").alias("first_seq"))
+
+
 def _java_log_lines(
     spark: SparkSession, sf_dir: str, sentinel: bool = False
 ) -> DataFrame:
@@ -2476,8 +2505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position 9 is the re-fixed embedding_clusters (the one r3 red
     # row), positions 10-12 the new round-4 queries (grok_conf_parse,
     # lua_script on the real Lua interpreter, wasm_filter on the real
-    # wasm runtime); the remaining window re-verifies the heavy
-    # dedup/ANN/corpus family. Everything at
+    # wasm runtime), position 13 the new multiline_partial
+    # (partial_message concat); the remaining window re-verifies the
+    # heavy dedup/ANN/corpus family. Everything at
     # 51+ already has a driver-green row from r1-r3 (see VERDICT.md
     # coverage table), so after this round every registry entry has
     # at least one independently-verified row.
@@ -2495,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lua_script": q_lua_script,
         "wasm_filter": q_wasm_filter,
         "kubernetes_meta": q_kubernetes_meta,
+        "multiline_partial": q_multiline_partial,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -4151,6 +4182,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT file, record_id::bigint AS record_id,
                    count(*)::bigint AS n_lines, min(seq) AS first_seq
             FROM r GROUP BY file, record_id
+        """,
+        "multiline_partial": """
+            WITH l AS (SELECT 'c.' || (user_id % 8) AS tag,
+                event_id AS seq,
+                event_type || '#' || (event_id % 100) || ';' AS log,
+                (user_id % 7 <> 0) AS isp,
+                CAST(user_id % 5 AS VARCHAR) AS pid,
+                (event_id % 4 = 3) AS islast FROM events),
+            p AS (SELECT *, COALESCE(SUM(CASE WHEN islast THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY tag, pid ORDER BY seq
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS epoch
+                  FROM l WHERE isp),
+            g AS (SELECT tag, string_agg(log, '' ORDER BY seq) AS log,
+                         min(seq) AS first_seq
+                  FROM p GROUP BY tag, pid, epoch)
+            SELECT tag, log, first_seq FROM g
+            UNION ALL
+            SELECT tag, log, seq AS first_seq FROM l WHERE NOT isp
         """,
         "multiline_stream": """
             WITH base AS (

@@ -1042,6 +1042,34 @@ def _apply_filter(
             enriched, allowMissingColumns=True
         )
 
+    if name == "multiline":
+        # plugins/filter_multiline/ml.c config map: mode partial_message
+        # concatenates Docker split messages; mode parser (regex concat)
+        # is the in_tail multiline.parser path (input-side here, where
+        # line order is data). Gate rows by Match like every filter.
+        mode = (sec.get("mode") or "parser").lower()
+        if mode != "partial_message":
+            raise ValueError(
+                "filter multiline: only mode partial_message is supported "
+                "as a [FILTER]; use the input's multiline.parser for "
+                "parser mode (line order is only data at the input)"
+            )
+        from fluent_bit_spark.operators.multiline import partial_message_concat
+
+        key = sec.get("multiline.key_content", "log")
+        order = "_seq" if "_seq" in df.columns else None
+        if order is None:
+            raise ValueError(
+                "filter multiline partial_message needs the _seq arrival-"
+                "order column (in_tail/in_dummy inputs provide it)"
+            )
+        if gate is None:
+            return partial_message_concat(df, key_content=key, order_col=order)
+        matched = partial_message_concat(
+            df.filter(gate), key_content=key, order_col=order
+        )
+        return df.filter(~gate).unionByName(matched)
+
     if name == "wasm":
         # plugins/filter_wasm/filter_wasm.c:401-431 property surface:
         # wasm_path (mandatory), function_name (mandatory),

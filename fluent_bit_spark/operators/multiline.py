@@ -334,3 +334,109 @@ def ml_rules_join(
         )
 
     return flagged.groupBy(*key_cols).applyInPandas(run_group, out_schema)
+
+
+# --------------------------------------------------- partial_message mode
+
+
+def partial_message_concat(
+    df: DataFrame,
+    key_content: str = "log",
+    key_cols: list[str] | None = None,
+    order_col: str = "_seq",
+    flush_pending: bool = True,
+) -> DataFrame:
+    """filter_multiline ``mode partial_message``: concatenate Docker
+    partial messages split by the 16 KB log-driver limit.
+
+    Reference plugins/filter_multiline/ml.c:600-733 + ml_concat.c:
+    a record whose ``partial_message`` value starts with "true"
+    (case-insensitive, strncasecmp ml_concat.c:89) joins the packer
+    keyed by (tag, input, ``partial_id``); its ``key_content`` value is
+    appended IN ARRIVAL ORDER (``partial_ordinal`` is carried but never
+    used for ordering — ml_split_message_packer_write just appends);
+    ``partial_last`` "true" completes and emits the record. The output
+    keeps the FIRST record's timestamp and every first-record key
+    except the ``partial_``-prefixed metadata (ml_create_packer
+    ml_concat.c:266-320 skips the split key + the partial_ prefix);
+    records without ``partial_message`` — or partial ones missing
+    ``partial_id`` (ml.c:676-681 warn path) — pass through untouched.
+
+    Spark-first: arrival order is the explicit ``order_col`` (at scale
+    ordering must be data); a reused partial_id after completion opens
+    a new group via an epoch column (running count of prior completed
+    rows — the batch rendering of "packer deleted on emit"). Groups
+    never completed by a ``partial_last`` row are the pending buffers
+    the reference flushes on a timer (ml.c partial_timer_cb);
+    ``flush_pending`` emits them at end-of-input (batch = one flush
+    window). Dropped partial_ keys read as null, the columnar
+    rendering of a removed map key. All-Catalyst: one shuffle on
+    (key, partial_id), partial-agg combinable."""
+    key_cols = key_cols if key_cols is not None else ["tag"]
+
+    def _truthy(name: str) -> Column:
+        if name not in df.columns:
+            return F.lit(False)
+        return F.coalesce(
+            F.lower(F.col(name).cast("string")).startswith("true"), F.lit(False)
+        )
+
+    has_id = (
+        F.col("partial_id").isNotNull()
+        if "partial_id" in df.columns
+        else F.lit(False)
+    )
+    is_partial = _truthy("partial_message") & has_id
+    is_last = _truthy("partial_last")
+
+    passthru = df.filter(~is_partial)
+    part = df.filter(is_partial)
+
+    w_prev = (
+        Window.partitionBy(*key_cols, "partial_id")
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    epoch = F.coalesce(F.sum(is_last.cast("long")).over(w_prev), F.lit(0))
+
+    other_cols = [c for c in df.columns if c != key_content]
+    grouped = (
+        part.withColumn("_epoch", epoch)
+        .groupBy(*key_cols, "partial_id", "_epoch")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(order_col).alias("o"),
+                                F.col(key_content).alias("c"),
+                            )
+                        )
+                    ),
+                    lambda s: s["c"],
+                ),
+                "",
+            ).alias("_joined"),
+            F.min_by(F.struct(*[F.col(c) for c in other_cols]), F.col(order_col)).alias(
+                "_first"
+            ),
+            F.max(is_last.cast("boolean")).alias("_complete"),
+        )
+    )
+    if not flush_pending:
+        grouped = grouped.filter(F.col("_complete"))
+
+    sel = []
+    for c in df.columns:
+        if c == key_content:
+            sel.append(F.col("_joined").alias(c))
+        elif c.startswith("partial_"):
+            sel.append(
+                F.lit(None).cast(df.schema[c].dataType).alias(c)
+            )
+        elif c in key_cols:
+            sel.append(F.col(c))
+        else:
+            sel.append(F.col("_first")[c].alias(c))
+    return passthru.unionByName(grouped.select(*sel))

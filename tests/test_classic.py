@@ -838,3 +838,47 @@ def test_include_question_mark_glob(tmp_path):
     )
     secs = load_classic_conf(str(main))
     assert [s.kind for s in secs] == ["input", "filter", "filter"]
+
+
+def test_multiline_filter_partial_message_conf(spark):
+    # tests/runtime/filter_multiline.c partial_message cases driven
+    # from a classic [FILTER] Name multiline section
+    df = spark.createDataFrame(
+        [
+            ("d.log", 0, "one..", "true", "1", "false"),
+            ("d.log", 1, "two..", "true", "1", "true"),
+            ("d.log", 2, "plain", None, None, None),
+        ],
+        "tag string, _seq long, log string, partial_message string, "
+        "partial_id string, partial_last string",
+    )
+    conf = """
+[INPUT]
+    Name lib
+    Tag  d.log
+
+[FILTER]
+    Name multiline
+    Match d.*
+    mode partial_message
+    multiline.key_content log
+
+[OUTPUT]
+    Name null
+    Match *
+"""
+    pipe = build_classic_pipeline(spark, conf, lib_inputs={"d.log": df})
+    logs = sorted(r.log for r in pipe.outputs["null.0"].collect())
+    assert logs == ["one..two..", "plain"]
+
+
+def test_multiline_filter_parser_mode_rejected(spark):
+    with pytest.raises(ValueError, match="partial_message"):
+        build_classic_pipeline(
+            spark,
+            "[INPUT]\n    Name lib\n    Tag t\n"
+            "[FILTER]\n    Name multiline\n    Match *\n    mode parser\n"
+            "[OUTPUT]\n    Name null\n    Match *\n",
+            lib_inputs={"t": spark.range(1).selectExpr(
+                "'t' tag", "id _seq", "'x' log")},
+        )

@@ -187,3 +187,103 @@ def test_ml_two_streams_independent_state(spark):
     got = {(r["stream"], r["record_id"]): r["record"] for r in out.collect()}
     assert len(got) == 4  # 2 records per stream
     assert got[("a", 0)] == got[("b", 0)] == "\n".join(JAVA_INPUT[:7])
+
+
+class TestPartialMessageMode:
+    """tests/runtime/filter_multiline.c partial_message cases."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "tag string, _seq long, log string, partial_message string, "
+            "partial_id string, partial_ordinal string, partial_last string",
+        )
+
+    def test_partial_message_concat_golden(self, spark):
+        # flb_test_multiline_partial_message_concat: two partials, no
+        # last -> ONE record "one..two.." via the pending-buffer flush
+        from fluent_bit_spark.operators.multiline import partial_message_concat
+
+        df = self._df(spark, [
+            ("test", 0, "one..", "true", "1", "1", "false"),
+            ("test", 1, "two..", "true", "1", "2", "false"),
+        ])
+        out = partial_message_concat(df, key_content="log",
+                                     key_cols=["tag"], order_col="_seq")
+        rows = out.collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert "one..two" in r.log and r.log == "one..two.."
+        # partial metadata is stripped (ml_concat.c partial_ prefix skip)
+        assert r.partial_message is None and r.partial_id is None
+
+    def test_partial_message_two_ids_golden(self, spark):
+        # flb_test_multiline_partial_message_concat_two_ids: interlaced
+        # ids -> 2 records, both containing "one..two" / "three..two"
+        from fluent_bit_spark.operators.multiline import partial_message_concat
+
+        df = self._df(spark, [
+            ("test", 0, "one..", "true", "1", "1", "false"),
+            ("test", 1, "three..", "true", "2", "1", "false"),
+            ("test", 2, "two..", "true", "1", "2", "true"),
+            ("test", 3, "two..", "true", "2", "2", "true"),
+        ])
+        out = partial_message_concat(df, key_content="log",
+                                     key_cols=["tag"], order_col="_seq")
+        logs = sorted(r.log for r in out.collect())
+        assert logs == ["one..two..", "three..two.."]
+
+    def test_non_partial_passthrough_and_missing_id(self, spark):
+        # ml.c:676-681: partial_message true but NO partial_id ->
+        # treated as non-partial, passed through as-is
+        from fluent_bit_spark.operators.multiline import partial_message_concat
+
+        df = self._df(spark, [
+            ("test", 0, "plain", None, None, None, None),
+            ("test", 1, "orphan", "true", None, "1", "false"),
+            ("test", 2, "a", "true", "9", "1", "true"),
+        ])
+        out = partial_message_concat(df, key_content="log",
+                                     key_cols=["tag"], order_col="_seq")
+        logs = sorted((r.log, r.partial_message) for r in out.collect())
+        assert logs == [("a", None), ("orphan", "true"), ("plain", None)]
+
+    def test_reused_partial_id_opens_new_record(self, spark):
+        # packer is destroyed on emit (ml.c:713-716): a later record
+        # with the same id starts a fresh concat
+        from fluent_bit_spark.operators.multiline import partial_message_concat
+
+        df = self._df(spark, [
+            ("test", 0, "a1", "true", "1", "1", "false"),
+            ("test", 1, "a2", "true", "1", "2", "true"),
+            ("test", 2, "b1", "true", "1", "1", "false"),
+            ("test", 3, "b2", "true", "1", "2", "true"),
+        ])
+        out = partial_message_concat(df, key_content="log",
+                                     key_cols=["tag"], order_col="_seq")
+        assert sorted(r.log for r in out.collect()) == ["a1a2", "b1b2"]
+
+    def test_flush_pending_off_drops_incomplete(self, spark):
+        from fluent_bit_spark.operators.multiline import partial_message_concat
+
+        df = self._df(spark, [
+            ("test", 0, "x", "true", "1", "1", "false"),
+            ("test", 1, "y", "true", "2", "1", "true"),
+        ])
+        out = partial_message_concat(df, key_content="log",
+                                     key_cols=["tag"], order_col="_seq",
+                                     flush_pending=False)
+        assert [r.log for r in out.collect()] == ["y"]
+
+    def test_arrival_order_not_ordinal(self, spark):
+        # partial_ordinal is carried but NEVER used for ordering —
+        # ml_split_message_packer_write appends in arrival order
+        from fluent_bit_spark.operators.multiline import partial_message_concat
+
+        df = self._df(spark, [
+            ("test", 0, "B", "true", "1", "2", "false"),
+            ("test", 1, "A", "true", "1", "1", "true"),
+        ])
+        out = partial_message_concat(df, key_content="log",
+                                     key_cols=["tag"], order_col="_seq")
+        assert [r.log for r in out.collect()] == ["BA"]
