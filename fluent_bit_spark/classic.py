@@ -406,15 +406,40 @@ def _input_df(
     name = sec.name
     tag = sec.get("tag") or name
     if name == "dummy":
-        # in_dummy: emit the Dummy JSON `Samples` times
-        # (plugins/in_dummy/in_dummy.c: dummy/samples properties)
+        # in_dummy property surface (plugins/in_dummy/in_dummy.c config
+        # map + tests/runtime/in_dummy.c): Dummy JSON emitted Samples
+        # times x Copies per tick; unparseable Dummy falls back to the
+        # default message (in_dummy.c flb_pack_json failure path);
+        # Fixed_Timestamp + Start_Time_Sec/Nsec pin event_time, else
+        # records carry ingest time (the "today" check).
         payload = sec.get("dummy", '{"message":"dummy"}')
         samples = int(sec.get("samples", "1"))
+        copies = int(sec.get("copies", "1"))
         import json
 
-        base = spark.range(samples).select(
+        try:
+            parsed_payload = json.loads(payload)
+            if not isinstance(parsed_payload, dict):
+                raise ValueError
+        except ValueError:
+            payload = '{"message":"dummy"}'
+            parsed_payload = {"message": "dummy"}
+        fixed = (sec.get("fixed_timestamp", "off") or "").lower() in (
+            "on", "true", "yes", "1",
+        )
+        if fixed:
+            ts_col = F.timestamp_seconds(
+                F.lit(
+                    int(sec.get("start_time_sec", "0"))
+                    + int(sec.get("start_time_nsec", "0")) / 1e9
+                )
+            )
+        else:
+            ts_col = F.current_timestamp()
+        base = spark.range(samples * copies).select(
             F.lit(tag).alias("tag"),
             F.col("id").alias("_seq"),
+            ts_col.alias("event_time"),
             F.lit(payload).alias("_json"),
         )
         def _struct_schema(obj: dict):
@@ -430,8 +455,8 @@ def _input_df(
                 ]
             )
 
-        cols = [F.col("tag"), F.col("_seq")]
-        for k, v in json.loads(payload).items():
+        cols = [F.col("tag"), F.col("_seq"), F.col("event_time")]
+        for k, v in parsed_payload.items():
             raw = F.get_json_object(F.col("_json"), f"$.{k}")
             if isinstance(v, dict):
                 # nested msgpack maps keep their structure in the

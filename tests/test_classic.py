@@ -882,3 +882,32 @@ def test_multiline_filter_parser_mode_rejected(spark):
             lib_inputs={"t": spark.range(1).selectExpr(
                 "'t' tag", "id _seq", "'x' log")},
         )
+
+
+def test_in_dummy_runtime_goldens(spark):
+    # tests/runtime/in_dummy.c flb_test_in_dummy_flush matrix
+    def run(conf_input_props):
+        conf = ("[INPUT]\n    Name dummy\n    Tag t\n" + conf_input_props
+                + "[OUTPUT]\n    Name null\n    Match *\n")
+        return build_classic_pipeline(spark, conf).outputs["null.0"]
+
+    # default payload {"message":"dummy"}
+    r = run("").collect()
+    assert len(r) == 1 and r[0].message == "dummy"
+    # custom payload
+    r = run('    Dummy {"new_key": "new_value"}\n').collect()
+    assert r[0].new_key == "new_value"
+    # bad JSON -> default fallback (in_dummy.c pack-failure path)
+    r = run('    Dummy {"bad_json}\n').collect()
+    assert r[0].message == "dummy"
+    # fixed_timestamp + start_time_sec/nsec (1234 and 1999 cases)
+    for sec in (1234, 1999):
+        r = run(
+            f"    Start_Time_Sec {sec}\n    Start_Time_Nsec {sec}\n"
+            "    Fixed_Timestamp on\n"
+        ).collect()
+        import calendar
+
+        assert calendar.timegm(r[0].event_time.timetuple()) == sec
+    # copies multiplies emitted records
+    assert run("    Samples 2\n    Copies 5\n").count() == 10

@@ -1098,3 +1098,34 @@ def test_tail_tag_regex_golden(spark, tmp_path):
     rows = pipe.outputs["null.0"].collect()
     assert len(rows) == 1
     assert rows[0]["tag"] == "aa.bb.cc" and rows[0]["log"] == "hello world"
+
+
+# ----------------------------------------------- filter_expect goldens
+
+
+@pytest.mark.parametrize(
+    "rule,key,value,record,want",
+    [
+        # tests/runtime/filter_expect.c TEST_LIST — rule, input record,
+        # expected value of the result_key column
+        ("key_exists", "key", None, {"key": "val"}, True),
+        ("key_exists", "not_key", None, {"key": "val"}, False),
+        ("key_not_exists", "not_key", None, {"key": "val"}, True),
+        ("key_not_exists", "key", None, {"key": "val"}, False),
+        ("key_val_is_null", "key", None, {"key": None}, True),
+        ("key_val_is_null", "key", None, {"key": "val"}, False),
+        ("key_val_is_not_null", "key", None, {"key": "val"}, True),
+        ("key_val_is_not_null", "key", None, {"key": None}, False),
+        ("key_val_eq", "key", "val", {"key": "val"}, True),
+        ("key_val_eq", "not_key", "val", {"key": "val"}, False),
+    ],
+)
+def test_expect_runtime_golden(spark, rule, key, value, record, want):
+    from fluent_bit_spark.operators.expect import ExpectRule, expect
+
+    df = spark.createDataFrame([(record.get("key"),)], "key string")
+    out = expect(
+        df, [ExpectRule(rule, key, value)],
+        action="result_key", result_key="result",
+    )
+    assert out.collect()[0]["result"] is want
