@@ -501,6 +501,23 @@ def main() -> int:
         ("dedup_embedding_lsh: Arrow sequential-fold verify stage", ok, "")
     )
 
+    # 28. round-4 partial_message concat: all-Catalyst — the group agg
+    #     shuffles once on (tag, partial_id), the epoch window adds no
+    #     Python stage, and ordered concat stays in objectagg/codegen
+    p = plan_of(qs["multiline_partial"](spark, sf_dir))
+    n_exchanges = p.count("Exchange hashpartitioning")
+    ok = (
+        "MapInPandas" not in p
+        and "FlatMapGroupsInPandas" not in p
+        and "BatchEvalPython" not in p
+        and n_exchanges <= 3  # window + partial/final agg pair
+    )
+    checks.append(
+        ("multiline_partial: all-Catalyst concat, no Python stage, "
+         f"{n_exchanges} hash exchanges", ok, "")
+    )
+    sections.append(("multiline_partial (partial_message concat)", p, []))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
