@@ -202,3 +202,113 @@ def streaming_multiline(
             else GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------ partial_message mode
+
+
+PARTIAL_STATE_SCHEMA = StructType(
+    [
+        StructField("buf", StringType()),
+        StructField("first_seq", LongType()),
+    ]
+)
+
+
+def streaming_partial_message(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    content_col: str = "log",
+    flush_timeout_ms: int | None = 5000,
+) -> DataFrame:
+    """Stateful streaming form of filter_multiline ``mode
+    partial_message`` (plugins/filter_multiline/ml.c:600-733): the
+    packer keyed by (stream key..., partial_id) accumulates content in
+    arrival order across micro-batches; ``partial_last`` "true" emits
+    the concatenation; a pending packer flushes after
+    ``flush_timeout_ms`` of inactivity (ml.c partial_timer_cb — the
+    reference flushes buffers older than flush_ms on a timer).
+    Non-partial records must be routed around this operator (the
+    reference's pass-through arm), keeping the state store strictly
+    (#open split messages) entries.
+
+    Input: (key_cols..., order_col long, content_col string,
+    partial_id string, partial_last string). Output: key_cols... +
+    partial_id + (content_col, first_<order_col>, complete).
+    """
+    from pyspark.sql import functions as F
+
+    group_cols = [*key_cols, "partial_id"]
+    df = df.select(
+        *group_cols,
+        F.col(order_col),
+        F.col(content_col),
+        F.coalesce(
+            F.lower(F.col("partial_last").cast("string")).startswith("true"),
+            F.lit(False),
+        ).alias("_last"),
+    )
+    key_fields = [f for f in df.schema.fields if f.name in group_cols]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField(content_col, StringType()),
+            StructField(f"first_{order_col}", LongType()),
+            StructField("complete", StringType()),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def proc(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        keys = dict(zip(group_cols, key))
+        if state.exists:
+            buf, first_seq = state.get
+        else:
+            buf, first_seq = None, None
+        out: list[dict] = []
+
+        if state.hasTimedOut:
+            if buf is not None:
+                # partial_timer_cb: emit the pending (incomplete) buffer
+                out.append(
+                    {**keys, content_col: buf,
+                     f"first_{order_col}": first_seq, "complete": "false"}
+                )
+            state.remove()
+            yield pd.DataFrame(out, columns=cols)
+            return
+
+        rows: list[tuple[int, str, bool]] = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf[order_col], pdf[content_col], pdf["_last"]))
+        rows.sort(key=lambda t: t[0])
+        for seq, content, last in rows:
+            if buf is None:
+                buf, first_seq = "", int(seq)
+            buf += content if content is not None else ""
+            if bool(last):
+                out.append(
+                    {**keys, content_col: buf,
+                     f"first_{order_col}": first_seq, "complete": "true"}
+                )
+                buf, first_seq = None, None  # packer destroyed on emit
+        if buf is None:
+            state.remove()
+        else:
+            state.update((buf, first_seq))
+            if flush_timeout_ms:
+                state.setTimeoutDuration(flush_timeout_ms)
+        yield pd.DataFrame(out, columns=cols)
+
+    return df.groupBy(*group_cols).applyInPandasWithState(
+        proc,
+        out_schema,
+        PARTIAL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if flush_timeout_ms
+        else GroupStateTimeout.NoTimeout,
+    )

@@ -233,3 +233,65 @@ def test_streaming_multiline_timeout_flush_three_batches(spark, dirs):
         assert rows[3]["record"] == "plain two"
     finally:
         q.stop()
+
+
+def test_streaming_partial_message_across_batches(spark, dirs):
+    """Stateful streaming partial_message concat (filter_multiline
+    ml.c:600-733): fragments of the same partial_id split across two
+    micro-batches concatenate into ONE record; the packer state
+    carries over; a never-completed packer survives in the state store
+    (NoTimeout drain, the in_tail restart analog)."""
+    from fluent_bit_spark.streaming.multiline import streaming_partial_message
+
+    src, out, ckpt = dirs
+    schema = ("tag string, seq long, log string, partial_id string, "
+              "partial_last string")
+
+    def write_batch(sub, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, sub))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        joined = streaming_partial_message(
+            stream, ["tag"], "seq", "log", flush_timeout_ms=None
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_stream_to_completion(q)
+
+    # batch 1: id 1 opens; id 2 opens AND completes
+    write_batch("b1", [
+        ("t", 1, "one..", "1", "false"),
+        ("t", 2, "x", "2", "false"),
+        ("t", 3, "y", "2", "true"),
+    ])
+    drain()
+    got1 = {r.partial_id: r for r in spark.read.parquet(out).collect()}
+    assert list(got1) == ["2"] and got1["2"].log == "xy"
+    assert got1["2"].complete == "true" and got1["2"].first_seq == 2
+
+    # batch 2: id 1 completes across the batch boundary; id 1 REUSED
+    # afterwards opens a fresh packer (destroyed-on-emit)
+    write_batch("b2", [
+        ("t", 4, "two..", "1", "true"),
+        ("t", 5, "fresh", "1", "false"),
+    ])
+    drain()
+    rows = spark.read.parquet(out).collect()
+    done = [r for r in rows if r.partial_id == "1" and r.complete == "true"]
+    assert len(done) == 1
+    assert done[0].log == "one..two.." and done[0].first_seq == 1
+    # 'fresh' is still pending — not emitted
+    assert all(r.log != "fresh" for r in rows)
