@@ -1425,6 +1425,8 @@ def run_classic_outputs(
                     df, os.path.join(out_dir, oid),
                     fmt="json_lines" if fmt == "plain" else fmt,
                     template=sec.get("template"), ts_col=ts,
+                    delimiter=sec.get("delimiter"),
+                    label_delimiter=sec.get("label_delimiter"),
                 )
                 return FLB_OK
 

@@ -131,6 +131,21 @@ ENCODERS = {
 }
 
 
+def check_delimiter(s: str | None, default: str) -> str:
+    """out_file.c:60-75: Delimiter accepts the names tab/\\t, space,
+    comma; anything else keeps the format default."""
+    if s is None:
+        return default
+    low = s.lower()
+    if low in ("\\t", "tab"):
+        return "\t"
+    if low == "space":
+        return " "
+    if low == "comma":
+        return ","
+    return default
+
+
 def write_per_tag(
     df: DataFrame,
     out_dir: str,
@@ -138,6 +153,8 @@ def write_per_tag(
     tag_col: str = "tag",
     template: str | None = None,
     ts_col: str | None = None,
+    delimiter: str | None = None,
+    label_delimiter: str | None = None,
 ) -> None:
     """File-per-tag delivery in ONE partitioned pass (the out_file
     directory layout without N scans)."""
@@ -145,6 +162,15 @@ def write_per_tag(
         if not template:
             raise ValueError("template format needs a template string")
         line = template_line(df, template, ts_col)
+    elif fmt == "csv":
+        line = csv_line(df, ts_col=ts_col,
+                        delimiter=check_delimiter(delimiter, ","))
+    elif fmt == "ltsv":
+        line = ltsv_line(
+            df, ts_col=ts_col,
+            delimiter=check_delimiter(delimiter, "\t"),
+            label_delimiter=check_delimiter(label_delimiter, ":"),
+        )
     elif fmt in ENCODERS:
         line = ENCODERS[fmt](df, ts_col=ts_col)
     else:

@@ -911,3 +911,41 @@ def test_in_dummy_runtime_goldens(spark):
         assert calendar.timegm(r[0].event_time.timetuple()) == sec
     # copies multiplies emitted records
     assert run("    Samples 2\n    Copies 5\n").count() == 10
+
+
+def test_out_file_delimiter_names(spark, tmp_path):
+    # tests/runtime/out_file.c delimiter_csv / delimiter_ltsv /
+    # label_delimiter: Delimiter accepts tab/space/comma NAMES
+    # (out_file.c:60-75 check_delimiter); unknown keeps the default
+    import glob
+
+    df = spark.createDataFrame([("t", "a", "b")], "tag string, k string, v string")
+    conf = """
+[INPUT]
+    Name lib
+    Tag t
+
+[OUTPUT]
+    Name file
+    Match *
+    Format csv
+    Delimiter space
+
+[OUTPUT]
+    Name file
+    Match *
+    Format ltsv
+    Delimiter comma
+    Label_Delimiter tab
+"""
+    pipe = build_classic_pipeline(spark, conf, lib_inputs={"t": df})
+    from fluent_bit_spark.classic import run_classic_outputs
+
+    run_classic_outputs(pipe, str(tmp_path))
+
+    def read_one(oid):
+        files = glob.glob(str(tmp_path / oid / "**" / "*.txt"), recursive=True)
+        return open(files[0]).read().strip()
+
+    assert read_one("file.0") == '"t" "a" "b"'
+    assert read_one("file.1") == '"tag"\t"t","k"\t"a","v"\t"b"'
