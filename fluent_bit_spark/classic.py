@@ -746,13 +746,18 @@ def _apply_processors(
             df = content_modifier(
                 df,
                 action=p.get("action") or "",
-                key=p.get("key") or p.get("context") or "",
+                key=p.get("key") or "",
                 value=p.get("value"),
                 converted_type=p.get("converted_type"),
                 pattern=p.get("pattern"),
                 conditions=rules,
                 combine=combine,
+                context=p.get("context"),
             )
+        elif name == "opentelemetry_envelope":
+            from fluent_bit_spark.operators.otel_envelope import otel_envelope_cols
+
+            df = otel_envelope_cols(df)
         elif name == "sql":
             from fluent_bit_spark.operators.processor_sql import processor_sql
 

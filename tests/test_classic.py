@@ -949,3 +949,44 @@ def test_out_file_delimiter_names(spark, tmp_path):
 
     assert read_one("file.0") == '"t" "a" "b"'
     assert read_one("file.1") == '"tag"\t"t","k"\t"a","v"\t"b"'
+
+
+def test_yaml_otel_envelope_processor_chain(spark, tmp_path):
+    # the group-processor pipeline from tests/runtime/filter_lua.c
+    # (flb_test_group_lua_processor_*) as a yaml processors chain:
+    # opentelemetry_envelope -> content_modifier on the OTel attribute
+    # contexts -> lua unit seeing only the log body
+    from fluent_bit_spark.classic import load_classic_conf
+
+    conf = tmp_path / "fb.yaml"
+    conf.write_text(
+        """
+pipeline:
+  inputs:
+    - name: dummy
+      tag: test
+      dummy: '{"message":"Hello, Fluent Bit!"}'
+      processors:
+        logs:
+          - name: opentelemetry_envelope
+          - name: content_modifier
+            context: otel_resource_attributes
+            action: insert
+            key: my_res_attr
+            value: my_value
+          - name: content_modifier
+            context: otel_scope_attributes
+            action: insert
+            key: my_scope_attr
+            value: my_value
+  outputs:
+    - name: "null"
+      match: '*'
+"""
+    )
+    pipe = build_classic_pipeline(spark, load_classic_conf(str(conf)))
+    r = pipe.outputs["null.0"].collect()[0]
+    assert r.message == "Hello, Fluent Bit!"
+    assert (r.otel_schema, r.resource_id, r.scope_id) == ("otlp", 0, 0)
+    assert r.resource == {"my_res_attr": "my_value"}
+    assert r.scope == {"my_scope_attr": "my_value"}
