@@ -18,9 +18,11 @@ Supported plugin surface (the SURVEY §2 in-scope set):
 - filters: grep, parser (Key_Name/Parser/Reserve_Data/Preserve_Key),
   modify, record_modifier, nest, rewrite_tag, throttle, expect,
   geoip2 (real mmdb Database + Record directives via enrich_mmdb),
-  stdout (no-op) — lua is NOT config-loadable (a Lua runtime is out
-  of scope; udf_hook is the programmatic equivalent)
-- outputs: file, counter, flowcounter, null, stdout
+  checklist, type_converter, multiline (mode partial_message),
+  lua (REAL scripts on the in-repo Lua 5.1 interpreter), wasm (REAL
+  binaries, json|msgpack event formats), kubernetes, stdout (no-op)
+- outputs: file (json/csv/ltsv/template + Delimiter names), counter,
+  flowcounter, null, stdout
 
 Match scoping is UNION-FREE: the Match predicate is pushed into each
 operator row-wise (when(gate, new).otherwise(old); grep keeps
