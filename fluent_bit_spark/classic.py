@@ -1033,6 +1033,39 @@ def _apply_filter(
             in ("true", "on", "yes", "1"),
         )
 
+    if name == "aws":
+        # plugins/filter_aws/aws.c:1203-1264 config map: imds_version,
+        # az (default on), ec2_instance_id (default on),
+        # ec2_instance_type, private_ip, vpc_id, ami_id, account_id,
+        # hostname, tags_enabled, tags_include, tags_exclude. One
+        # driver-side IMDS fetch -> literal columns (see aws.py).
+        from fluent_bit_spark.aws import ImdsClient, aws_filter, fetch_ec2_metadata
+
+        def b(key: str, default: str) -> bool:
+            return sec.get(key, default).lower() in ("true", "on", "yes", "1")
+
+        want = {
+            k for k, d in (
+                ("az", "true"), ("ec2_instance_id", "true"),
+                ("ec2_instance_type", "false"), ("private_ip", "false"),
+                ("vpc_id", "false"), ("ami_id", "false"),
+                ("account_id", "false"), ("hostname", "false"),
+            ) if b(k, d)
+        }
+        inc = (sec.get("tags_include") or "").split(",")
+        exc = (sec.get("tags_exclude") or "").split(",")
+        meta = fetch_ec2_metadata(
+            ImdsClient(imds_version=sec.get("imds_version", "v2")),
+            want,
+            tags_enabled=b("tags_enabled", "false"),
+            tags_include=[t for t in inc if t] or None,
+            tags_exclude=[t for t in exc if t] or None,
+        )
+        enriched = aws_filter(df.filter(gate) if gate is not None else df, meta)
+        if gate is None:
+            return enriched
+        return df.filter(~gate).unionByName(enriched, allowMissingColumns=True)
+
     if name == "kubernetes":
         # plugins/filter_kubernetes/kube_conf.c property surface
         # (core subset): Kube_URL, Kube_Tag_Prefix, Kube_Token_File,
