@@ -448,6 +448,98 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _syslog_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized syslog record fields over events: severities cycle
+    through digits + one name, facilities through 0-29 (24-29 invalid
+    -> preset), appnames with spaces, nullable procid, ~1/17 messages
+    pre-formatted ('<'-prefixed, passthrough path), props (with JSON
+    quotes) as the SD value."""
+    return _ep(_t(spark, sf_dir, "events")).select(
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 9 == 8, F.lit("warning"))
+        .otherwise((F.col("event_id") % 9).cast("string"))
+        .alias("sev"),
+        (F.col("event_id") % 30).cast("string").alias("fac"),
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")).alias("host"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("web app"))
+        .otherwise(F.lit("nginx"))
+        .alias("app"),
+        F.when(F.col("event_id") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("procid"),
+        F.concat(F.lit("m"), (F.col("event_id") % 7).cast("string")).alias(
+            "msgid"
+        ),
+        F.when(
+            F.col("event_id") % 17 == 0,
+            F.concat(F.lit("<99>pre "), F.col("event_type")),
+        )
+        .otherwise(
+            F.concat(F.col("event_type"), F.lit(' says "'), F.col("props"),
+                     F.lit('"'))
+        )
+        .alias("msg"),
+        F.map_from_arrays(
+            F.array(F.lit("k"), F.lit("bad key")),
+            F.array(F.col("props"), F.col("event_type")),
+        ).alias("sd"),
+    )
+
+
+def q_syslog_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_syslog wire encoding, both formats per record
+    (plugins/out_syslog/syslog.c:144 rfc5424, :297 rfc3164): prival
+    from key-resolved severity/facility with preset fallback, NILVALUE
+    dashes, SD-NAME sanitization + SD-PARAM value escaping, BOM'd
+    message, '<'-prefixed passthrough, app[procid]: framing."""
+    from fluent_bit_spark.functions.syslog_out import to_syslog
+
+    ev = _syslog_fields(spark, sf_dir)
+    l5 = to_syslog(
+        ev, "ts", "rfc5424", severity_col="sev", facility_col="fac",
+        hostname_col="host", appname_col="app", procid_col="procid",
+        msgid_col="msgid", sd_cols={"meta@123": "sd"}, message_col="msg",
+    )
+    l3 = to_syslog(
+        ev, "ts", "rfc3164", mode="tcp", severity_col="sev",
+        facility_col="fac", hostname_col="host", appname_col="app",
+        procid_col="procid", message_col="msg",
+    )
+    return ev.select(
+        "event_id", l5.alias("line_rfc5424"), l3.alias("line_rfc3164")
+    )
+
+
+def q_influx_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_influxdb line protocol (plugins/out_influxdb/influxdb.c:61,
+    influxdb_bulk.c:31): measurement/tag-set/field-set escaping, the
+    JSON-then-quote double escaping of string fields, %f floats,
+    integer 'i' suffix, ns timestamps, per-measurement sequence tag."""
+    from fluent_bit_spark.functions.influx_out import to_influx
+
+    ev = _ep(_t(spark, sf_dir, "events")).select(
+        "event_id",
+        "ts",
+        F.concat(F.lit("ev."), (F.col("event_id") % 3).cast("string")).alias(
+            "tag"
+        ),
+        F.col("event_type").alias("etype"),
+        "value",
+        F.col("user_id").alias("uid"),
+        "props",
+        F.concat(F.lit("h "), (F.col("user_id") % 5).cast("string")).alias(
+            "host"
+        ),
+    )
+    out = to_influx(
+        ev, "tag", "ts",
+        value_cols=["event_id", "etype", "value", "uid", "props", "host"],
+        tag_keys=["host"], use_influxdb_integer=True,
+    )
+    return out.select("event_id", "line")
+
+
 def q_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GELF encoding (flb_pack_gelf.c): version/host/short_message/
     timestamp/level + '_'-prefixed extras, validated by extracting the
@@ -2526,6 +2618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasm_filter": q_wasm_filter,
         "kubernetes_meta": q_kubernetes_meta,
         "multiline_partial": q_multiline_partial,
+        "syslog_encode": q_syslog_encode,
+        "influx_encode": q_influx_encode,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -3392,6 +3486,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*)::bigint AS records,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type
+        """,
+        "syslog_encode": r"""
+            WITH base AS (
+              SELECT event_id, ts,
+                CASE WHEN event_id % 9 = 8 THEN 'warning'
+                     ELSE CAST(event_id % 9 AS VARCHAR) END AS sev,
+                CAST(event_id % 30 AS VARCHAR) AS fac,
+                'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+                CASE WHEN event_id % 3 = 0 THEN 'web app'
+                     ELSE 'nginx' END AS app,
+                CASE WHEN event_id % 4 = 0 THEN NULL
+                     ELSE CAST(user_id AS VARCHAR) END AS procid,
+                'm' || CAST(event_id % 7 AS VARCHAR) AS msgid,
+                CASE WHEN event_id % 17 = 0 THEN '<99>pre ' || event_type
+                     ELSE event_type || ' says "' || props || '"' END AS msg,
+                props AS sd_k, event_type AS sd_bad
+              FROM events),
+            num AS (
+              SELECT *,
+                -- severity: single digit 0-7 or name, else preset 6
+                CASE WHEN sev = 'warning' THEN 4
+                     WHEN length(sev) = 1 AND sev BETWEEN '0' AND '7'
+                       THEN CAST(sev AS INT) ELSE 6 END AS sevn,
+                -- facility: 1 digit, or 2 digits <= 23, else preset 1
+                CASE WHEN length(fac) = 1 THEN CAST(fac AS INT)
+                     WHEN length(fac) = 2 AND CAST(fac AS INT) <= 23
+                       THEN CAST(fac AS INT) ELSE 1 END AS facn,
+                '[meta@123 k="'
+                  || regexp_replace(sd_k, '(["\\\]])', '\\\1', 'g')
+                  || '" bad_key="'
+                  || regexp_replace(sd_bad, '(["\\\]])', '\\\1', 'g')
+                  || '"]' AS sd
+              FROM base)
+            SELECT event_id,
+              substr(CASE WHEN msg LIKE '<%' THEN msg ELSE
+                '<' || CAST(facn * 8 + sevn AS VARCHAR) || '>1 '
+                || strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') || ' '
+                || host || ' ' || app || ' ' || coalesce(procid, '-')
+                || ' ' || msgid || ' ' || sd || ' ' || chr(65279) || msg
+              END, 1, 2048) AS line_rfc5424,
+              substr(CASE WHEN msg LIKE '<%' THEN msg ELSE
+                '<' || CAST(facn * 8 + sevn AS VARCHAR) || '>'
+                || strftime(ts, '%b') || printf(' %2d ', day(ts))
+                || strftime(ts, '%H:%M:%S') || ' ' || host || ' '
+                || app || CASE WHEN procid IS NULL THEN ''
+                               ELSE '[' || procid || ']' END
+                || ': ' || msg
+              END, 1, 1024) || chr(10) AS line_rfc3164
+            FROM num
+        """,
+        "influx_encode": r"""
+            WITH base AS (
+              SELECT event_id, epoch_us(ts) * 1000 AS ns,
+                'ev.' || CAST(event_id % 3 AS VARCHAR) AS tag,
+                event_type AS etype, value, user_id AS uid, props,
+                'h ' || CAST(user_id % 5 AS VARCHAR) AS host
+              FROM events),
+            esc AS (
+              SELECT *,
+                row_number() OVER (PARTITION BY tag ORDER BY ns, event_id)
+                  - 1 AS seq,
+                -- string fields: JSON escape then '"'/'\' escape
+                regexp_replace(regexp_replace(etype, '(["\\])', '\\\1', 'g'),
+                               '(["\\])', '\\\1', 'g') AS etype_e,
+                regexp_replace(regexp_replace(props, '(["\\])', '\\\1', 'g'),
+                               '(["\\])', '\\\1', 'g') AS props_e,
+                -- tag value: JSON escape then whitespace/,/=/\ escape
+                regexp_replace(regexp_replace(host, '(["\\])', '\\\1', 'g'),
+                               '([\s,=\\])', '\\\1', 'g') AS host_e
+              FROM base)
+            SELECT event_id,
+              tag || ',_seq=' || CAST(CASE WHEN seq >= 100000 THEN 1
+                                           ELSE seq END AS VARCHAR)
+              || ',host=' || host_e || ' '
+              || 'event_id=' || CAST(event_id AS VARCHAR) || 'i'
+              || ',etype="' || etype_e || '"'
+              || ',value=' || printf('%f', value)
+              || ',uid=' || CAST(uid AS VARCHAR) || 'i'
+              || ',props="' || props_e || '"'
+              || ' ' || CAST(ns AS VARCHAR) AS line
+            FROM esc
         """,
         "gelf": """
             SELECT event_id, '1.1' AS version,

@@ -1475,8 +1475,101 @@ def run_classic_outputs(
             else:
                 flush()
             counts[oid] = df.count()
+        elif sec.name in ("syslog", "influxdb", "gelf"):
+            encoded = encode_output_lines(df, sec)
+
+            def flush_lines(encoded=encoded, oid=oid) -> int:
+                from fluent_bit_spark.sinks import write_lines_per_tag
+
+                write_lines_per_tag(encoded, os.path.join(out_dir, oid))
+                return FLB_OK
+
+            if with_retry:
+                deliver(flush_lines, retry_limit=limits[oid])
+            else:
+                flush_lines()
+            counts[oid] = df.count()
         elif sec.name in ("null", "stdout", "counter", "flowcounter"):
             counts[oid] = df.count()
         else:
             raise ValueError(f"output plugin {sec.name!r} not supported")
     return counts
+
+
+def encode_output_lines(df, sec):
+    """(tag, line) DataFrame for the encoder-backed output plugins
+    (out_syslog / out_influxdb / out_gelf), mapping each plugin's
+    config keys onto the columnar encoders. The network transport
+    itself is out of scope (SURVEY §2.9) — delivery is file-per-tag,
+    but the bytes per record match what the reference would put on the
+    socket."""
+    ts = "event_time" if "event_time" in df.columns else None
+    if sec.name == "syslog":
+        from fluent_bit_spark.functions.syslog_out import to_syslog
+
+        if ts is None:
+            raise ValueError("out_syslog needs an event_time column")
+        sd_keys = [v for v in sec.get_all("syslog_sd_key") if v in df.columns]
+        line = to_syslog(
+            df, ts,
+            syslog_format=sec.get("syslog_format") or "rfc5424",
+            mode=sec.get("mode") or "udp",
+            maxsize=int(sec.get("syslog_maxsize") or 0) or None,
+            severity_col=_col_if(df, sec.get("syslog_severity_key")),
+            severity_preset=int(sec.get("syslog_severity_preset") or 6),
+            facility_col=_col_if(df, sec.get("syslog_facility_key")),
+            facility_preset=int(sec.get("syslog_facility_preset") or 1),
+            hostname_col=_col_if(df, sec.get("syslog_hostname_key")),
+            appname_col=_col_if(df, sec.get("syslog_appname_key")),
+            procid_col=_col_if(df, sec.get("syslog_procid_key")),
+            msgid_col=_col_if(df, sec.get("syslog_msgid_key")),
+            sd_cols={k: k for k in sd_keys} or None,
+            message_col=_col_if(df, sec.get("syslog_message_key")),
+        )
+        return df.select("tag", line.alias("line"))
+    if sec.name == "influxdb":
+        from fluent_bit_spark.functions.influx_out import to_influx
+
+        if ts is None:
+            raise ValueError("out_influxdb needs an event_time column")
+        seq = sec.get("sequence_tag")
+        seq = "_seq" if seq is None else (None if seq.lower() == "off" else seq)
+        return to_influx(
+            df, "tag", ts,
+            # '_'-prefixed columns are pipeline-internal (record order,
+            # lineage) — never part of the user's record map
+            value_cols=[
+                c for c in df.columns
+                if c not in ("tag", ts) and not c.startswith("_")
+            ],
+            tag_keys=(sec.get("tag_keys") or "").split() or None,
+            auto_tags=(sec.get("auto_tags") or "false").lower() == "true",
+            sequence_tag=seq,
+            use_influxdb_integer=(
+                (sec.get("add_integer_suffix") or "false").lower() == "true"
+            ),
+        ).select("tag", "line")
+    # gelf (out_gelf's gelf_* field keys; flb_pack_gelf.c rendering)
+    from fluent_bit_spark.functions.gelf import to_gelf
+
+    msg_key = sec.get("gelf_short_message_key")
+    if not msg_key or msg_key not in df.columns:
+        raise ValueError("out_gelf needs Gelf_Short_Message_Key")
+    host = _col_if(df, sec.get("gelf_host_key")) or msg_key
+    reserved = {
+        msg_key, host, ts, "tag",
+        sec.get("gelf_level_key"), sec.get("gelf_timestamp_key"),
+    }
+    line = to_gelf(
+        df, host, msg_key, sec.get("gelf_timestamp_key") or ts,
+        level_col=_col_if(df, sec.get("gelf_level_key")),
+        extra_cols=[
+            c for c in df.columns
+            if c not in reserved and not c.startswith("_")
+        ],
+    )
+    return df.select("tag", line.alias("line"))
+
+
+def _col_if(df, name):
+    return name if name and name in df.columns else None

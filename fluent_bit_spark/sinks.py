@@ -146,6 +146,20 @@ def check_delimiter(s: str | None, default: str) -> str:
     return default
 
 
+def write_lines_per_tag(
+    df: DataFrame, out_dir: str, tag_col: str = "tag", line_col: str = "line"
+) -> None:
+    """File-per-tag delivery of a pre-encoded wire-format line column
+    (syslog/influx/gelf encoders) — same one-pass partitioned layout
+    as write_per_tag."""
+    (
+        df.select(F.col(tag_col), F.col(line_col).alias("value"))
+        .write.mode("overwrite")
+        .partitionBy(tag_col)
+        .text(out_dir)
+    )
+
+
 def write_per_tag(
     df: DataFrame,
     out_dir: str,

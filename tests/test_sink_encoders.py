@@ -1,0 +1,224 @@
+"""out_syslog / out_influxdb wire-format encoders + classic wiring.
+
+Goldens are hand-derived from the reference composers:
+plugins/out_syslog/syslog.c:144 (rfc5424), :297 (rfc3164),
+plugins/out_influxdb/influxdb.c:61 + influxdb_bulk.c:31.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from fluent_bit_spark.functions.influx_out import to_influx
+from fluent_bit_spark.functions.syslog_out import to_syslog
+
+TS = dt.datetime(2024, 3, 5, 14, 30, 15, 123456)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def syslog_df(spark):
+    rows = [
+        (1, TS, "err", "daemon", "host1", "nginx", "77", "ID47",
+         'hello "world"'),
+        (2, TS, "9", None, None, None, None, None, "<34>raw passthrough"),
+        (3, dt.datetime(2024, 3, 5, 14, 30, 16), "crit", "local3", "h2",
+         "app with space", None, None, "body msg"),
+        (4, TS, "nosuch", "99", "h3", None, None, None, "m4"),
+    ]
+    df = _df(
+        spark, rows,
+        "id int, ts timestamp, sev string, fac string, host string,"
+        " app string, procid string, msgid string, msg string",
+    )
+    # deterministic SD map entry order (map_from_arrays preserves it;
+    # a Python-dict literal would not) — only row 1 carries SD
+    sd = F.when(
+        F.col("id") == 1,
+        F.map_from_arrays(
+            F.array(F.lit("k"), F.lit("bad key")),
+            F.array(F.lit('va"l]x\\y'), F.lit("v2")),
+        ),
+    )
+    return df.withColumn("sd", sd)
+
+
+def test_rfc5424_golden(spark):
+    df = syslog_df(spark)
+    line = to_syslog(
+        df, "ts", "rfc5424", severity_col="sev", facility_col="fac",
+        hostname_col="host", appname_col="app", procid_col="procid",
+        msgid_col="msgid", sd_cols={"meta@123": "sd"}, message_col="msg",
+    )
+    got = {r["id"]: r["l"] for r in df.select("id", line.alias("l")).collect()}
+    # daemon(3)*8 + err(3) = 27; SD value escapes " ] \ ; SD name space -> _
+    assert got[1] == (
+        '<27>1 2024-03-05T14:30:15.123456Z host1 nginx 77 ID47 '
+        '[meta@123 k="va\\"l\\]x\\\\y" bad_key="v2"] ﻿hello "world"'
+    )
+    # message starting with '<' passes through verbatim (syslog.c:152)
+    assert got[2] == "<34>raw passthrough"
+    # local3(19)*8 + crit(2) = 154; missing fields are NILVALUE '-'
+    assert got[3] == (
+        "<154>1 2024-03-05T14:30:16.000000Z h2 app with space - - - ﻿body msg"
+    )
+    # invalid severity name and out-of-range facility fall to presets 6/1
+    assert got[4].startswith("<14>1 ")
+
+
+def test_rfc3164_golden_and_modes(spark):
+    df = syslog_df(spark)
+    line = to_syslog(
+        df, "ts", "rfc3164", mode="tcp", severity_col="sev",
+        facility_col="fac", hostname_col="host", appname_col="app",
+        procid_col="procid", message_col="msg",
+    )
+    got = {r["id"]: r["l"] for r in df.select("id", line.alias("l")).collect()}
+    # "%s %2d %02d:%02d:%02d" — space-padded day, app[procid]: msg
+    assert got[1] == '<27>Mar  5 14:30:15 host1 nginx[77]: hello "world"\n'
+    assert got[2] == "<34>raw passthrough\n"  # tcp adds newline
+    assert got[3] == "<154>Mar  5 14:30:16 h2 app with space: body msg\n"
+
+
+def test_syslog_maxsize_and_presets(spark):
+    df = _df(spark, [(1, TS, "x" * 5000)], "id int, ts timestamp, msg string")
+    line = to_syslog(df, "ts", "rfc5424", message_col="msg")
+    s = df.select(line.alias("l")).first()["l"]
+    assert len(s) == 2048  # default rfc5424 cap (syslog_conf.c:149-152)
+    # no severity/facility cols: presets 6/1 -> pri 14
+    assert s.startswith("<14>1 ")
+    line3 = to_syslog(df, "ts", "rfc3164", maxsize=100, message_col="msg")
+    assert len(df.select(line3.alias("l")).first()["l"]) == 100
+
+
+def influx_df(spark):
+    rows = [
+        (1, TS, "web a", 'hello "w"', 3.5, True, None, "h 1"),
+        (2, TS, "web a", "plain", -7.25, False, 42, None),
+        (3, dt.datetime(2024, 3, 5, 14, 30, 16), "db,b", "msg,with=eq",
+         1.0, None, 7, "h2"),
+        (4, TS, "empty", None, None, None, None, None),
+    ]
+    return _df(
+        spark, rows,
+        "id long, ts timestamp, tag string, msg string, fval double,"
+        " bval boolean, ival int, host string",
+    )
+
+
+def test_influx_golden(spark):
+    out = to_influx(
+        influx_df(spark), "tag", "ts",
+        value_cols=["id", "msg", "fval", "bval", "ival", "host"],
+        tag_keys=["host"], use_influxdb_integer=True,
+    )
+    got = {r["id"]: r["line"] for r in out.collect()}
+    # row 4 keeps its non-null id field -> id-only body
+    assert got[4].split(" ")[1] == "id=4i"
+    ns1 = int(TS.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000
+    # measurement space escaped; tag value space escaped, unquoted;
+    # string field JSON-escaped THEN quote-escaped (double escaping is
+    # reference behavior); bool TRUE; null ival skipped; %f float
+    assert got[1] == (
+        f'web\\ a,_seq=0,host=h\\ 1 id=1i,msg="hello \\\\\\"w\\\\\\"",'
+        f"fval=3.500000,bval=TRUE {ns1}"
+    )
+    assert got[2] == (
+        f"web\\ a,_seq=1 id=2i,msg=\"plain\",fval=-7.250000,bval=FALSE,"
+        f"ival=42i {ns1}"
+    )
+    # ',' and '=' escaped in measurement; inside a quoted field value
+    # they are left alone
+    assert got[3].startswith('db\\,b,_seq=0,host=h2 id=3i,msg="msg,with=eq"')
+    # record with no non-null FIELD values is dropped entirely
+    # (bulk_body->len > 0 guard, influxdb.c:255)
+    dropped = to_influx(
+        influx_df(spark), "tag", "ts",
+        value_cols=["msg", "fval", "bval", "ival"],
+    )
+    assert dropped.filter("tag = 'empty'").count() == 0
+    assert dropped.count() == 3
+
+
+def test_influx_options(spark):
+    df = influx_df(spark).filter("id = 2")
+    # sequence off; auto_tags moves every string value to the tag set
+    out = to_influx(df, "tag", "ts", sequence_tag=None, auto_tags=True)
+    line = out.first()["line"]
+    assert line.startswith("web\\ a,msg=plain ")
+    assert ",_seq=" not in line
+    # no integer suffix by default
+    assert ",ival=42 " in line
+
+
+def test_influx_dedupe_timestamps(spark):
+    df = _df(
+        spark,
+        [(i, TS, "t", float(i)) for i in range(3)],
+        "id long, ts timestamp, tag string, v double",
+    )
+    out = to_influx(df, "tag", "ts", dedupe_timestamps=True)
+    ns = sorted(int(r["line"].rsplit(" ", 1)[1]) for r in out.collect())
+    # influxdb_tsmod: identical timestamps each get +1ns
+    assert ns == [ns[0], ns[0] + 1, ns[0] + 2]
+
+
+def test_classic_encoder_outputs(spark, tmp_path):
+    from fluent_bit_spark.classic import build_classic_pipeline, run_classic_outputs
+
+    conf = """
+[INPUT]
+    Name    dummy
+    Tag     app.log
+    Dummy   {"message":"boot ok","level":"err","host":"web1","pid":"12"}
+    Samples 3
+
+[OUTPUT]
+    Name                 syslog
+    Match                app.*
+    Syslog_Format        rfc5424
+    Syslog_Severity_Key  level
+    Syslog_Hostname_Key  host
+    Syslog_Procid_Key    pid
+    Syslog_Message_Key   message
+
+[OUTPUT]
+    Name            influxdb
+    Match           app.*
+    Tag_Keys        host
+    Sequence_Tag    off
+
+[OUTPUT]
+    Name                   gelf
+    Match                  app.*
+    Gelf_Short_Message_Key message
+    Gelf_Host_Key          host
+    Gelf_Level_Key         level
+"""
+    pipe = build_classic_pipeline(spark, conf)
+    counts = run_classic_outputs(pipe, str(tmp_path), with_retry=False)
+    assert counts == {"syslog.0": 3, "influxdb.1": 3, "gelf.2": 3}
+
+    def lines(oid):
+        out = []
+        for p in glob.glob(os.path.join(str(tmp_path), oid, "*", "part-*")):
+            out += open(p, encoding="utf-8").read().splitlines()
+        return out
+
+    sys_lines = lines("syslog.0")
+    assert len(sys_lines) == 3
+    assert all(
+        ln.startswith("<11>1 ") and " web1 - 12 - - ﻿boot ok" in ln
+        for ln in sys_lines
+    )
+    ifx = lines("influxdb.1")
+    assert all(ln.startswith("app.log,host=web1 ") for ln in ifx)
+    assert all('message="boot ok"' in ln and 'level="err"' in ln for ln in ifx)
+    gelf = lines("gelf.2")
+    assert all('"version":"1.1"' in ln and '"host":"web1"' in ln for ln in gelf)
