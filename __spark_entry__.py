@@ -540,6 +540,110 @@ def q_influx_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "line")
 
 
+def q_loki_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_loki entry encoding (plugins/out_loki/loki.c): stream label
+    set from static + record-accessor labels with per-record
+    empty-skip and name sanitization (pack_label_key :315), key_value
+    line format (pack_format_line_value :1234 — raw-quoted strings,
+    %.1f integral floats), ns-string timestamps (pack_timestamp)."""
+    from fluent_bit_spark.functions.loki_out import to_loki
+
+    ev = _ep(_t(spark, sf_dir, "events")).select(
+        "event_id",
+        "ts",
+        F.lit("app.log").alias("tag"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(""))
+        .otherwise(F.col("event_type"))
+        .alias("etype"),
+        "user_id",
+        "value",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    out = to_loki(
+        ev, "ts", tag_col="tag",
+        labels={"job": "fbs", "9type": "$etype"},
+        line_format="key_value",
+    )
+    # event_id is in the line (kv) — keep it as the join/sort key too
+    return out.select(
+        F.regexp_extract("line", r"event_id=(\d+)", 1).cast("long").alias(
+            "event_id"
+        ),
+        "stream", "ns", "line",
+    )
+
+
+def q_splunk_hec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_splunk HEC event JSON (plugins/out_splunk/splunk.c pack_map
+    :408 + pack_map_meta :263): time as epoch double, record-accessor
+    host, static source/sourcetype/index, fields map, event payload;
+    fields extracted back out of the emitted JSON (same verification
+    shape as the driver-green gelf row)."""
+    from fluent_bit_spark.functions.hec_out import to_splunk_hec
+
+    ev = _ep(_t(spark, sf_dir, "events")).select(
+        "event_id", "ts",
+        F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")).alias(
+            "host"
+        ),
+        "event_type", "value", "user_id",
+    )
+    line = to_splunk_hec(
+        ev, "ts", event_cols=["event_id", "event_type", "value"],
+        host=F.col("host"), source="fbs", sourcetype="_json", index="main",
+        fields={"uid": "user_id"},
+    )
+    out = ev.select("event_id", line.alias("l"))
+    return out.select(
+        "event_id",
+        F.round(F.get_json_object("l", "$.time").cast("double"), 3).alias(
+            "time3"
+        ),
+        F.get_json_object("l", "$.host").alias("host"),
+        F.get_json_object("l", "$.sourcetype").alias("sourcetype"),
+        F.get_json_object("l", "$.fields.uid").cast("long").alias("uid"),
+        F.get_json_object("l", "$.event.event_type").alias("etype"),
+        F.round(F.get_json_object("l", "$.event.value").cast("double"), 4)
+        .alias("value4"),
+    )
+
+
+def q_datadog_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_datadog intake object (plugins/out_datadog/datadog.c:146+):
+    epoch-ms timestamp with half-up ns rounding (timestamp_format
+    :54-62), tag under Tag_Key, dd_source/service statics, message-key
+    rename, ddtags last; values extracted back from the JSON."""
+    from fluent_bit_spark.functions.hec_out import to_datadog
+
+    ev = _ep(_t(spark, sf_dir, "events")).select(
+        "event_id", "ts",
+        F.concat(F.lit("dd."), (F.col("event_id") % 3).cast("string")).alias(
+            "tag"
+        ),
+        F.col("event_type").alias("msg"),
+        "value",
+    )
+    line = to_datadog(
+        ev, "ts", message_col="msg", tag_col="tag", include_tag_key=True,
+        tag_key="fb_tag", dd_source="spark", dd_service="pipeline",
+        dd_tags="env:test",
+    )
+    out = ev.select("event_id", line.alias("l"))
+    return out.select(
+        "event_id",
+        F.get_json_object("l", "$.timestamp").cast("long").alias("ts_ms"),
+        F.get_json_object("l", "$.fb_tag").alias("fb_tag"),
+        F.get_json_object("l", "$.ddsource").alias("ddsource"),
+        F.get_json_object("l", "$.message").alias("message"),
+        F.round(F.get_json_object("l", "$.value").cast("double"), 4).alias(
+            "value4"
+        ),
+        F.get_json_object("l", "$.ddtags").alias("ddtags"),
+    )
+
+
 def q_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GELF encoding (flb_pack_gelf.c): version/host/short_message/
     timestamp/level + '_'-prefixed extras, validated by extracting the
@@ -2620,6 +2724,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_partial": q_multiline_partial,
         "syslog_encode": q_syslog_encode,
         "influx_encode": q_influx_encode,
+        "loki_encode": q_loki_encode,
+        "splunk_hec": q_splunk_hec,
+        "datadog_encode": q_datadog_encode,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -3567,6 +3674,42 @@ def oracle_sql() -> dict[str, str]:
               || ',props="' || props_e || '"'
               || ' ' || CAST(ns AS VARCHAR) AS line
             FROM esc
+        """,
+        "loki_encode": r"""
+            WITH base AS (
+              SELECT event_id, ts, user_id, value,
+                CASE WHEN event_id % 7 = 0 THEN '' ELSE event_type END
+                  AS etype,
+                CASE WHEN event_id % 5 = 0 THEN NULL ELSE props END AS props
+              FROM events)
+            SELECT event_id,
+              CASE WHEN etype = '' THEN '{"job":"fbs"}'
+                   ELSE '{"job":"fbs","_9type":"' || etype || '"}'
+              END AS stream,
+              CAST(epoch_us(ts) * 1000 AS VARCHAR) AS ns,
+              'event_id=' || CAST(event_id AS VARCHAR)
+              || ' user_id=' || CAST(user_id AS VARCHAR)
+              || ' value=' || CASE WHEN value = floor(value)
+                                   THEN printf('%.1f', value)
+                                   ELSE CAST(value AS VARCHAR) END
+              || ' props=' || CASE WHEN props IS NULL THEN 'null'
+                                   ELSE '"' || props || '"' END AS line
+            FROM base
+        """,
+        "splunk_hec": """
+            SELECT event_id, round(epoch(ts), 3) AS time3,
+                   'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+                   '_json' AS sourcetype, user_id AS uid,
+                   event_type AS etype, round(value, 4) AS value4
+            FROM events
+        """,
+        "datadog_encode": """
+            SELECT event_id,
+                   (epoch_us(ts) + 500) // 1000 AS ts_ms,
+                   'dd.' || CAST(event_id % 3 AS VARCHAR) AS fb_tag,
+                   'spark' AS ddsource, event_type AS message,
+                   round(value, 4) AS value4, 'env:test' AS ddtags
+            FROM events
         """,
         "gelf": """
             SELECT event_id, '1.1' AS version,

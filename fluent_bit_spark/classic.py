@@ -1475,7 +1475,9 @@ def run_classic_outputs(
             else:
                 flush()
             counts[oid] = df.count()
-        elif sec.name in ("syslog", "influxdb", "gelf"):
+        elif sec.name in (
+            "syslog", "influxdb", "gelf", "loki", "splunk", "datadog"
+        ):
             encoded = encode_output_lines(df, sec)
 
             def flush_lines(encoded=encoded, oid=oid) -> int:
@@ -1503,6 +1505,9 @@ def encode_output_lines(df, sec):
     itself is out of scope (SURVEY §2.9) — delivery is file-per-tag,
     but the bytes per record match what the reference would put on the
     socket."""
+    # '_'-prefixed columns are pipeline-internal (record order,
+    # lineage) — never part of the user's record map in any format
+    df = df.select(*[c for c in df.columns if not c.startswith("_")])
     ts = "event_time" if "event_time" in df.columns else None
     if sec.name == "syslog":
         from fluent_bit_spark.functions.syslog_out import to_syslog
@@ -1536,12 +1541,7 @@ def encode_output_lines(df, sec):
         seq = "_seq" if seq is None else (None if seq.lower() == "off" else seq)
         return to_influx(
             df, "tag", ts,
-            # '_'-prefixed columns are pipeline-internal (record order,
-            # lineage) — never part of the user's record map
-            value_cols=[
-                c for c in df.columns
-                if c not in ("tag", ts) and not c.startswith("_")
-            ],
+            value_cols=[c for c in df.columns if c not in ("tag", ts)],
             tag_keys=(sec.get("tag_keys") or "").split() or None,
             auto_tags=(sec.get("auto_tags") or "false").lower() == "true",
             sequence_tag=seq,
@@ -1549,6 +1549,106 @@ def encode_output_lines(df, sec):
                 (sec.get("add_integer_suffix") or "false").lower() == "true"
             ),
         ).select("tag", "line")
+    if sec.name == "loki":
+        from fluent_bit_spark.functions.loki_out import to_loki
+
+        if ts is None:
+            raise ValueError("out_loki needs an event_time column")
+        labels: dict[str, str] = {}
+        for spec in sec.get_all("labels"):
+            for part in spec.split(","):
+                part = part.strip()
+                if "=" in part:
+                    k, v = part.split("=", 1)
+                    labels[k.strip()] = v.strip()
+        label_keys = [
+            v.strip().lstrip("$")
+            for spec in sec.get_all("label_keys")
+            for v in spec.split(",")
+            if v.strip().lstrip("$") in df.columns
+        ]
+        remove = [
+            v.strip().lstrip("$")
+            for spec in sec.get_all("remove_keys")
+            for v in spec.split(",")
+        ]
+        dsk = (sec.get("drop_single_key") or "off").lower()
+        entries = to_loki(
+            df, ts, tag_col="tag",
+            labels=labels or None, label_keys=label_keys or None,
+            remove_keys=remove or None,
+            line_format=(sec.get("line_format") or "json").lower(),
+            drop_single_key=(
+                "raw" if dsk == "raw" else dsk in ("on", "true")
+            ),
+        )
+        # deliver the wire line per stream; the push-payload batcher
+        # (loki_push_payload) is the HTTP-body form of the same rows
+        return entries.select(
+            F.col("stream").alias("tag"),
+            F.concat("ns", F.lit(" "), "line").alias("line"),
+        )
+    if sec.name == "splunk":
+        from fluent_bit_spark.functions.hec_out import to_splunk_hec
+
+        if ts is None:
+            raise ValueError("out_splunk needs an event_time column")
+        fields = {}
+        for spec in sec.get_all("event_field"):
+            parts = spec.split()
+            if len(parts) == 2 and parts[1].lstrip("$") in df.columns:
+                fields[parts[0]] = parts[1].lstrip("$")
+
+        def _meta(key_opt: str, static_opt: str):
+            key = sec.get(key_opt)
+            if key and key.lstrip("$") in df.columns:
+                static = sec.get(static_opt)
+                col = F.col(key.lstrip("$"))
+                return F.coalesce(col, F.lit(static)) if static else col
+            return sec.get(static_opt)
+
+        host = sec.get("event_host")
+        line = to_splunk_hec(
+            df, ts,
+            event_cols=[c for c in df.columns if c not in ("tag", ts)],
+            host=(
+                F.col(host.lstrip("$"))
+                if host and host.lstrip("$") in df.columns
+                else host
+            ),
+            source=sec.get("event_source"),
+            sourcetype=_meta("event_sourcetype_key", "event_sourcetype"),
+            index=_meta("event_index_key", "event_index"),
+            fields=fields or None,
+            event_key=(
+                (sec.get("event_key") or "").lstrip("$") or None
+                if (sec.get("event_key") or "").lstrip("$") in df.columns
+                else None
+            ),
+            send_raw=(sec.get("splunk_send_raw") or "off").lower()
+            in ("on", "true"),
+        )
+        return df.select("tag", line.alias("line"))
+    if sec.name == "datadog":
+        from fluent_bit_spark.functions.hec_out import to_datadog
+
+        if ts is None:
+            raise ValueError("out_datadog needs an event_time column")
+        line = to_datadog(
+            df,
+            ts,
+            message_col=sec.get("dd_message_key"),
+            tag_col="tag",
+            include_tag_key=(sec.get("include_tag_key") or "false").lower()
+            in ("on", "true"),
+            tag_key=sec.get("tag_key") or "tagkey",
+            dd_source=sec.get("dd_source"),
+            dd_service=sec.get("dd_service"),
+            dd_hostname=sec.get("dd_hostname"),
+            dd_tags=sec.get("dd_tags"),
+            date_key=sec.get("json_date_key") or "timestamp",
+        )
+        return df.select("tag", line.alias("line"))
     # gelf (out_gelf's gelf_* field keys; flb_pack_gelf.c rendering)
     from fluent_bit_spark.functions.gelf import to_gelf
 
@@ -1563,10 +1663,7 @@ def encode_output_lines(df, sec):
     line = to_gelf(
         df, host, msg_key, sec.get("gelf_timestamp_key") or ts,
         level_col=_col_if(df, sec.get("gelf_level_key")),
-        extra_cols=[
-            c for c in df.columns
-            if c not in reserved and not c.startswith("_")
-        ],
+        extra_cols=[c for c in df.columns if c not in reserved],
     )
     return df.select("tag", line.alias("line"))
 

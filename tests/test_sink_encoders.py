@@ -222,3 +222,218 @@ def test_classic_encoder_outputs(spark, tmp_path):
     assert all('message="boot ok"' in ln and 'level="err"' in ln for ln in ifx)
     gelf = lines("gelf.2")
     assert all('"version":"1.1"' in ln and '"host":"web1"' in ln for ln in gelf)
+
+
+# ---- out_loki (plugins/out_loki/loki.c) ----
+
+
+def loki_src(spark):
+    rows = [
+        (1, TS, "app.a", "web1", "boot ok", 200, 1.5, True),
+        (2, TS, "app.a", "", 'say "hi"', 404, 2.0, None),
+        (3, dt.datetime(2024, 3, 5, 14, 30, 14), "app.b", None,
+         "third", None, 0.25, False),
+    ]
+    return _df(
+        spark, rows,
+        "id int, ts timestamp, tag string, host string, msg string,"
+        " code int, ratio double, ok boolean",
+    )
+
+
+def test_loki_labels_and_json_line(spark):
+    from fluent_bit_spark.functions.loki_out import to_loki
+
+    out = to_loki(
+        loki_src(spark), "ts", tag_col="tag",
+        labels={"job": "logs", "9bad name": "$host"},
+        remove_keys=["id"],
+    ).collect()
+    by_line = {r["line"]: r for r in out}
+    # label name sanitized: leading digit prefixed, bad chars -> '_'
+    r1 = next(r for r in out if '"web1"' in r["stream"])
+    assert r1["stream"] == '{"job":"logs","_9bad_name":"web1"}'
+    # empty label value skipped (pack_kv loki.c:369-377)
+    r2 = next(r for r in out if "say" in r["line"])
+    assert r2["stream"] == '{"job":"logs"}'
+    # null label value skipped; line keeps nulls as JSON null
+    r3 = next(r for r in out if "third" in r["line"])
+    assert '"code":null' in r3["line"]
+    # removed + label-source + ts/tag keys are not in the line
+    assert '"id"' not in r1["line"] and '"host"' not in r1["line"]
+    # ns timestamp string
+    assert r1["ns"] == str(
+        int(TS.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000
+    )
+
+
+def test_loki_key_value_line(spark):
+    from fluent_bit_spark.functions.loki_out import to_loki
+
+    out = to_loki(
+        loki_src(spark), "ts", tag_col="tag", label_keys=["host"],
+        remove_keys=["id"], line_format="key_value",
+    ).collect()
+    lines = {r["line"] for r in out}
+    # strings raw-quoted without escaping (reference bug kept);
+    # integral float -> %.1f; bool; null
+    assert 'msg="boot ok" code=200 ratio=1.5 ok=true' in lines
+    assert 'msg="say "hi"" code=404 ratio=2.0 ok=null' in lines
+    assert 'msg="third" code=null ratio=0.25 ok=false' in lines
+
+
+def test_loki_drop_single_key(spark):
+    from fluent_bit_spark.functions.loki_out import to_loki
+
+    df = loki_src(spark).select("ts", "tag", "msg")
+    js = to_loki(df, "ts", tag_col="tag", drop_single_key=True).collect()
+    # bare JSON string rendering (escaped quotes)
+    assert '"say \\"hi\\""' in {r["line"] for r in js}
+    raw = to_loki(df, "ts", tag_col="tag", drop_single_key="raw").collect()
+    assert 'say "hi"' in {r["line"] for r in raw}
+    # default stream label when none configured
+    assert {r["stream"] for r in raw} == {'{"job":"fluent-bit"}'}
+
+
+def test_loki_push_payload_batches(spark):
+    import json
+
+    from fluent_bit_spark.functions.loki_out import loki_push_payload, to_loki
+
+    entries = to_loki(loki_src(spark), "ts", tag_col="tag",
+                      labels={"svc": "$tag"})
+    pay = loki_push_payload(entries, max_entries=1).collect()
+    # 2 entries for app.a -> 2 batches; 1 for app.b
+    assert len(pay) == 3
+    p = json.loads(pay[0]["payload"])
+    assert list(p) == ["streams"]
+    st = p["streams"][0]
+    assert set(st) == {"stream", "values"}
+    assert all(len(v) == 2 and v[0].isdigit() for v in st["values"])
+
+
+# ---- out_splunk HEC + out_datadog (hec_out.py) ----
+
+
+def test_splunk_hec(spark):
+    import json
+
+    from fluent_bit_spark.functions.hec_out import to_splunk_hec
+
+    df = loki_src(spark)
+    line = to_splunk_hec(
+        df, "ts", event_cols=["msg", "code"], host=F.col("host"),
+        source="fbs", sourcetype="log", index="main",
+        fields={"f_ok": "ok"},
+    )
+    got = json.loads(df.select(line.alias("l")).first()["l"])
+    assert list(got) == ["time", "host", "source", "sourcetype", "index",
+                         "fields", "event"]
+    assert got["event"] == {"msg": "boot ok", "code": 200}
+    assert got["fields"] == {"f_ok": True}
+    assert abs(got["time"] - TS.replace(tzinfo=dt.timezone.utc).timestamp()) < 1e-6
+
+    # event_key: present -> bare value; NULL -> full map fallback
+    key_line = to_splunk_hec(df, "ts", event_cols=["msg"], event_key="host")
+    rows = {json.loads(r["l"])["event"] if isinstance(json.loads(r["l"])["event"], str)
+            else "MAP": 1
+            for r in df.select(key_line.alias("l")).collect()}
+    assert "web1" in rows and "MAP" in rows  # row3 host NULL -> map
+
+    raw = to_splunk_hec(df, "ts", event_cols=["msg"], send_raw=True)
+    assert json.loads(df.select(raw.alias("l")).first()["l"]) == {
+        "msg": "boot ok"
+    }
+
+
+def test_datadog(spark):
+    import json
+
+    from fluent_bit_spark.functions.hec_out import to_datadog
+
+    df = loki_src(spark).select("ts", "tag", "msg", "code")
+    line = to_datadog(
+        df, "ts", message_col="msg", tag_col="tag", include_tag_key=True,
+        tag_key="fb_tag", dd_source="nginx", dd_service="svc",
+        dd_tags="env:dev,team:x",
+    )
+    got = json.loads(df.select(line.alias("l")).first()["l"])
+    # key order: date key, tag, ddsource/service, record kvs
+    # (message renamed), ddtags last (datadog.c:219-325)
+    assert list(got) == ["timestamp", "fb_tag", "ddsource", "service",
+                         "message", "code", "ddtags"]
+    assert got["message"] == "boot ok" and got["fb_tag"] == "app.a"
+    # epoch ms, ns rounded half-up: .123456 -> 123 ms... and the
+    # rounding boundary itself:
+    assert got["timestamp"] == 1709649015123
+    from fluent_bit_spark.functions.hec_out import datadog_ms
+
+    edge = _df(
+        spark,
+        [(dt.datetime(2024, 1, 1, 0, 0, 0, 500),),
+         (dt.datetime(2024, 1, 1, 0, 0, 0, 499),)],
+        "ts timestamp",
+    )
+    ms = [r["m"] for r in edge.select(datadog_ms("ts").alias("m")).collect()]
+    base = 1704067200000
+    assert sorted(ms) == [base, base + 1]  # 499us down, 500us up
+
+
+def test_classic_loki_splunk_datadog(spark, tmp_path):
+    import json
+
+    from fluent_bit_spark.classic import build_classic_pipeline, run_classic_outputs
+
+    conf = """
+[INPUT]
+    Name    dummy
+    Tag     svc.a
+    Dummy   {"message":"boot ok","level":"err","host":"web1"}
+    Samples 2
+
+[OUTPUT]
+    Name         loki
+    Match        svc.*
+    Labels       job=logs, lvl=$level
+    Remove_Keys  host
+    Line_Format  key_value
+
+[OUTPUT]
+    Name              splunk
+    Match             svc.*
+    Event_Host        $host
+    Event_Source      fbs
+    Event_Sourcetype  custom
+    Event_Field       lvl level
+
+[OUTPUT]
+    Name            datadog
+    Match           svc.*
+    dd_message_key  message
+    dd_source       app
+    dd_tags         env:ci
+"""
+    pipe = build_classic_pipeline(spark, conf)
+    counts = run_classic_outputs(pipe, str(tmp_path), with_retry=False)
+    assert counts == {"loki.0": 2, "splunk.1": 2, "datadog.2": 2}
+
+    def lines(oid):
+        out = []
+        for p in glob.glob(os.path.join(str(tmp_path), oid, "*", "part-*")):
+            out += open(p, encoding="utf-8").read().splitlines()
+        return out
+
+    lk = lines("loki.0")
+    assert all(ln.endswith(' message="boot ok"') for ln in lk)  # host removed by Remove_Keys, level auto-removed as label source
+    sp = [json.loads(ln) for ln in lines("splunk.1")]
+    assert all(
+        d["host"] == "web1" and d["sourcetype"] == "custom"
+        and d["fields"] == {"lvl": "err"} and d["event"]["message"] == "boot ok"
+        for d in sp
+    )
+    dd = [json.loads(ln) for ln in lines("datadog.2")]
+    assert all(
+        d["message"] == "boot ok" and d["ddsource"] == "app"
+        and d["ddtags"] == "env:ci" and isinstance(d["timestamp"], int)
+        for d in dd
+    )
