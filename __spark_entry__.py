@@ -540,6 +540,71 @@ def q_influx_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "line")
 
 
+def q_builtin_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock parser pack (reference conf/parsers.conf shipped as
+    fluent_bit_spark.parsers.builtin): synthesize apache-combined,
+    syslog-rfc5424 and CRI lines from events, parse each with the
+    named built-in (regex + Time_Format path), and return normalized
+    extracted fields. Verifies the shipped regexes and time handling
+    against an independent DuckDB re-extraction of the same lines."""
+    from fluent_bit_spark.parsers import apply_parser
+    from fluent_bit_spark.parsers.builtin import builtin_parsers
+
+    ps = builtin_parsers()
+    ev = _ep(_t(spark, sf_dir, "events")).select(
+        "event_id", "ts", "user_id", "event_type",
+        F.col("value").cast("int").alias("nbytes"),
+    )
+    apache_line = F.concat(
+        F.lit("h"), (F.col("user_id") % 5).cast("string"),
+        F.lit(" - u"), F.col("user_id").cast("string"),
+        F.lit(" ["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+        F.lit(' +0000] "GET /p'), F.col("event_id").cast("string"),
+        F.lit(' HTTP/1.1" 200 '), F.col("nbytes").cast("string"),
+        F.lit(' "-" "ua/'), F.col("event_type"), F.lit('"'),
+    )
+    syslog_line = F.concat(
+        F.lit("<13>1 "), F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+        F.lit("+0000 h"), (F.col("user_id") % 5).cast("string"),
+        F.lit(" app"), (F.col("event_id") % 4).cast("string"),
+        F.lit(" 77 MID - msg "), F.col("event_type"),
+    )
+    cri_line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+        F.lit("+0000 "),
+        F.when(F.col("event_id") % 2 == 0, F.lit("stdout")).otherwise(
+            F.lit("stderr")
+        ),
+        F.lit(" F log "), F.col("event_type"),
+    )
+
+    def parsed(kind: str, line, parser: str, a, b, c, d):
+        src = ev.select("event_id", "ts", line.alias("text"))
+        out = apply_parser(src, "text", ps[parser])
+        return out.select(
+            F.lit(kind).alias("kind"),
+            "event_id",
+            F.col(a).alias("a"),
+            F.col(b).alias("b"),
+            F.col(c).cast("string").alias("c"),
+            F.col(d).alias("d"),
+            F.round(F.col("event_time").cast("double"), 3).alias("ts3"),
+        )
+
+    return (
+        parsed("apache", apache_line, "apache", "host", "path", "code",
+               "agent")
+        .unionByName(
+            parsed("rfc5424", syslog_line, "syslog-rfc5424", "host",
+                   "ident", "pri", "message")
+        )
+        .unionByName(
+            parsed("cri", cri_line, "cri", "stream", "logtag", "logtag",
+                   "message")
+        )
+    )
+
+
 def q_loki_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """out_loki entry encoding (plugins/out_loki/loki.c): stream label
     set from static + record-accessor labels with per-record
@@ -2724,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_partial": q_multiline_partial,
         "syslog_encode": q_syslog_encode,
         "influx_encode": q_influx_encode,
+        "builtin_parsers": q_builtin_parsers,
         "loki_encode": q_loki_encode,
         "splunk_hec": q_splunk_hec,
         "datadog_encode": q_datadog_encode,
@@ -3674,6 +3740,28 @@ def oracle_sql() -> dict[str, str]:
               || ',props="' || props_e || '"'
               || ' ' || CAST(ns AS VARCHAR) AS line
             FROM esc
+        """,
+        "builtin_parsers": """
+            SELECT 'apache' AS kind, event_id,
+                   'h' || CAST(user_id % 5 AS VARCHAR) AS a,
+                   '/p' || CAST(event_id AS VARCHAR) AS b,
+                   '200' AS c, 'ua/' || event_type AS d,
+                   round(epoch(date_trunc('second', ts)), 3) AS ts3
+            FROM events
+            UNION ALL
+            SELECT 'rfc5424', event_id,
+                   'h' || CAST(user_id % 5 AS VARCHAR),
+                   'app' || CAST(event_id % 4 AS VARCHAR),
+                   '13', 'msg ' || event_type,
+                   round(epoch(date_trunc('millisecond', ts)), 3)
+            FROM events
+            UNION ALL
+            SELECT 'cri', event_id,
+                   CASE WHEN event_id % 2 = 0 THEN 'stdout'
+                        ELSE 'stderr' END,
+                   'F', 'F', 'log ' || event_type,
+                   round(epoch(date_trunc('millisecond', ts)), 3)
+            FROM events
         """,
         "loki_encode": r"""
             WITH base AS (

@@ -1205,9 +1205,16 @@ def build_classic_pipeline(
     sections = (
         conf_text if isinstance(conf_text, list) else parse_classic_conf(conf_text)
     )
-    # config-carried [PARSER] sections (Parsers_File / yaml parsers:)
-    # merge under explicitly-passed specs
-    parsers = {**parsers_from_sections(sections), **(parsers or {})}
+    # built-in stock parsers < config-carried [PARSER] sections
+    # (Parsers_File / yaml parsers:) < explicitly-passed specs —
+    # the reference loads user parser files after its defaults
+    from fluent_bit_spark.parsers.builtin import builtin_parsers
+
+    parsers = {
+        **builtin_parsers(),
+        **parsers_from_sections(sections),
+        **(parsers or {}),
+    }
     lib_inputs = lib_inputs or {}
 
     inputs = [s for s in sections if s.kind == "input"]
