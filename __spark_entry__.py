@@ -540,6 +540,43 @@ def q_influx_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "line")
 
 
+def q_statsd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_statsd line parsing (plugins/in_statsd/statsd.c:155):
+    bucket:value|type|@rate dispatch incl. the unknown-type->counter
+    default, atof sample-rate semantics (0/absent -> 1.0), gauge
+    incremental flag, and the reference's timer->set fallthrough bug
+    (missing break, statsd.c:122 — kept by default)."""
+    from fluent_bit_spark.sources.statsd import parse_statsd_lines
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("b"), (F.col("event_id") % 20).cast("string"), F.lit(":"),
+            F.when(F.col("event_id") % 11 == 0, F.lit("+")).otherwise(
+                F.lit("")
+            ),
+            F.col("value").cast("string"),
+            F.element_at(
+                F.array(
+                    F.lit("|c"), F.lit("|g"), F.lit("|ms"), F.lit("|s"),
+                    F.lit("|x"),
+                ),
+                (F.col("event_id") % 5 + 1).cast("int"),
+            ),
+            F.when(F.col("event_id") % 3 == 0, F.lit("|@0.5")).otherwise(
+                F.lit("")
+            ),
+        ).alias("line"),
+    )
+    out = parse_statsd_lines(lines, "line")
+    return out.select(
+        "event_id", "mtype", "bucket",
+        F.round("value", 4).alias("value4"), "value_str",
+        "sample_rate", "incremental",
+    )
+
+
 def q_builtin_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stock parser pack (reference conf/parsers.conf shipped as
     fluent_bit_spark.parsers.builtin): synthesize apache-combined,
@@ -2790,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syslog_encode": q_syslog_encode,
         "influx_encode": q_influx_encode,
         "builtin_parsers": q_builtin_parsers,
+        "statsd_parse": q_statsd_parse,
         "loki_encode": q_loki_encode,
         "splunk_hec": q_splunk_hec,
         "datadog_encode": q_datadog_encode,
@@ -3740,6 +3778,34 @@ def oracle_sql() -> dict[str, str]:
               || ',props="' || props_e || '"'
               || ' ' || CAST(ns AS VARCHAR) AS line
             FROM esc
+        """,
+        "statsd_parse": """
+            -- mirror of statsd.c:155 parse over the same synthesized
+            -- lines: value is CAST(value AS VARCHAR) re-parsed, type
+            -- cycles c,g,ms,s,x (x -> counter), rate |@0.5 every 3rd
+            WITH base AS (
+              SELECT event_id,
+                'b' || CAST(event_id % 20 AS VARCHAR) AS bucket,
+                CASE WHEN event_id % 11 = 0 THEN '+' ELSE '' END
+                  || CAST(value AS VARCHAR) AS rawval,
+                CASE event_id % 5 WHEN 0 THEN 'counter' WHEN 1 THEN 'gauge'
+                     WHEN 2 THEN 'timer' WHEN 3 THEN 'set'
+                     ELSE 'counter' END AS mtype0,
+                CASE WHEN event_id % 3 = 0 THEN 0.5 ELSE 1.0 END AS rate
+              FROM events)
+            SELECT event_id,
+              CASE WHEN mtype0 = 'timer' THEN 'set' ELSE mtype0 END AS mtype,
+              bucket,
+              CASE WHEN mtype0 IN ('set', 'timer') THEN NULL
+                   ELSE round(CAST(rawval AS DOUBLE), 4) END AS value4,
+              CASE WHEN mtype0 IN ('set', 'timer') THEN rawval END
+                AS value_str,
+              CASE WHEN mtype0 IN ('counter', 'timer') THEN rate END
+                AS sample_rate,
+              CASE WHEN mtype0 = 'gauge' THEN
+                CASE WHEN rawval LIKE '+%' OR rawval LIKE '-%'
+                     THEN 1 ELSE 0 END END AS incremental
+            FROM base
         """,
         "builtin_parsers": """
             SELECT 'apache' AS kind, event_id,

@@ -1,0 +1,241 @@
+"""Host-metric input plugins: in_cpu, in_mem, in_disk, in_netif,
+in_thermal — procfs/sysfs samplers re-expressed over injectable
+snapshot text.
+
+References:
+- in_cpu  (/root/reference/plugins/in_cpu/cpu.c:82 proc_cpu_load,
+  :250-307 percent math; cpu.h:95 CPU_METRIC_SYS_AVERAGE, :113
+  CPU_METRIC_USAGE, :83 "cpu%i.p_{cpu,user,system}" key format):
+  one record per interval with cpu_p/user_p/system_p plus per-core
+  fields, computed from two /proc/stat snapshots.
+- in_mem  (/root/reference/plugins/in_mem/mem.c:90 mem_calc, :210
+  field names): Mem.total/used/free + Swap.total/used/free in KB.
+  The reference calls sysinfo(2); reading /proc/meminfo's
+  MemTotal/MemFree/SwapTotal/SwapFree is the file-shaped equivalent
+  (sysinfo's freeram == MemFree).
+- in_disk (/root/reference/plugins/in_disk/in_disk.c:66
+  update_disk_stats fields 6/10 = sectors read/written, :148-167
+  delta * 512 summed over devices, in_disk.h:30 read_size/write_size).
+- in_netif (/root/reference/plugins/in_netif/in_netif.c:28
+  entry_name_linux, per-interface "<iface>.rx.bytes"-style keys,
+  deltas between samples; non-verbose mode keeps only the
+  FLB_TRUE-marked entries).
+- in_thermal (/root/reference/plugins/in_thermal/in_thermal.c:45:
+  name/type/temp per thermal zone, temp is millidegrees / 1000).
+
+Why snapshot-text injection: host sampling is inherently edge-node
+work (one tiny record per interval, no distributed compute), so these
+return plain dicts/Rows for the driver to append to a metrics stream
+— exactly how the reference's collectors feed the pipeline — while
+staying deterministic and testable. ``read_proc=None`` reads the
+live files on this host.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _read(path: str, text: str | None) -> str:
+    if text is not None:
+        return text
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        return fh.read()
+
+
+# ------------------------------------------------------------- in_cpu
+
+
+def parse_proc_stat(text: str) -> list[tuple[int, int, int]]:
+    """/proc/stat 'cpu*' lines -> [(user+?, nice, system...)] as the
+    reference keeps them: v_user, v_nice, v_system (fields 1,2,3)."""
+    out = []
+    for line in text.splitlines():
+        if not line.startswith("cpu"):
+            break
+        parts = line.split()
+        out.append((int(parts[1]), int(parts[2]), int(parts[3])))
+    return out
+
+
+def cpu_percent_record(
+    stat_pre: str,
+    stat_now: str,
+    interval_sec: float = 1.0,
+    cpu_ticks: int = 100,
+) -> dict[str, float]:
+    """in_cpu's record from two /proc/stat snapshots.
+
+    Line 0 ('cpu ') uses CPU_METRIC_SYS_AVERAGE (normalized by core
+    count), per-core lines use CPU_METRIC_USAGE; equal counters short-
+    circuit to 0.0 exactly as the macros do (cpu.h:95-126).
+    """
+    pre = parse_proc_stat(stat_pre)
+    now = parse_proc_stat(stat_now)
+    n_cores = len(now) - 1
+
+    def sys_average(p: int, n: int) -> float:
+        if p == n:
+            return 0.0
+        return ((abs(n - p) / cpu_ticks * 100) / n_cores) / interval_sec
+
+    def usage(p: int, n: int) -> float:
+        if p == n:
+            return 0.0
+        return (abs(n - p) * 100 / cpu_ticks) / interval_sec
+
+    rec: dict[str, float] = {}
+    for i, ((pu, pn, ps), (nu, nn, ns)) in enumerate(zip(pre, now)):
+        if i == 0:
+            rec["cpu_p"] = sys_average(pu + pn + ps, nu + nn + ns)
+            rec["user_p"] = sys_average(pu + pn, nu + nn)
+            rec["system_p"] = sys_average(ps, ns)
+        else:
+            c = i - 1
+            rec[f"cpu{c}.p_cpu"] = usage(pu + pn + ps, nu + nn + ns)
+            rec[f"cpu{c}.p_user"] = usage(pu + pn, nu + nn)
+            rec[f"cpu{c}.p_system"] = usage(ps, ns)
+    return rec
+
+
+def cpu_record(
+    interval_sec: float = 1.0, read_proc=None
+) -> dict[str, float]:
+    """Live two-snapshot sample (blocks interval_sec like the
+    reference's collect cadence)."""
+    import time
+
+    ticks = os.sysconf("SC_CLK_TCK")
+    pre = _read("/proc/stat", read_proc() if read_proc else None)
+    time.sleep(interval_sec)
+    now = _read("/proc/stat", read_proc() if read_proc else None)
+    return cpu_percent_record(pre, now, interval_sec, ticks)
+
+
+# ------------------------------------------------------------- in_mem
+
+
+def mem_record(meminfo_text: str | None = None) -> dict[str, int]:
+    """in_mem's record (KB values, mem.c:210-228): Mem.total/used/free
+    + Swap.total/used/free; used = total - free."""
+    text = _read("/proc/meminfo", meminfo_text)
+    kv: dict[str, int] = {}
+    for line in text.splitlines():
+        if ":" in line:
+            k, v = line.split(":", 1)
+            kv[k.strip()] = int(v.strip().split()[0])
+    mem_total = kv.get("MemTotal", 0)
+    mem_free = kv.get("MemFree", 0)
+    swap_total = kv.get("SwapTotal", 0)
+    swap_free = kv.get("SwapFree", 0)
+    return {
+        "Mem.total": mem_total,
+        "Mem.used": mem_total - mem_free,
+        "Mem.free": mem_free,
+        "Swap.total": swap_total,
+        "Swap.used": swap_total - swap_free,
+        "Swap.free": swap_free,
+    }
+
+
+# ------------------------------------------------------------ in_disk
+
+
+def _diskstats_totals(text: str, dev_name: str | None) -> tuple[int, int]:
+    reads = writes = 0
+    for line in text.splitlines():
+        parts = line.split()
+        if len(parts) < 10:
+            continue
+        if dev_name is not None and dev_name not in parts[2]:
+            continue
+        reads += int(parts[5])   # field 6: sectors read
+        writes += int(parts[9])  # field 10: sectors written
+    return reads, writes
+
+
+def disk_record(
+    diskstats_pre: str | None = None,
+    diskstats_now: str | None = None,
+    dev_name: str | None = None,
+) -> dict[str, int]:
+    """in_disk's record: summed sector deltas * 512 bytes across
+    (optionally name-filtered) devices (in_disk.c:141-185)."""
+    pre = _diskstats_totals(_read("/proc/diskstats", diskstats_pre), dev_name)
+    now = _diskstats_totals(_read("/proc/diskstats", diskstats_now), dev_name)
+    return {
+        "read_size": max(0, now[0] - pre[0]) * 512,
+        "write_size": max(0, now[1] - pre[1]) * 512,
+    }
+
+
+# ----------------------------------------------------------- in_netif
+
+# entry_name_linux (in_netif.c:28-45); FLB_TRUE = kept in non-verbose
+NETIF_ENTRIES: list[tuple[str, bool]] = [
+    ("rx.bytes", True), ("rx.packets", True), ("rx.errors", True),
+    ("rx.drop", False), ("rx.fifo", False), ("rx.frame", False),
+    ("rx.compressed", False), ("rx.multicast", False),
+    ("tx.bytes", True), ("tx.packets", True), ("tx.errors", True),
+    ("tx.drop", False), ("tx.fifo", False), ("tx.collisions", False),
+    ("tx.carrier", False), ("tx.compressepd", False),  # sic, reference typo
+]
+
+
+def _netdev_counters(text: str, interface: str) -> list[int] | None:
+    for line in text.splitlines():
+        if ":" not in line:
+            continue
+        name, rest = line.split(":", 1)
+        if name.strip() == interface:
+            return [int(x) for x in rest.split()[: len(NETIF_ENTRIES)]]
+    return None
+
+
+def netif_record(
+    interface: str,
+    netdev_pre: str | None = None,
+    netdev_now: str | None = None,
+    verbose: bool = False,
+) -> dict[str, int]:
+    """in_netif's record: '<iface>.<entry>' counter deltas between two
+    /proc/net/dev samples; non-verbose keeps the reference's selected
+    entries only."""
+    pre = _netdev_counters(_read("/proc/net/dev", netdev_pre), interface)
+    now = _netdev_counters(_read("/proc/net/dev", netdev_now), interface)
+    if pre is None or now is None:
+        raise ValueError(f"interface {interface!r} not found")
+    rec: dict[str, int] = {}
+    for (name, keep), p, n in zip(NETIF_ENTRIES, pre, now):
+        if verbose or keep:
+            rec[f"{interface}.{name}"] = max(0, n - p)
+    return rec
+
+
+# ---------------------------------------------------------- in_thermal
+
+
+def thermal_records(
+    zones: dict[str, tuple[str, int]] | None = None,
+) -> list[dict]:
+    """in_thermal: one record per thermal zone with name/type/temp
+    (millidegrees / 1000, in_thermal.c:45-52). ``zones`` maps zone
+    name -> (type, millidegrees); None reads /sys/class/thermal."""
+    if zones is None:
+        zones = {}
+        base = "/sys/class/thermal"
+        if os.path.isdir(base):
+            for z in sorted(os.listdir(base)):
+                tf, yf = f"{base}/{z}/temp", f"{base}/{z}/type"
+                if os.path.isfile(tf) and os.path.isfile(yf):
+                    try:
+                        zones[z] = (
+                            open(yf).read().strip(),
+                            int(open(tf).read().strip()),
+                        )
+                    except (OSError, ValueError):
+                        continue
+    return [
+        {"name": name, "type": ztype, "temp": milli / 1000.0}
+        for name, (ztype, milli) in zones.items()
+    ]

@@ -1,0 +1,182 @@
+"""in_cpu/in_mem/in_disk/in_netif/in_thermal snapshot math, in_statsd
+line parsing, in_head/in_random/in_exec local sources."""
+
+from __future__ import annotations
+
+import pytest
+
+from fluent_bit_spark.sources.hostmetrics import (
+    cpu_percent_record,
+    disk_record,
+    mem_record,
+    netif_record,
+    thermal_records,
+)
+
+STAT_PRE = """cpu  100 10 50 1000 0 0 0 0 0 0
+cpu0 60 5 30 500 0 0 0 0 0 0
+cpu1 40 5 20 500 0 0 0 0 0 0
+intr 12345
+"""
+STAT_NOW = """cpu  180 20 90 1800 0 0 0 0 0 0
+cpu0 100 10 50 900 0 0 0 0 0 0
+cpu1 80 10 40 900 0 0 0 0 0 0
+intr 23456
+"""
+
+
+def test_cpu_percent_record():
+    rec = cpu_percent_record(STAT_PRE, STAT_NOW, interval_sec=1.0,
+                             cpu_ticks=100)
+    # system-average: diff/(ticks) * 100 / n_cores / interval
+    # total: (290-160)=130 -> 130/100*100/2 = 65.0
+    assert rec["cpu_p"] == pytest.approx(65.0)
+    # user+nice: (200-110)=90 -> 45.0 ; system: (90-50)=40 -> 20.0
+    assert rec["user_p"] == pytest.approx(45.0)
+    assert rec["system_p"] == pytest.approx(20.0)
+    # per-core usage is NOT divided by core count (cpu.h:113)
+    # core0 total: (160-95)=65 -> 65.0
+    assert rec["cpu0.p_cpu"] == pytest.approx(65.0)
+    assert rec["cpu1.p_user"] == pytest.approx(45.0)
+    assert rec["cpu1.p_system"] == pytest.approx(20.0)
+    # equal counters short-circuit to 0.0
+    same = cpu_percent_record(STAT_PRE, STAT_PRE)
+    assert same["cpu_p"] == 0.0 and same["cpu0.p_cpu"] == 0.0
+
+
+MEMINFO = """MemTotal:       16384000 kB
+MemFree:         4096000 kB
+MemAvailable:   11096000 kB
+SwapTotal:       2097148 kB
+SwapFree:        2097000 kB
+"""
+
+
+def test_mem_record():
+    rec = mem_record(MEMINFO)
+    assert rec == {
+        "Mem.total": 16384000, "Mem.used": 12288000, "Mem.free": 4096000,
+        "Swap.total": 2097148, "Swap.used": 148, "Swap.free": 2097000,
+    }
+
+
+DISK_PRE = (
+    " 259 0 nvme0n1 100 0 1000 0 50 0 2000 0 0 0 0\n"
+    " 8 0 sda 10 0 500 0 5 0 100 0 0 0 0\n"
+)
+DISK_NOW = (
+    " 259 0 nvme0n1 120 0 1500 0 60 0 2600 0 0 0 0\n"
+    " 8 0 sda 12 0 700 0 6 0 150 0 0 0 0\n"
+)
+
+
+def test_disk_record():
+    rec = disk_record(DISK_PRE, DISK_NOW)
+    # sectors: read (1500-1000)+(700-500)=700; write (600+50)=650
+    assert rec == {"read_size": 700 * 512, "write_size": 650 * 512}
+    only = disk_record(DISK_PRE, DISK_NOW, dev_name="sda")
+    assert only == {"read_size": 200 * 512, "write_size": 50 * 512}
+
+
+NETDEV_PRE = """Inter-|   Receive                                                |  Transmit
+ face |bytes    packets errs drop fifo frame compressed multicast|bytes    packets errs drop fifo colls carrier compressed
+    lo:  1000     10    0    0    0     0          0         0     1000     10    0    0    0     0       0          0
+  eth0:  5000     50    1    2    0     0          0         0     7000     70    3    4    0     0       0          0
+"""
+NETDEV_NOW = NETDEV_PRE.replace("  5000     50    1", "  6500     65    2").replace(
+    "  7000     70    3", "  9000     90    5"
+)
+
+
+def test_netif_record():
+    rec = netif_record("eth0", NETDEV_PRE, NETDEV_NOW)
+    assert rec == {
+        "eth0.rx.bytes": 1500, "eth0.rx.packets": 15, "eth0.rx.errors": 1,
+        "eth0.tx.bytes": 2000, "eth0.tx.packets": 20, "eth0.tx.errors": 2,
+    }
+    verbose = netif_record("eth0", NETDEV_PRE, NETDEV_NOW, verbose=True)
+    assert len(verbose) == 16 and verbose["eth0.rx.drop"] == 0
+    # reference typo preserved: tx.compressepd (in_netif.c:44)
+    assert "eth0.tx.compressepd" in verbose
+
+
+def test_thermal_records():
+    recs = thermal_records({"thermal_zone0": ("x86_pkg_temp", 45500)})
+    assert recs == [
+        {"name": "thermal_zone0", "type": "x86_pkg_temp", "temp": 45.5}
+    ]
+
+
+def test_statsd_parse(spark):
+    from fluent_bit_spark.sources.statsd import parse_statsd_lines
+
+    lines = [
+        ("gorets:1|c",),
+        ("glork:320|ms|@0.1",),
+        ("gaugor:+333|g",),
+        ("uniques:765|s",),
+        ("kpi:42.5|c|@0.5",),
+        ("noatrate:7|c|@abc",),   # atof('abc')=0 -> 1.0
+        ("badline_nocolon",),     # dropped
+        ("nopipe:3",),            # dropped
+        ("weird:9|x",),           # unknown type -> counter
+    ]
+    df = spark.createDataFrame(lines, ["line"])
+    out = parse_statsd_lines(df).collect()
+    by = {r["bucket"]: r for r in out}
+    assert len(out) == 7
+    assert by["gorets"]["mtype"] == "counter" and by["gorets"]["value"] == 1.0
+    assert by["gorets"]["sample_rate"] == 1.0
+    # timer FALLTHROUGH bug (statsd.c:122 missing break): arrives as a
+    # set with the raw string value, timer sample_rate retained
+    g = by["glork"]
+    assert g["mtype"] == "set" and g["value_str"] == "320"
+    assert g["sample_rate"] == 0.1 and g["value"] is None
+    assert by["gaugor"]["mtype"] == "gauge"
+    assert by["gaugor"]["incremental"] == 1
+    assert by["gaugor"]["value"] == 333.0
+    assert by["uniques"]["mtype"] == "set"
+    assert by["uniques"]["value_str"] == "765"
+    assert by["kpi"]["sample_rate"] == 0.5
+    assert by["noatrate"]["sample_rate"] == 1.0
+    assert by["weird"]["mtype"] == "counter"
+
+    fixed = {
+        r["bucket"]: r
+        for r in parse_statsd_lines(df, timer_fallthrough=False).collect()
+    }
+    assert fixed["glork"]["mtype"] == "timer"
+    assert fixed["glork"]["value"] == 320.0
+
+
+def test_local_sources(spark, tmp_path):
+    from fluent_bit_spark.sources.local import (
+        exec_records,
+        head_records,
+        random_records,
+    )
+
+    p = tmp_path / "f.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    one = head_records(spark, str(p), buf_size=8).first()
+    assert one["head"] == "alpha\nbe"
+    split = head_records(
+        spark, str(p), lines=2, split_line=True, add_path=True
+    ).collect()
+    assert [r["head"] for r in split] == ["alpha", "beta"]
+    assert all(r["path"] == str(p) for r in split)
+
+    r = random_records(spark, samples=5, seed=1)
+    vals = [x["rand_value"] for x in r.collect()]
+    assert len(vals) == 5
+    assert vals == [x["rand_value"] for x in random_records(spark, 5, 1).collect()]
+
+    ex = exec_records(spark, "printf 'a b\\nc d\\n'")
+    assert [x["exec"] for x in ex.collect()] == ["a b", "c d"]
+    from fluent_bit_spark.parsers.builtin import builtin_parsers
+
+    parsed = exec_records(
+        spark, "echo 'k1=v1 k2=2'", parser=builtin_parsers()["logfmt"]
+    ).first()
+    # dynamic-key formats land in record_map (parsers/compile.py)
+    assert parsed["record_map"]["k1"] == "v1" and parsed["_parse_ok"]
