@@ -540,6 +540,33 @@ def q_influx_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "line")
 
 
+def q_prom_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_prometheus_exporter exposition text
+    (lib/cmetrics/src/cmt_encode_prometheus.c line shape): HELP/TYPE
+    headers + name{label="v"} value samples — a counter family (count
+    per event_type, integral rendering) and a gauge family (rounded
+    sum, shortest-double rendering) over the same records."""
+    from fluent_bit_spark.functions.prom_out import prometheus_text
+    from fluent_bit_spark.operators.log_to_metrics import counter_metric
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    counts = counter_metric(ev, ["event_type"])
+    sums = ev.groupBy("event_type").agg(
+        F.round(F.sum("value"), 4).alias("value")
+    )
+    c = prometheus_text(
+        spark, counts, "fb_events_total", "counter",
+        "Total records per event type.", ["event_type"],
+    )
+    g = prometheus_text(
+        spark, sums, "fb_events_value", "gauge",
+        "Sum of event values.", ["event_type"],
+    )
+    return c.withColumn("family", F.lit("counter")).unionByName(
+        g.withColumn("family", F.lit("gauge"))
+    )
+
+
 def q_statsd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """in_statsd line parsing (plugins/in_statsd/statsd.c:155):
     bucket:value|type|@rate dispatch incl. the unknown-type->counter
@@ -2828,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influx_encode": q_influx_encode,
         "builtin_parsers": q_builtin_parsers,
         "statsd_parse": q_statsd_parse,
+        "prom_text": q_prom_text,
         "loki_encode": q_loki_encode,
         "splunk_hec": q_splunk_hec,
         "datadog_encode": q_datadog_encode,
@@ -3778,6 +3806,30 @@ def oracle_sql() -> dict[str, str]:
               || ',props="' || props_e || '"'
               || ' ' || CAST(ns AS VARCHAR) AS line
             FROM esc
+        """,
+        "prom_text": """
+            SELECT 0::bigint AS ord,
+                   '# HELP fb_events_total Total records per event type.'
+                     AS line, 'counter' AS family
+            UNION ALL
+            SELECT 1, '# TYPE fb_events_total counter', 'counter'
+            UNION ALL
+            SELECT 2, 'fb_events_total{event_type="' || event_type || '"} '
+                   || CAST(count(*) AS VARCHAR), 'counter'
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 0, '# HELP fb_events_value Sum of event values.', 'gauge'
+            UNION ALL
+            SELECT 1, '# TYPE fb_events_value gauge', 'gauge'
+            UNION ALL
+            SELECT 2, 'fb_events_value{event_type="' || event_type || '"} '
+                   || CASE WHEN round(sum(value), 4)
+                             = floor(round(sum(value), 4))
+                           THEN CAST(CAST(round(sum(value), 4) AS BIGINT)
+                                     AS VARCHAR)
+                           ELSE CAST(round(sum(value), 4) AS VARCHAR) END,
+                   'gauge'
+            FROM events GROUP BY event_type
         """,
         "statsd_parse": """
             -- mirror of statsd.c:155 parse over the same synthesized

@@ -1033,6 +1033,27 @@ def _apply_filter(
             in ("true", "on", "yes", "1"),
         )
 
+    if name == "ecs":
+        # plugins/filter_ecs/ecs.c: Add dest templates over agent
+        # metadata, container short-id parsed from the tag after
+        # ecs_tag_prefix (see ecs.py; agent endpoint injectable)
+        from fluent_bit_spark.ecs import EcsAgentClient, filter_ecs
+
+        add = {}
+        for spec in sec.get_all("add"):
+            parts = spec.split(None, 1)
+            if len(parts) == 2:
+                add[parts[0]] = parts[1]
+        return filter_ecs(
+            df,
+            add=add,
+            client=EcsAgentClient(),
+            ecs_tag_prefix=sec.get("ecs_tag_prefix", ""),
+            cluster_metadata_only=sec.get(
+                "cluster_metadata_only", "false"
+            ).lower() in ("true", "on"),
+        )
+
     if name == "aws":
         # plugins/filter_aws/aws.c:1203-1264 config map: imds_version,
         # az (default on), ec2_instance_id (default on),

@@ -180,3 +180,31 @@ def test_local_sources(spark, tmp_path):
     ).first()
     # dynamic-key formats land in record_map (parsers/compile.py)
     assert parsed["record_map"]["k1"] == "v1" and parsed["_parse_ok"]
+
+
+def test_prometheus_text(spark):
+    from fluent_bit_spark.functions.prom_out import prometheus_text
+
+    df = spark.createDataFrame(
+        [("api\\v1", 3.0), ('say "hi"\nx', 2.5)], "route string, value double"
+    )
+    out = prometheus_text(
+        spark, df, "hits", "counter", "Hits per route.", ["route"]
+    )
+    lines = [r["line"] for r in out.orderBy("ord", "line").collect()]
+    assert lines[0] == "# HELP hits Hits per route."
+    assert lines[1] == "# TYPE hits counter"
+    # backslash, newline, quote escaped in label values; integral
+    # value prints as integer, non-integral as shortest double
+    assert 'hits{route="api\\\\v1"} 3' in lines
+    assert 'hits{route="say \\"hi\\"\\nx"} 2.5' in lines
+
+    nolabel = prometheus_text(
+        spark, df.limit(1), "up", "gauge", "Up.", []
+    ).collect()
+    assert [r["line"] for r in nolabel if r["ord"] == 2] == ["up 3"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prometheus_text(spark, df, "x", "nope", "h", [])
