@@ -518,6 +518,80 @@ def main() -> int:
     )
     sections.append(("multiline_partial (partial_message concat)", p, []))
 
+    # round-4 wire-format encoders: all-Catalyst concat trees — the
+    # encode must inline into WholeStageCodegen with no Python stage
+    # and no shuffle beyond what the operator semantically needs
+    p = plan_of(qs["syslog_encode"](spark, sf_dir))
+    ok = (
+        "MapInPandas" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p
+        and "hashpartitioning(" not in p  # only the _ep roundrobin
+    )
+    checks.append(
+        ("syslog_encode: shuffle-free codegen projection (both RFC "
+         "formats in one pass)", ok, "")
+    )
+    sections.append(("syslog_encode (wire-format projection)", p, []))
+
+    p = plan_of(qs["influx_encode"](spark, sf_dir))
+    n_exchanges = p.count("hashpartitioning(")
+    ok = (
+        "MapInPandas" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p
+        and n_exchanges == 1  # the sequence-tag window, nothing else
+    )
+    checks.append(
+        ("influx_encode: one window exchange (sequence tag), "
+         "encode itself shuffle-free", ok, f"{n_exchanges} exchanges")
+    )
+    sections.append(("influx_encode (line protocol + sequence window)", p, []))
+
+    p = plan_of(qs["loki_encode"](spark, sf_dir))
+    ok = (
+        "MapInPandas" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p
+        and "hashpartitioning(" not in p
+    )
+    checks.append(("loki_encode: shuffle-free entry projection", ok, ""))
+
+    p = plan_of(qs["builtin_parsers"](spark, sf_dir))
+    # the regex extraction is codegen; %z/%b time parsing goes through
+    # the Arrow-vectorized timeparse stage (one per format family) —
+    # vectorized, never row-at-a-time
+    ok = (
+        "BatchEvalPython" not in p
+        and len(re.findall(r"^\(\d+\) ArrowEvalPython", p, re.M)) <= 3
+        and "CartesianProduct" not in p
+        and "hashpartitioning(" not in p
+    )
+    checks.append(
+        ("builtin_parsers: codegen regex + Arrow-batch time parse, "
+         "no row-at-a-time Python, shuffle-free", ok, "")
+    )
+
+    p = plan_of(qs["statsd_parse"](spark, sf_dir))
+    ok = (
+        "MapInPandas" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p
+        and "hashpartitioning(" not in p
+    )
+    checks.append(("statsd_parse: shuffle-free codegen parse", ok, ""))
+
+    p = plan_of(qs["prom_text"](spark, sf_dir))
+    ok = (
+        "BatchEvalPython" not in p
+        and "HashAggregate" in p
+        and "CartesianProduct" not in p
+    )
+    checks.append(
+        ("prom_text: map-side partial aggregate feeds the exposition "
+         "projection", ok, "")
+    )
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
