@@ -540,6 +540,33 @@ def q_influx_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "line")
 
 
+def q_kmsg_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_kmsg /dev/kmsg line parsing (plugins/in_kmsg/in_kmsg.c:107
+    process_line): prival&7 priority mask, prio_level drop, usec split
+    into sec/remainder, boot-time-anchored event ts, message after the
+    FIRST ';' (later semicolons belong to the message)."""
+    from fluent_bit_spark.sources.kmsg import parse_kmsg_lines
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            (F.col("event_id") % 32).cast("string"), F.lit(","),
+            F.col("event_id").cast("string"), F.lit(","),
+            (F.col("event_id") * 1013 % 10_000_000).cast("string"),
+            F.lit(",-;kmsg "), F.col("event_type"),
+            F.when(F.col("event_id") % 6 == 0, F.lit("; tail")).otherwise(
+                F.lit("")
+            ),
+        ).alias("line"),
+    )
+    out = parse_kmsg_lines(lines, boot_time_sec=1_700_000_000, prio_level=5)
+    return out.select(
+        "event_id", "priority", "sequence", "sec", "usec", "msg",
+        F.round(F.col("event_time").cast("double"), 6).alias("ts6"),
+    )
+
+
 def q_prom_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """out_prometheus_exporter exposition text
     (lib/cmetrics/src/cmt_encode_prometheus.c line shape): HELP/TYPE
@@ -2828,14 +2855,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per VERDICT.md #2: positions 1-8 are the eight entries that had
     # never received a driver row (r1-r3 kept them past the window),
     # position 9 is the re-fixed embedding_clusters (the one r3 red
-    # row), positions 10-12 the new round-4 queries (grok_conf_parse,
-    # lua_script on the real Lua interpreter, wasm_filter on the real
-    # wasm runtime), position 13 the new multiline_partial
-    # (partial_message concat); the remaining window re-verifies the
-    # heavy dedup/ANN/corpus family. Everything at
-    # 51+ already has a driver-green row from r1-r3 (see VERDICT.md
-    # coverage table), so after this round every registry entry has
-    # at least one independently-verified row.
+    # row), positions 10-14 the first round-4 additions
+    # (grok_conf_parse, lua_script on the real Lua interpreter,
+    # wasm_filter on the real wasm runtime, kubernetes_meta,
+    # multiline_partial), positions 15-23 the late-round-4 additions
+    # (out_syslog/out_influxdb/out_loki/out_splunk/out_datadog wire
+    # encoders, the stock builtin-parser pack, in_statsd, prometheus
+    # exposition text, in_kmsg); the remaining window re-verifies the
+    # heavy dedup/ANN/corpus family. Everything at 51+ already has a
+    # driver-green row from r1-r3 (see VERDICT.md coverage table), so
+    # after this round every registry entry has at least one
+    # independently-verified row.
     return {
         "incremental_dedup_stream": q_incremental_dedup_stream,
         "decontam_bloom": q_decontam_bloom,
@@ -2856,6 +2886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "builtin_parsers": q_builtin_parsers,
         "statsd_parse": q_statsd_parse,
         "prom_text": q_prom_text,
+        "kmsg_parse": q_kmsg_parse,
         "loki_encode": q_loki_encode,
         "splunk_hec": q_splunk_hec,
         "datadog_encode": q_datadog_encode,
@@ -3806,6 +3837,21 @@ def oracle_sql() -> dict[str, str]:
               || ',props="' || props_e || '"'
               || ' ' || CAST(ns AS VARCHAR) AS line
             FROM esc
+        """,
+        "kmsg_parse": """
+            WITH base AS (
+              SELECT event_id,
+                (event_id % 32) & 7 AS priority,
+                event_id AS sequence,
+                (event_id * 1013 % 10000000) AS usec_total,
+                'kmsg ' || event_type ||
+                  CASE WHEN event_id % 6 = 0 THEN '; tail' ELSE '' END AS msg
+              FROM events)
+            SELECT event_id, priority, sequence,
+                   usec_total // 1000000 AS sec,
+                   usec_total % 1000000 AS usec, msg,
+                   round(1700000000 + usec_total / 1000000.0, 6) AS ts6
+            FROM base WHERE priority <= 5
         """,
         "prom_text": """
             SELECT 0::bigint AS ord,

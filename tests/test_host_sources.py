@@ -208,3 +208,31 @@ def test_prometheus_text(spark):
 
     with _pytest.raises(ValueError):
         prometheus_text(spark, df, "x", "nope", "h", [])
+
+
+def test_kmsg_parse(spark):
+    from fluent_bit_spark.sources.kmsg import parse_kmsg_lines
+
+    lines = [
+        ("6,1001,123456789,-;usb 1-1: new device",),
+        ("14,1002,2000001,-;audit: rule added; with semicolon",),
+        ("3,1003,5000000,c;disk error",),
+        ("garbage line",),
+        ("30,1004,1,-;dropped by prio filter",),  # 30&7=6 kept... see below
+    ]
+    df = spark.createDataFrame(lines, ["line"])
+    out = parse_kmsg_lines(df, boot_time_sec=1_700_000_000, prio_level=8)
+    rows = {r["sequence"]: r for r in out.collect()}
+    assert len(rows) == 4  # garbage dropped
+    r = rows[1001]
+    # prival 6 & 7 = 6; usec split 123.456789s
+    assert r["priority"] == 6 and r["sec"] == 123 and r["usec"] == 456789
+    assert r["msg"] == "usb 1-1: new device"
+    assert str(r["event_time"]).startswith("2023-11-14")
+    # only the FIRST ';' separates header from message (split limit 2)
+    assert rows[1002]["msg"] == "audit: rule added; with semicolon"
+    # prival 14 & 7 = 6 (facility bits masked off, FLB_KLOG_PRI)
+    assert rows[1002]["priority"] == 6
+    # prio_level drop: priority 3 kept under level 3, 6 dropped
+    strict = parse_kmsg_lines(df, prio_level=3).collect()
+    assert {r["sequence"] for r in strict} == {1003}
