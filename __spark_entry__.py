@@ -540,6 +540,42 @@ def q_influx_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "line")
 
 
+def q_nightfall_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_nightfall redaction pass
+    (plugins/filter_nightfall/nightfall.c:397-455): Arrow-batched
+    local detectors produce Nightfall-shaped [start,end) findings,
+    Catalyst fold masks string ranges with '*', and integer fields
+    with findings become the reference's 7-byte '******\\0' literal.
+    Sensitive tokens are synthesized at fixed positions so the oracle
+    reconstructs the masked text independently."""
+    from fluent_bit_spark.operators.nightfall import (
+        nightfall_redact,
+        redact_with_findings,
+    )
+
+    ev = _ep(_t(spark, sf_dir, "events")).select(
+        "event_id",
+        F.concat(
+            F.lit("mail: "),
+            F.lpad((F.col("event_id") % 100).cast("string"), 2, "0"),
+            F.lit("@ex.com ("), F.col("event_type"), F.lit(")"),
+        ).alias("text"),
+        F.col("user_id").alias("num"),
+    )
+    red = nightfall_redact(
+        ev, ["text"], detectors={"email": r"[\w]+@[\w.]+[\w]"}
+    )
+    # integer redaction path: findings on num for every 4th record
+    red = red.withColumn(
+        "num__f",
+        F.when(
+            F.col("event_id") % 4 == 0, F.expr("array(array(0L, 5L))")
+        ).otherwise(F.expr("array()").cast("array<array<bigint>>")),
+    )
+    red = redact_with_findings(red, {"num": "num__f"}).drop("num__f")
+    return red.select("event_id", "text", "num")
+
+
 def q_kmsg_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """in_kmsg /dev/kmsg line parsing (plugins/in_kmsg/in_kmsg.c:107
     process_line): prival&7 priority mask, prio_level drop, usec split
@@ -2887,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statsd_parse": q_statsd_parse,
         "prom_text": q_prom_text,
         "kmsg_parse": q_kmsg_parse,
+        "nightfall_redact": q_nightfall_redact,
         "loki_encode": q_loki_encode,
         "splunk_hec": q_splunk_hec,
         "datadog_encode": q_datadog_encode,
@@ -3837,6 +3874,18 @@ def oracle_sql() -> dict[str, str]:
               || ',props="' || props_e || '"'
               || ' ' || CAST(ns AS VARCHAR) AS line
             FROM esc
+        """,
+        "nightfall_redact": """
+            -- the email token is fixed-width (2 digits + '@ex.com' =
+            -- 9 chars at offset 6), so the masked text is constant-
+            -- shaped; ints with findings become the 7-byte '******'
+            -- + NUL literal (nightfall.c:431)
+            SELECT event_id,
+                   'mail: ' || repeat('*', 9) || ' (' || event_type || ')'
+                     AS text,
+                   CASE WHEN event_id % 4 = 0 THEN '******' || chr(0)
+                        ELSE CAST(user_id AS VARCHAR) END AS num
+            FROM events
         """,
         "kmsg_parse": """
             WITH base AS (
