@@ -540,6 +540,42 @@ def q_influx_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "line")
 
 
+def q_es_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_es Bulk API encoding (plugins/out_es/es.c, es_bulk.h:27-30):
+    logstash index rolling on the record's own UTC timestamp with a
+    record-sourced prefix, @timestamp-first body with ms suffix,
+    include_tag_key, id_key header injection — both bulk lines emitted
+    and field-extracted back for the oracle."""
+    from fluent_bit_spark.functions.es_out import to_es_bulk
+
+    ev = _ep(_t(spark, sf_dir, "events")).select(
+        "event_id", "ts",
+        F.concat(F.lit("app."), (F.col("event_id") % 3).cast("string")).alias(
+            "tag"
+        ),
+        F.when(F.col("event_id") % 5 == 0, F.col("event_type")).alias(
+            "pfx"
+        ),
+        "event_type", "value",
+    )
+    enc = to_es_bulk(
+        ev, "ts", logstash_format=True, logstash_prefix="fb",
+        logstash_prefix_key="pfx", include_tag_key=True, tag_key="fb_tag",
+        id_key="event_id", suppress_type_name=True,
+        doc_cols=["event_id", "event_type", "value"],
+    )
+    return enc.select(
+        "event_id",
+        "index_line",
+        F.get_json_object("doc_line", "$['@timestamp']").alias("ts_str"),
+        F.get_json_object("doc_line", "$.fb_tag").alias("fb_tag"),
+        F.get_json_object("doc_line", "$.event_type").alias("etype"),
+        F.round(
+            F.get_json_object("doc_line", "$.value").cast("double"), 4
+        ).alias("value4"),
+    )
+
+
 def q_nightfall_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """filter_nightfall redaction pass
     (plugins/filter_nightfall/nightfall.c:397-455): Arrow-batched
@@ -2923,6 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statsd_parse": q_statsd_parse,
         "prom_text": q_prom_text,
         "kmsg_parse": q_kmsg_parse,
+        "es_bulk": q_es_bulk,
         "nightfall_redact": q_nightfall_redact,
         "loki_encode": q_loki_encode,
         "splunk_hec": q_splunk_hec,
@@ -3874,6 +3911,20 @@ def oracle_sql() -> dict[str, str]:
               || ',props="' || props_e || '"'
               || ' ' || CAST(ns AS VARCHAR) AS line
             FROM esc
+        """,
+        "es_bulk": """
+            SELECT event_id,
+              '{"create":{"_index":"'
+              || CASE WHEN event_id % 5 = 0 THEN event_type ELSE 'fb' END
+              || '-' || strftime(ts, '%Y.%m.%d')
+              || '","_id":"' || CAST(event_id AS VARCHAR) || '"}}'
+                AS index_line,
+              strftime(ts, '%Y-%m-%dT%H:%M:%S')
+              || printf('.%03dZ', epoch_us(ts) % 1000000 // 1000) AS ts_str,
+              'app.' || CAST(event_id % 3 AS VARCHAR) AS fb_tag,
+              event_type AS etype,
+              round(value, 4) AS value4
+            FROM events
         """,
         "nightfall_redact": """
             -- the email token is fixed-width (2 digits + '@ex.com' =

@@ -1504,7 +1504,8 @@ def run_classic_outputs(
                 flush()
             counts[oid] = df.count()
         elif sec.name in (
-            "syslog", "influxdb", "gelf", "loki", "splunk", "datadog"
+            "syslog", "influxdb", "gelf", "loki", "splunk", "datadog",
+            "es", "opensearch",
         ):
             encoded = encode_output_lines(df, sec)
 
@@ -1577,6 +1578,44 @@ def encode_output_lines(df, sec):
                 (sec.get("add_integer_suffix") or "false").lower() == "true"
             ),
         ).select("tag", "line")
+    if sec.name in ("es", "opensearch"):
+        from fluent_bit_spark.functions.es_out import es_bulk_lines, to_es_bulk
+
+        if ts is None:
+            raise ValueError("out_es needs an event_time column")
+
+        def b(key: str, default: str = "false") -> bool:
+            return (sec.get(key) or default).lower() in ("on", "true")
+
+        enc = to_es_bulk(
+            df, ts,
+            index=sec.get("index") or "fluent-bit",
+            es_type=sec.get("type") or "_doc",
+            suppress_type_name=b("suppress_type_name"),
+            logstash_format=b("logstash_format"),
+            logstash_prefix=sec.get("logstash_prefix") or "logstash",
+            logstash_prefix_key=(
+                (sec.get("logstash_prefix_key") or "").lstrip("$") or None
+            ),
+            logstash_prefix_separator=sec.get("logstash_prefix_separator")
+            or "-",
+            logstash_dateformat=sec.get("logstash_dateformat") or "%Y.%m.%d",
+            time_key=sec.get("time_key") or "@timestamp",
+            time_key_format=sec.get("time_key_format")
+            or "%Y-%m-%dT%H:%M:%S",
+            time_key_nanos=b("time_key_nanos"),
+            include_tag_key=b("include_tag_key"),
+            tag_key=sec.get("tag_key") or "_flb-key",
+            id_key=(sec.get("id_key") or "").lstrip("$") or None,
+            generate_id=b("generate_id"),
+            write_operation=sec.get("write_operation") or "create",
+            replace_dots=b("replace_dots"),
+        )
+        return enc.select(
+            "tag",
+            F.concat("index_line", F.lit("\n"), "doc_line").alias("line"),
+        )
+
     if sec.name == "loki":
         from fluent_bit_spark.functions.loki_out import to_loki
 

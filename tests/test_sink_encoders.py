@@ -437,3 +437,109 @@ def test_classic_loki_splunk_datadog(spark, tmp_path):
         and d["ddtags"] == "env:ci" and isinstance(d["timestamp"], int)
         for d in dd
     )
+
+
+# ---- out_es bulk (plugins/out_es/es.c, es_bulk.h) ----
+
+
+def test_es_bulk_logstash(spark):
+    import json
+
+    from fluent_bit_spark.functions.es_out import es_bulk_lines, to_es_bulk
+
+    df = _df(
+        spark,
+        [(1, TS, "app.a", "boot ok", "err"),
+         (2, dt.datetime(2024, 12, 31, 23, 59, 59, 999999), "app.b",
+          "yearend", None)],
+        "id int, ts timestamp, tag string, msg string, lvl string",
+    )
+    enc = to_es_bulk(
+        df, "ts", logstash_format=True, logstash_prefix="fb",
+        include_tag_key=True, tag_key="fb_tag", id_key="id",
+        suppress_type_name=True,
+    )
+    rows = {r["id"]: r for r in enc.collect()}
+    assert rows[1]["index_line"] == (
+        '{"create":{"_index":"fb-2024.03.05","_id":"1"}}'
+    )
+    body = json.loads(rows[1]["doc_line"])
+    # time_key first, tag second, then record fields; ms suffix
+    assert list(body) == ["@timestamp", "fb_tag", "id", "msg", "lvl"]
+    assert body["@timestamp"] == "2024-03-05T14:30:15.123Z"
+    assert body["fb_tag"] == "app.a" and body["lvl"] == "err"
+    # date roll uses the record's own (UTC) timestamp
+    assert '"_index":"fb-2024.12.31"' in rows[2]["index_line"]
+    assert json.loads(rows[2]["doc_line"])["lvl"] is None
+
+    two_lines = es_bulk_lines(enc).first()["line"].split("\n")
+    assert two_lines[0].startswith('{"create":') and two_lines[1].startswith(
+        '{"@timestamp"'
+    )
+
+
+def test_es_bulk_ops_and_options(spark):
+    import json
+
+    from fluent_bit_spark.functions.es_out import to_es_bulk
+
+    df = _df(
+        spark, [(1, TS, "t", "v")],
+        "id int, ts timestamp, tag string, `k.with.dots` string",
+    )
+    up = to_es_bulk(
+        df, "ts", index="idx", write_operation="upsert", replace_dots=True,
+    ).first()
+    assert up["index_line"] == (
+        '{"update":{"_index":"idx","_type":"_doc"}}'
+    )
+    body = json.loads(up["doc_line"])
+    assert body == {"doc_as_upsert": True,
+                    "doc": {"@timestamp": "2024-03-05T14:30:15.123Z",
+                            "id": 1, "k_with_dots": "v"}}
+
+    # strftime-expanded static index + generated id
+    gen = to_es_bulk(
+        df, "ts", index="logs-%Y.%m", generate_id=True,
+        suppress_type_name=True,
+    ).first()
+    hdr = json.loads(gen["index_line"])
+    assert hdr["create"]["_index"] == "logs-2024.03"
+    assert len(hdr["create"]["_id"]) == 16  # xxhash64 hex
+
+
+def test_classic_es_output(spark, tmp_path):
+    import json
+
+    from fluent_bit_spark.classic import build_classic_pipeline, run_classic_outputs
+
+    conf = """
+[INPUT]
+    Name    dummy
+    Tag     svc.es
+    Dummy   {"message":"boot ok","level":"err"}
+    Samples 2
+
+[OUTPUT]
+    Name               es
+    Match              svc.*
+    Logstash_Format    On
+    Logstash_Prefix    fb
+    Suppress_Type_Name On
+    Include_Tag_Key    On
+"""
+    pipe = build_classic_pipeline(spark, conf)
+    counts = run_classic_outputs(pipe, str(tmp_path), with_retry=False)
+    assert counts == {"es.0": 2}
+    lines = []
+    for p in glob.glob(os.path.join(str(tmp_path), "es.0", "*", "part-*")):
+        lines += open(p, encoding="utf-8").read().splitlines()
+    # two bulk lines per record
+    assert len(lines) == 4
+    heads = [json.loads(l) for l in lines if '"create"' in l]
+    docs = [json.loads(l) for l in lines if '"@timestamp"' in l]
+    assert len(heads) == 2 and len(docs) == 2
+    assert all(h["create"]["_index"].startswith("fb-") for h in heads)
+    assert all(
+        d["message"] == "boot ok" and d["_flb-key"] == "svc.es" for d in docs
+    )
