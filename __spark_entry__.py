@@ -540,6 +540,44 @@ def q_influx_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "line")
 
 
+def q_kafka_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_kafka produce_message shape (plugins/out_kafka/kafka.c:100):
+    topic from topic_key vs configured topics + dynamic_topic name
+    rules (no comma, <=249 chars, else default), message_key_field
+    with static fallback, @timestamp-first json body (epoch double)."""
+    from fluent_bit_spark.functions.kafka_out import to_kafka_records
+
+    ev = _ep(_t(spark, sf_dir, "events")).select(
+        "event_id", "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit("ev,bad"))
+        .when(F.col("event_id") % 7 == 1, F.lit("events_hot"))
+        .otherwise(F.concat(F.lit("dyn_"), F.col("event_type")))
+        .alias("tkey"),
+        F.when(F.col("event_id") % 3 == 0, F.col("event_type")).alias(
+            "mkey"
+        ),
+        "event_type", "value",
+    )
+    out = to_kafka_records(
+        ev, "ts", topics=["events_default", "events_hot"],
+        topic_key="tkey", dynamic_topic=True, message_key="fallback",
+        message_key_field="mkey",
+        value_cols=["event_id", "event_type", "value"],
+    )
+    return out.select(
+        F.get_json_object("value", "$.event_id").cast("long").alias(
+            "event_id"
+        ),
+        "topic", "key",
+        F.round(
+            F.get_json_object("value", "$['@timestamp']").cast("double"), 6
+        ).alias("ts6"),
+        F.get_json_object("value", "$.event_type").alias("etype"),
+        F.round(F.get_json_object("value", "$.value").cast("double"), 4)
+        .alias("value4"),
+    )
+
+
 def q_es_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """out_es Bulk API encoding (plugins/out_es/es.c, es_bulk.h:27-30):
     logstash index rolling on the record's own UTC timestamp with a
@@ -2960,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prom_text": q_prom_text,
         "kmsg_parse": q_kmsg_parse,
         "es_bulk": q_es_bulk,
+        "kafka_encode": q_kafka_encode,
         "nightfall_redact": q_nightfall_redact,
         "loki_encode": q_loki_encode,
         "splunk_hec": q_splunk_hec,
@@ -3911,6 +3950,18 @@ def oracle_sql() -> dict[str, str]:
               || ',props="' || props_e || '"'
               || ' ' || CAST(ns AS VARCHAR) AS line
             FROM esc
+        """,
+        "kafka_encode": """
+            SELECT event_id,
+              CASE WHEN event_id % 7 = 0 THEN 'events_default'
+                   WHEN event_id % 7 = 1 THEN 'events_hot'
+                   ELSE 'dyn_' || event_type END AS topic,
+              CASE WHEN event_id % 3 = 0 THEN event_type
+                   ELSE 'fallback' END AS key,
+              round(epoch(ts), 6) AS ts6,
+              event_type AS etype,
+              round(value, 4) AS value4
+            FROM events
         """,
         "es_bulk": """
             SELECT event_id,

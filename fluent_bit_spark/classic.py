@@ -1520,6 +1520,48 @@ def run_classic_outputs(
             else:
                 flush_lines()
             counts[oid] = df.count()
+        elif sec.name == "kafka":
+            # (topic, key, value) rows partitioned by topic — the
+            # file-delivery analog of the Kafka sink's record shape;
+            # at scale swap the writer for df.write.format("kafka")
+            from fluent_bit_spark.functions.kafka_out import to_kafka_records
+
+            clean = df.select(
+                *[c for c in df.columns if not c.startswith("_")]
+            )
+            recs = to_kafka_records(
+                clean,
+                "event_time",
+                topics=(sec.get("topics") or "fluent-bit").split(","),
+                topic_key=sec.get("topic_key"),
+                dynamic_topic=(sec.get("dynamic_topic") or "off").lower()
+                in ("on", "true"),
+                message_key=sec.get("message_key"),
+                message_key_field=sec.get("message_key_field"),
+                timestamp_key=sec.get("timestamp_key") or "@timestamp",
+                timestamp_format=sec.get("timestamp_format") or "double",
+                fmt=(sec.get("format") or "json").lower(),
+                raw_log_key=sec.get("raw_log_key"),
+            )
+
+            def flush_kafka(recs=recs, oid=oid) -> int:
+                (
+                    recs.withColumn(
+                        "line",
+                        F.to_json(F.struct("key", "value")),
+                    )
+                    .select("topic", "line")
+                    .write.mode("overwrite")
+                    .partitionBy("topic")
+                    .text(os.path.join(out_dir, oid))
+                )
+                return FLB_OK
+
+            if with_retry:
+                deliver(flush_kafka, retry_limit=limits[oid])
+            else:
+                flush_kafka()
+            counts[oid] = df.count()
         elif sec.name in ("null", "stdout", "counter", "flowcounter"):
             counts[oid] = df.count()
         else:

@@ -543,3 +543,86 @@ def test_classic_es_output(spark, tmp_path):
     assert all(
         d["message"] == "boot ok" and d["_flb-key"] == "svc.es" for d in docs
     )
+
+
+# ---- out_kafka (plugins/out_kafka/kafka.c) ----
+
+
+def test_kafka_records(spark):
+    import json
+
+    from fluent_bit_spark.functions.kafka_out import to_kafka_records
+
+    df = _df(
+        spark,
+        [(1, TS, "t", "logs_a", "k1", "boot"),
+         (2, TS, "t", "unknown", None, "msg2"),
+         (3, TS, "t", "bad,topic", "k3", "msg3"),
+         (4, TS, "t", "x" * 300, "k4", "msg4")],
+        "id int, ts timestamp, tag string, tkey string, mkey string,"
+        " msg string",
+    )
+    out = to_kafka_records(
+        df, "ts", topics=["logs_a", "logs_b"], topic_key="tkey",
+        dynamic_topic=True, message_key="static",
+        message_key_field="mkey",
+    )
+    rows = {json.loads(r["value"])["id"]: r for r in out.collect()}
+    # configured topic kept; dynamic unseen accepted; comma/overlong
+    # fall back to the default (first topics entry)
+    assert rows[1]["topic"] == "logs_a"
+    assert rows[2]["topic"] == "unknown"
+    assert rows[3]["topic"] == "logs_a" and rows[4]["topic"] == "logs_a"
+    # message_key_field wins, static fallback when record value null
+    assert rows[1]["key"] == "k1" and rows[2]["key"] == "static"
+    body = json.loads(rows[1]["value"])
+    assert list(body)[0] == "@timestamp"
+    assert abs(body["@timestamp"]
+               - TS.replace(tzinfo=dt.timezone.utc).timestamp()) < 1e-6
+
+    # iso8601 + raw formats
+    iso = to_kafka_records(
+        df.limit(1), "ts", topics=["t1"], timestamp_format="iso8601"
+    ).first()
+    assert json.loads(iso["value"])["@timestamp"] == (
+        "2024-03-05T14:30:15.123Z"
+    )
+    raw = to_kafka_records(
+        df.limit(1), "ts", topics=["t1"], fmt="raw", raw_log_key="msg"
+    ).first()
+    assert raw["value"] == "boot"
+
+
+def test_classic_kafka_output(spark, tmp_path):
+    import json
+
+    from fluent_bit_spark.classic import build_classic_pipeline, run_classic_outputs
+
+    conf = """
+[INPUT]
+    Name    dummy
+    Tag     svc.k
+    Dummy   {"message":"boot","svc":"payments"}
+    Samples 2
+
+[OUTPUT]
+    Name              kafka
+    Match             svc.*
+    Topics            logs
+    Topic_Key         svc
+    Dynamic_Topic     On
+    Message_Key_Field svc
+"""
+    pipe = build_classic_pipeline(spark, conf)
+    counts = run_classic_outputs(pipe, str(tmp_path), with_retry=False)
+    assert counts == {"kafka.0": 2}
+    lines = []
+    for p in glob.glob(
+        os.path.join(str(tmp_path), "kafka.0", "topic=payments", "part-*")
+    ):
+        lines += open(p).read().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[0])
+    assert rec["key"] == "payments"
+    v = json.loads(rec["value"])
+    assert v["message"] == "boot" and "@timestamp" in v
