@@ -540,6 +540,29 @@ def q_influx_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "line")
 
 
+def q_tf_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_tensorflow inference pass
+    (plugins/filter_tensorflow/tensorflow.c:246-470): Arrow-batched
+    matrix inference over the embedding column with normalization and
+    size validation; the model is the integer-exact linear stand-in
+    (tflite runtime absent here — plumbing is the real path), so the
+    oracle reproduces the exact outputs as a SQL matmul."""
+    from fluent_bit_spark.operators.tensorflow_filter import (
+        linear_fake_model,
+        tf_filter,
+    )
+
+    emb = _ep(_t(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    out = tf_filter(
+        emb, "embedding", linear_fake_model(DIM, 4), input_size=DIM,
+        output_type="array<bigint>", normalization_value=2.0,
+    )
+    return out.select(
+        "vec_id",
+        *[F.element_at("output", j + 1).alias(f"o{j}") for j in range(4)],
+    )
+
+
 def q_kafka_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """out_kafka produce_message shape (plugins/out_kafka/kafka.c:100):
     topic from topic_key vs configured topics + dynamic_topic name
@@ -2999,6 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmsg_parse": q_kmsg_parse,
         "es_bulk": q_es_bulk,
         "kafka_encode": q_kafka_encode,
+        "tf_infer": q_tf_infer,
         "nightfall_redact": q_nightfall_redact,
         "loki_encode": q_loki_encode,
         "splunk_hec": q_splunk_hec,
@@ -3950,6 +3974,24 @@ def oracle_sql() -> dict[str, str]:
               || ',props="' || props_e || '"'
               || ' ' || CAST(ns AS VARCHAR) AS line
             FROM esc
+        """,
+        "tf_infer": """
+            -- SQL matmul of the integer-exact fake model: W[j,i] =
+            -- (j*64 + i) %% 17 - 8 over q = floor(emb[i]/2*1000 + .5)
+            WITH flat AS (
+              SELECT e.vec_id, j.j AS j, i.i AS i,
+                     ((j.j * 64 + i.i) % 17 - 8)
+                     * CAST(floor(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                                  / 2.0 * 1000 + 0.5) AS BIGINT) AS term
+              FROM embeddings e,
+                   (SELECT unnest(range(4)) AS j) j,
+                   (SELECT unnest(range(64)) AS i) i)
+            SELECT vec_id,
+                   sum(CASE WHEN j = 0 THEN term END)::bigint AS o0,
+                   sum(CASE WHEN j = 1 THEN term END)::bigint AS o1,
+                   sum(CASE WHEN j = 2 THEN term END)::bigint AS o2,
+                   sum(CASE WHEN j = 3 THEN term END)::bigint AS o3
+            FROM flat GROUP BY vec_id
         """,
         "kafka_encode": """
             SELECT event_id,
