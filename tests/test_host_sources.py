@@ -236,3 +236,95 @@ def test_kmsg_parse(spark):
     # prio_level drop: priority 3 kept under level 3, 6 dropped
     strict = parse_kmsg_lines(df, prio_level=3).collect()
     assert {r["sequence"] for r in strict} == {1003}
+
+
+CID_A = "a" * 64
+CID_B = "b" * 64
+
+
+def _mk_v1_tree(root, cid, cpu=5_000_000, used=1024, limit=4096):
+    import os
+    for ctl in ("cpu", "memory"):
+        os.makedirs(os.path.join(root, ctl, "docker", cid), exist_ok=True)
+    with open(os.path.join(root, "cpu", "docker", cid, "cpuacct.usage"), "w") as fh:
+        fh.write(f"{cpu}\n")
+    mdir = os.path.join(root, "memory", "docker", cid)
+    with open(os.path.join(mdir, "memory.usage_in_bytes"), "w") as fh:
+        fh.write(f"{used}\n")
+    with open(os.path.join(mdir, "memory.limit_in_bytes"), "w") as fh:
+        fh.write(f"{limit}\n")
+
+
+def _mk_name(containers, cid, name):
+    import json as _json
+    import os
+    d = os.path.join(containers, cid)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "config.v2.json"), "w") as fh:
+        _json.dump({"Name": f"/{name}"}, fh)
+
+
+def test_docker_v1_snapshots(tmp_path):
+    """cgroup v1 layout (reference cgroup_v1.c:44 sysfs/cpu/docker/<id>)."""
+    from fluent_bit_spark.sources.docker_metrics import docker_snapshots
+
+    sysfs = str(tmp_path / "sys")
+    containers = str(tmp_path / "containers")
+    _mk_v1_tree(sysfs, CID_A, cpu=7_000_000, used=2048, limit=8192)
+    _mk_v1_tree(sysfs, CID_B)
+    _mk_name(containers, CID_A, "web")
+
+    recs = docker_snapshots(sysfs_path=sysfs, containers_path=containers)
+    assert [r["id"] for r in recs] == [CID_A[:12], CID_B[:12]]
+    a = recs[0]
+    assert a == {"id": CID_A[:12], "name": "web", "cpu_used": 7_000_000,
+                 "mem_used": 2048, "mem_limit": 8192}
+    assert recs[1]["name"] is None  # no config.v2.json
+
+    # include/exclude filter by short id (docker.c:206-260)
+    only_b = docker_snapshots(sysfs_path=sysfs, containers_path=containers,
+                              exclude=[CID_A])
+    assert [r["id"] for r in only_b] == [CID_B[:12]]
+    only_a = docker_snapshots(sysfs_path=sysfs, containers_path=containers,
+                              include=[CID_A[:12]])
+    assert [r["id"] for r in only_a] == [CID_A[:12]]
+
+
+def test_docker_v2_snapshots(tmp_path):
+    """cgroup v2 layout: system.slice/docker-<id>.scope, usage_usec→ns,
+    memory.max 'max' sentinel (cgroup_v2.c:47, docker.h:44)."""
+    import os
+
+    from fluent_bit_spark.sources.docker_metrics import docker_snapshots
+
+    sysfs = str(tmp_path / "sys")
+    os.makedirs(sysfs)
+    with open(os.path.join(sysfs, "cgroup.controllers"), "w") as fh:
+        fh.write("cpu memory\n")
+    scope = os.path.join(sysfs, "system.slice", f"docker-{CID_A}.scope")
+    os.makedirs(scope)
+    with open(os.path.join(scope, "cpu.stat"), "w") as fh:
+        fh.write("usage_usec 1234\nuser_usec 1000\nsystem_usec 234\n")
+    with open(os.path.join(scope, "memory.current"), "w") as fh:
+        fh.write("4096\n")
+    with open(os.path.join(scope, "memory.max"), "w") as fh:
+        fh.write("max\n")
+
+    recs = docker_snapshots(sysfs_path=sysfs, containers_path=str(tmp_path))
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["cpu_used"] == 1234 * 1000  # usec → ns like the v1 counter
+    assert r["mem_used"] == 4096
+    assert r["mem_limit"] == 2**63 - 1  # "max" = unlimited sentinel
+
+
+def test_docker_skips_snapshotless(tmp_path):
+    """A container dir with no counters is skipped (docker.c behavior)."""
+    import os
+
+    from fluent_bit_spark.sources.docker_metrics import docker_snapshots
+
+    sysfs = str(tmp_path / "sys")
+    os.makedirs(os.path.join(sysfs, "cpu", "docker", CID_A))
+    recs = docker_snapshots(sysfs_path=sysfs, containers_path=str(tmp_path))
+    assert recs == []
