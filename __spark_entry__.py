@@ -700,6 +700,72 @@ def q_kmsg_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collectd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_collectd binary network protocol: wire packets are assembled
+    per event (Arrow-batched struct packing), decoded back through the
+    TLV part walk + TypesDB validation (plugins/in_collectd/netprot.c
+    :236 netprot_to_msgpack, :57 netprot_pack_value), and aggregated
+    per metric series. Exercises all three value encodings (LE-double
+    gauge, be64 derive, be64 counter), header persistence, and the
+    TIME_HR/INTERVAL_HR 2^-30 scaling — the oracle recomputes every
+    decoded value arithmetically from event_id."""
+    import pandas as pd
+
+    from fluent_bit_spark.sources.collectd import (
+        decode_collectd_packets,
+        encode_packet,
+        parse_typesdb,
+    )
+
+    tdb = parse_typesdb(
+        "cpu value:DERIVE:0:U\n"
+        "load shortterm:GAUGE:0:5000, midterm:GAUGE:0:5000, "
+        "longterm:GAUGE:0:5000\n"
+        "if_octets rx:COUNTER:0:U, tx:COUNTER:0:U\n"
+    )
+    ev = _ep(_t(spark, sf_dir, "events")).select("event_id")
+
+    def mk(batches):
+        for pdf in batches:
+            pkts = []
+            for e in pdf["event_id"]:
+                e = int(e)
+                if e % 3 == 0:  # 3-gauge value part, time + interval
+                    pkts.append(encode_packet(
+                        host=f"h{e % 5}", plugin="load", type_="load",
+                        time_hr=1_700_000_000 + e % 100, interval_hr=10,
+                        values=[(1, (e % 10) * 0.5),
+                                (1, (e % 10) * 0.5 + 0.25),
+                                (1, (e % 10) * 0.5 + 0.5)],
+                    ))
+                elif e % 3 == 1:  # derive, time, no interval
+                    pkts.append(encode_packet(
+                        host=f"h{e % 5}", plugin="cpu",
+                        plugin_instance=str(e % 4), type_="cpu",
+                        time_hr=1_700_000_000 + e % 100,
+                        values=[(2, e * 7)],
+                    ))
+                else:  # two counters, headerless time
+                    pkts.append(encode_packet(
+                        host=f"h{e % 5}", plugin="interface",
+                        type_="if_octets", values=[(0, e * 3), (0, e)],
+                    ))
+            yield pd.DataFrame({"packet": pkts})
+
+    packets = ev.mapInPandas(mk, "packet binary")
+    rows = decode_collectd_packets(packets, tdb)
+    return (
+        rows.groupBy("host", "plugin", "type", "field", "dstype")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value_int").alias("sum_int"),
+            F.round(F.sum("value_gauge"), 6).alias("sum_gauge"),
+            F.round(F.sum("time"), 6).alias("sum_time"),
+        )
+        .orderBy("host", "plugin", "field")
+    )
+
+
 def q_prom_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """out_prometheus_exporter exposition text
     (lib/cmetrics/src/cmt_encode_prometheus.c line shape): HELP/TYPE
@@ -3027,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loki_encode": q_loki_encode,
         "splunk_hec": q_splunk_hec,
         "datadog_encode": q_datadog_encode,
+        "collectd_decode": q_collectd_decode,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -4030,6 +4097,40 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 4 = 0 THEN '******' || chr(0)
                         ELSE CAST(user_id AS VARCHAR) END AS num
             FROM events
+        """,
+        "collectd_decode": """
+            WITH e AS (SELECT event_id AS e FROM events),
+            rows AS (
+              SELECT 'h' || (e % 5) AS host, 'load' AS plugin,
+                     'load' AS type, f.field AS field,
+                     'gauge' AS dstype, NULL::BIGINT AS value_int,
+                     (e % 10) * CAST(0.5 AS DOUBLE)
+                       + CAST(f.off AS DOUBLE) AS value_gauge,
+                     CAST(1700000000 + e % 100 AS DOUBLE) AS time
+              FROM e, (VALUES ('shortterm', 0.0), ('midterm', 0.25),
+                              ('longterm', 0.5)) f(field, off)
+              WHERE e % 3 = 0
+              UNION ALL
+              SELECT 'h' || (e % 5), 'cpu', 'cpu', 'value', 'derive',
+                     e * 7, NULL,
+                     CAST(1700000000 + e % 100 AS DOUBLE)
+              FROM e WHERE e % 3 = 1
+              UNION ALL
+              SELECT 'h' || (e % 5), 'interface', 'if_octets', f.field,
+                     'counter',
+                     CASE f.field WHEN 'rx' THEN e * 3 ELSE e END,
+                     NULL, NULL
+              FROM e, (VALUES ('rx'), ('tx')) f(field)
+              WHERE e % 3 = 2
+            )
+            SELECT host, plugin, type, field, dstype,
+                   COUNT(*) AS n,
+                   CAST(SUM(value_int) AS BIGINT) AS sum_int,
+                   ROUND(SUM(value_gauge), 6) AS sum_gauge,
+                   ROUND(SUM(time), 6) AS sum_time
+            FROM rows
+            GROUP BY host, plugin, type, field, dstype
+            ORDER BY host, plugin, field
         """,
         "kmsg_parse": """
             WITH base AS (
