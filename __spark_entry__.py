@@ -700,6 +700,65 @@ def q_kmsg_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stackdriver_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_stackdriver LogEntry encoding (plugins/out_stackdriver/
+    stackdriver.c:1697 stackdriver_format): numeric severity enum from
+    case-insensitive tokens (:1321), invalid-insertId records DROPPED
+    (:2326), timestampSeconds/timestampNanos duo overriding the event
+    time and stripped from the payload (stackdriver_timestamp.c:110),
+    payload+config label merge (config wins, :1146), tag-based logName
+    path, %09d-nanos RFC3339 timestamps; typed fields extracted back
+    out of the entry JSON for the oracle."""
+    from fluent_bit_spark.functions.stackdriver_out import (
+        encode_stackdriver,
+    )
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    sev = F.element_at(
+        F.array(*[F.lit(x) for x in
+                  ["info", "WARN", "error", "debug", "nonsense", "FATAL"]]),
+        (e % 6 + 1).cast("int"),
+    )
+    rec = F.concat(
+        F.lit('{"message":"'), F.col("event_type"),
+        F.lit('","event_id":'), e.cast("string"),
+        F.lit(',"logging.googleapis.com/severity":"'), sev, F.lit('"'),
+        F.when(e % 7 == 0, F.lit(',"logging.googleapis.com/insertId":""'))
+        .when(e % 7 == 1, F.concat(
+            F.lit(',"logging.googleapis.com/insertId":"id-'),
+            e.cast("string"), F.lit('"')))
+        .otherwise(F.lit("")),
+        F.when(e % 5 == 0, F.concat(
+            F.lit(',"timestampSeconds":'),
+            (F.lit(1600000000) + e % 1000).cast("string"),
+            F.lit(',"timestampNanos":'), (e % 1000).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(e % 4 == 0, F.concat(
+            F.lit(',"logging.googleapis.com/labels":{"app":"'),
+            F.col("event_type"), F.lit('"}'))).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    src = ev.select(
+        rec.alias("record"),
+        F.concat(F.lit("sd."), (e % 3).cast("string")).alias("tag"),
+        "ts",
+    )
+    out = encode_stackdriver(src, "proj", config_labels={"env": "test"})
+    entry = F.col("entry")
+    return out.select(
+        F.get_json_object(entry, "$.jsonPayload.event_id")
+        .cast("long").alias("event_id"),
+        F.get_json_object(entry, "$.jsonPayload.message").alias("message"),
+        F.get_json_object(entry, "$.severity").cast("int").alias("severity"),
+        F.get_json_object(entry, "$.insertId").alias("insert_id"),
+        F.get_json_object(entry, "$.logName").alias("log_name"),
+        F.get_json_object(entry, "$.timestamp").alias("ts_str"),
+        F.get_json_object(entry, "$.labels.app").alias("label_app"),
+        F.get_json_object(entry, "$.labels.env").alias("label_env"),
+    )
+
+
 def q_collectd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """in_collectd binary network protocol: wire packets are assembled
     per event (Arrow-batched struct packing), decoded back through the
@@ -3094,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "splunk_hec": q_splunk_hec,
         "datadog_encode": q_datadog_encode,
         "collectd_decode": q_collectd_decode,
+        "stackdriver_encode": q_stackdriver_encode,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -4097,6 +4157,28 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 4 = 0 THEN '******' || chr(0)
                         ELSE CAST(user_id AS VARCHAR) END AS num
             FROM events
+        """,
+        "stackdriver_encode": """
+            SELECT event_id, event_type AS message,
+                   (CASE event_id % 6 WHEN 0 THEN 200 WHEN 1 THEN 400
+                        WHEN 2 THEN 500 WHEN 3 THEN 100 WHEN 5 THEN 600
+                    END)::INT AS severity,
+                   CASE WHEN event_id % 7 = 1
+                        THEN 'id-' || event_id END AS insert_id,
+                   'projects/proj/logs/sd.' || (event_id % 3) AS log_name,
+                   CASE WHEN event_id % 5 = 0 THEN
+                     strftime(make_timestamp(
+                         (1600000000 + event_id % 1000) * 1000000),
+                       '%Y-%m-%dT%H:%M:%S')
+                     || printf('.%09dZ', event_id % 1000)
+                   ELSE
+                     strftime(ts, '%Y-%m-%dT%H:%M:%S')
+                     || printf('.%09dZ', (epoch_us(ts) % 1000000) * 1000)
+                   END AS ts_str,
+                   CASE WHEN event_id % 4 = 0
+                        THEN event_type END AS label_app,
+                   'test' AS label_env
+            FROM events WHERE event_id % 7 <> 0
         """,
         "collectd_decode": """
             WITH e AS (SELECT event_id AS e FROM events),

@@ -459,7 +459,9 @@ def _input_df(
 
         cols = [F.col("tag"), F.col("_seq"), F.col("event_time")]
         for k, v in parsed_payload.items():
-            raw = F.get_json_object(F.col("_json"), f"$.{k}")
+            # bracket-quoted path: dummy keys may contain dots
+            # (e.g. logging.googleapis.com/* special fields)
+            raw = F.get_json_object(F.col("_json"), f"$['{k}']")
             if isinstance(v, dict):
                 # nested msgpack maps keep their structure in the
                 # reference; the columnar analog is a typed struct
@@ -1505,7 +1507,7 @@ def run_classic_outputs(
             counts[oid] = df.count()
         elif sec.name in (
             "syslog", "influxdb", "gelf", "loki", "splunk", "datadog",
-            "es", "opensearch",
+            "es", "opensearch", "stackdriver",
         ):
             encoded = encode_output_lines(df, sec)
 
@@ -1577,8 +1579,10 @@ def encode_output_lines(df, sec):
     but the bytes per record match what the reference would put on the
     socket."""
     # '_'-prefixed columns are pipeline-internal (record order,
-    # lineage) — never part of the user's record map in any format
-    df = df.select(*[c for c in df.columns if not c.startswith("_")])
+    # lineage) — never part of the user's record map in any format.
+    # backtick-quoted, not bare names: keys may contain dots
+    # (logging.googleapis.com/*)
+    df = df.select(*[_bt(c) for c in df.columns if not c.startswith("_")])
     ts = "event_time" if "event_time" in df.columns else None
     if sec.name == "syslog":
         from fluent_bit_spark.functions.syslog_out import to_syslog
@@ -1738,6 +1742,44 @@ def encode_output_lines(df, sec):
             in ("on", "true"),
         )
         return df.select("tag", line.alias("line"))
+    if sec.name == "stackdriver":
+        from fluent_bit_spark.functions.stackdriver_out import (
+            encode_stackdriver,
+        )
+
+        project_id = sec.get("project_id")
+        if not project_id:
+            # stackdriver.c:1303 — property 'project_id' is not set
+            raise ValueError("out_stackdriver needs project_id")
+        labels = {}
+        for kv in sec.get_all("labels"):
+            for pair in kv.split(","):
+                k, _, v = pair.partition("=")
+                if k.strip():
+                    labels[k.strip()] = v.strip()
+        record = F.to_json(
+            F.struct(*[_bt(c).alias(c)
+                       for c in df.columns if c not in ("tag", ts)]),
+            {"ignoreNullFields": "false"},
+        )
+        src = df.select("tag", record.alias("record"),
+                        *([ts] if ts else []))
+        out = encode_stackdriver(
+            src, project_id,
+            record_col="record", tag_col="tag", ts_col=ts,
+            export_to_project_id=sec.get("export_to_project_id"),
+            severity_key=sec.get("severity_key")
+            or "logging.googleapis.com/severity",
+            log_name_key=sec.get("log_name_key")
+            or "logging.googleapis.com/logName",
+            text_payload_key=sec.get("text_payload_key"),
+            autoformat_stackdriver_trace=(
+                sec.get("autoformat_stackdriver_trace") or "false"
+            ).lower() in ("on", "true"),
+            config_labels=labels or None,
+            k8s_resource=(sec.get("resource") or "").startswith("k8s_"),
+        )
+        return out.select("tag", F.col("entry").alias("line"))
     if sec.name == "datadog":
         from fluent_bit_spark.functions.hec_out import to_datadog
 
@@ -1775,6 +1817,13 @@ def encode_output_lines(df, sec):
         extra_cols=[c for c in df.columns if c not in reserved],
     )
     return df.select("tag", line.alias("line"))
+
+
+def _bt(name):
+    """Backtick-quoted column ref — record keys may contain dots
+    (logging.googleapis.com/*), which bare-name resolution parses as
+    struct access."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def _col_if(df, name):
