@@ -700,6 +700,38 @@ def q_kmsg_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_syslog UDP-mode parse (plugins/in_syslog/syslog_prot.c:230
+    syslog_prot_process_udp): one datagram per record through the stock
+    syslog-rfc5424 parser (default for udp, syslog_conf.c:164);
+    unparseable datagrams are dropped; raw_message_key expansion kept.
+    The oracle recomputes every header field arithmetically."""
+    from fluent_bit_spark.sources.syslog_in import parse_syslog
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    line = F.when(e % 11 == 0, F.lit("not a syslog frame")).otherwise(
+        F.concat(
+            F.lit("<"), (e % 192).cast("string"), F.lit(">1 "),
+            F.lit("2023-10-11T22:14:1"), (e % 10).cast("string"),
+            F.lit(".00"), (e % 10).cast("string"), F.lit("Z "),
+            F.lit("host"), (e % 5).cast("string"), F.lit(" "),
+            F.lit("app"), (e % 3).cast("string"), F.lit(" "),
+            (e % 7).cast("string"), F.lit(" "),
+            F.lit("ID"), e.cast("string"), F.lit(" - "),
+            F.lit("msg "), F.col("event_type"),
+        )
+    )
+    out = parse_syslog(
+        ev.select(line.alias("line")), mode="udp", raw_message_key="raw",
+        default_time=F.lit("2000-01-01 00:00:00").cast("timestamp"),
+    )
+    return out.select(
+        "pri", "host", "ident", "pid", "msgid", "message", "raw",
+        F.round(F.col("event_time").cast("double"), 6).alias("ts6"),
+    )
+
+
 def q_stackdriver_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """out_stackdriver LogEntry encoding (plugins/out_stackdriver/
     stackdriver.c:1697 stackdriver_format): numeric severity enum from
@@ -3154,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datadog_encode": q_datadog_encode,
         "collectd_decode": q_collectd_decode,
         "stackdriver_encode": q_stackdriver_encode,
+        "syslog_parse": q_syslog_parse,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -4157,6 +4190,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 4 = 0 THEN '******' || chr(0)
                         ELSE CAST(user_id AS VARCHAR) END AS num
             FROM events
+        """,
+        "syslog_parse": """
+            WITH e AS (SELECT event_id AS e, event_type FROM events
+                       WHERE event_id % 11 <> 0)
+            SELECT CAST(e % 192 AS VARCHAR) AS pri,
+                   'host' || (e % 5) AS host,
+                   'app' || (e % 3) AS ident,
+                   CAST(e % 7 AS VARCHAR) AS pid,
+                   'ID' || e AS msgid,
+                   'msg ' || event_type AS message,
+                   '<' || (e % 192) || '>1 2023-10-11T22:14:1' || (e % 10)
+                     || '.00' || (e % 10) || 'Z host' || (e % 5)
+                     || ' app' || (e % 3) || ' ' || (e % 7) || ' ID' || e
+                     || ' - msg ' || event_type AS raw,
+                   round(epoch(TIMESTAMP '2023-10-11 22:14:10')
+                         + (e % 10) + (e % 10) / 1000.0, 6) AS ts6
+            FROM e
         """,
         "stackdriver_encode": """
             SELECT event_id, event_type AS message,
