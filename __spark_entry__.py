@@ -700,6 +700,37 @@ def q_kmsg_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_http_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_http body records via the core flb_pack JSON formatter
+    (plugins/out_http/http.c:437; src/flb_pack.c:930
+    flb_pack_msgpack_to_json_format): json_date_key prefix in each of
+    the date formats — double, epoch, epoch_ms, iso8601 (.%06u Z),
+    java_sql_timestamp (.%06u). Fields extracted back from the record
+    object; the oracle recomputes each date rendering from ts."""
+    from fluent_bit_spark.functions.misc_out import to_http_record
+
+    ev = _ep(_t(spark, sf_dir, "events")).select(
+        "event_id", "ts", "event_type",
+        F.lit("http.0").alias("tag"),
+    )
+    cols = {}
+    for fmt in ("double", "epoch", "epoch_ms", "iso8601",
+                "java_sql_timestamp"):
+        rec = to_http_record(ev, "ts", date_key="date", date_format=fmt)
+        cols[fmt] = F.get_json_object(rec, "$.date")
+    rec0 = to_http_record(ev, "ts", date_key=None)
+    return ev.select(
+        "event_id",
+        F.round(cols["double"].cast("double"), 6).alias("d_double"),
+        cols["epoch"].cast("long").alias("d_epoch"),
+        cols["epoch_ms"].cast("long").alias("d_epoch_ms"),
+        cols["iso8601"].alias("d_iso"),
+        cols["java_sql_timestamp"].alias("d_sql"),
+        F.get_json_object(rec0, "$.event_type").alias("event_type"),
+        F.get_json_object(rec0, "$.date").alias("no_date"),
+    )
+
+
 def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """in_syslog UDP-mode parse (plugins/in_syslog/syslog_prot.c:230
     syslog_prot_process_udp): one datagram per record through the stock
@@ -3187,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collectd_decode": q_collectd_decode,
         "stackdriver_encode": q_stackdriver_encode,
         "syslog_parse": q_syslog_parse,
+        "http_encode": q_http_encode,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -4189,6 +4221,19 @@ def oracle_sql() -> dict[str, str]:
                      AS text,
                    CASE WHEN event_id % 4 = 0 THEN '******' || chr(0)
                         ELSE CAST(user_id AS VARCHAR) END AS num
+            FROM events
+        """,
+        "http_encode": """
+            SELECT event_id,
+                   round(epoch_us(ts) / 1000000.0, 6) AS d_double,
+                   epoch_us(ts) // 1000000 AS d_epoch,
+                   epoch_us(ts) // 1000 AS d_epoch_ms,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%S')
+                     || printf('.%06dZ', epoch_us(ts) % 1000000) AS d_iso,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S')
+                     || printf('.%06d', epoch_us(ts) % 1000000) AS d_sql,
+                   event_type,
+                   NULL AS no_date
             FROM events
         """,
         "syslog_parse": """

@@ -1507,7 +1507,8 @@ def run_classic_outputs(
             counts[oid] = df.count()
         elif sec.name in (
             "syslog", "influxdb", "gelf", "loki", "splunk", "datadog",
-            "es", "opensearch", "stackdriver",
+            "es", "opensearch", "stackdriver", "nats", "logdna", "slack",
+            "td", "nrlogs", "http",
         ):
             encoded = encode_output_lines(df, sec)
 
@@ -1741,6 +1742,31 @@ def encode_output_lines(df, sec):
             send_raw=(sec.get("splunk_send_raw") or "off").lower()
             in ("on", "true"),
         )
+        return df.select("tag", line.alias("line"))
+    if sec.name in ("nats", "logdna", "slack", "td", "nrlogs", "http"):
+        from fluent_bit_spark.functions import misc_out
+
+        if ts is None:
+            raise ValueError(f"out_{sec.name} needs an event_time column")
+        if sec.name == "nats":
+            line = misc_out.to_nats_line(df, ts)
+        elif sec.name == "logdna":
+            line = misc_out.to_logdna_line(
+                df, ts, file_conf=sec.get("file"),
+                app_conf=sec.get("app") or "Fluent Bit")
+        elif sec.name == "slack":
+            line = misc_out.to_slack_line(df, ts)
+        elif sec.name == "td":
+            line = misc_out.to_td_record(df, ts)
+        elif sec.name == "nrlogs":
+            line = misc_out.to_newrelic_log(df, ts)
+        else:  # http
+            dk = sec.get("json_date_key") or "date"
+            line = misc_out.to_http_record(
+                df, ts,
+                date_key=None if dk.lower() == "false" else dk,
+                date_format=sec.get("json_date_format") or "double",
+            )
         return df.select("tag", line.alias("line"))
     if sec.name == "stackdriver":
         from fluent_bit_spark.functions.stackdriver_out import (
