@@ -700,6 +700,52 @@ def q_kmsg_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mqtt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_mqtt stream decode (plugins/in_mqtt/mqtt_prot.c:253 parser,
+    :176 handle_publish, :76 data_append): CONNECT-first streams,
+    varint remaining length, QoS packet-id skip, JSON-map-only
+    payloads (non-JSON dropped), topic prepended to the record. Wire
+    packets are assembled per event and decoded back; the oracle
+    recomputes the surviving rows from event_id."""
+    import pandas as pd
+
+    from fluent_bit_spark.sources.mqtt import (
+        decode_mqtt_streams,
+        encode_connect,
+        encode_publish,
+    )
+
+    ev = _ep(_t(spark, sf_dir, "events")).select("event_id")
+
+    def mk(batches):
+        for pdf in batches:
+            streams = []
+            for e in pdf["event_id"]:
+                e = int(e)
+                if e % 5 == 0:  # not JSON -> dropped by the decoder
+                    payload = b"not json at all"
+                else:
+                    payload = (
+                        '{"event_id":%d,"n":%d}' % (e, e % 13)
+                    ).encode()
+                streams.append(
+                    encode_connect()
+                    + encode_publish(f"sensors/{e % 4}", payload,
+                                     qos=1 if e % 7 == 0 else 0,
+                                     packet_id=e % 65536))
+            yield pd.DataFrame({"data": pd.Series(streams, dtype="object")})
+
+    streams = ev.mapInPandas(mk, "data binary")
+    rows = decode_mqtt_streams(streams)
+    return rows.select(
+        "topic",
+        F.get_json_object("record", "$.event_id").cast("long")
+        .alias("event_id"),
+        F.get_json_object("record", "$.n").cast("long").alias("n"),
+        F.get_json_object("record", "$.topic").alias("topic_in_record"),
+    )
+
+
 def q_http_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """out_http body records via the core flb_pack JSON formatter
     (plugins/out_http/http.c:437; src/flb_pack.c:930
@@ -3219,6 +3265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stackdriver_encode": q_stackdriver_encode,
         "syslog_parse": q_syslog_parse,
         "http_encode": q_http_encode,
+        "mqtt_decode": q_mqtt_decode,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -4222,6 +4269,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 4 = 0 THEN '******' || chr(0)
                         ELSE CAST(user_id AS VARCHAR) END AS num
             FROM events
+        """,
+        "mqtt_decode": """
+            SELECT 'sensors/' || (event_id % 4) AS topic,
+                   event_id, event_id % 13 AS n,
+                   'sensors/' || (event_id % 4) AS topic_in_record
+            FROM events WHERE event_id % 5 <> 0
         """,
         "http_encode": """
             SELECT event_id,
