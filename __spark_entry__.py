@@ -700,6 +700,29 @@ def q_kmsg_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cloudwatch_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_cloudwatch_logs PutLogEvents event encode (plugins/
+    out_cloudwatch_logs/cloudwatch_api.c:245 write_event, :380
+    add_event): ms timestamp (sec*1000+nsec/1e6), record-JSON message
+    string-escaped into the event, log_key single-value variant.
+    Fields are unescaped back out of the event for the oracle."""
+    from fluent_bit_spark.functions.cloudwatch_out import (
+        to_cloudwatch_event,
+    )
+
+    ev = _ep(_t(spark, sf_dir, "events")).select(
+        "event_id", "ts", "event_type", F.lit("cw.0").alias("tag"))
+    full = to_cloudwatch_event(ev.drop("tag"), "ts")
+    keyed = to_cloudwatch_event(ev.drop("tag"), "ts", log_key="event_type")
+    msg = F.get_json_object(full, "$.message")
+    return ev.select(
+        F.get_json_object(full, "$.timestamp").cast("long").alias("ts_ms"),
+        F.get_json_object(msg, "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object(msg, "$.event_type").alias("event_type"),
+        F.get_json_object(keyed, "$.message").alias("keyed_message"),
+    )
+
+
 def q_mqtt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """in_mqtt stream decode (plugins/in_mqtt/mqtt_prot.c:253 parser,
     :176 handle_publish, :76 data_append): CONNECT-first streams,
@@ -3266,6 +3289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syslog_parse": q_syslog_parse,
         "http_encode": q_http_encode,
         "mqtt_decode": q_mqtt_decode,
+        "cloudwatch_encode": q_cloudwatch_encode,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -4268,6 +4292,11 @@ def oracle_sql() -> dict[str, str]:
                      AS text,
                    CASE WHEN event_id % 4 = 0 THEN '******' || chr(0)
                         ELSE CAST(user_id AS VARCHAR) END AS num
+            FROM events
+        """,
+        "cloudwatch_encode": """
+            SELECT epoch_us(ts) // 1000 AS ts_ms, event_id, event_type,
+                   event_type AS keyed_message
             FROM events
         """,
         "mqtt_decode": """

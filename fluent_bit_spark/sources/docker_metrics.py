@@ -145,3 +145,24 @@ def docker_snapshots(
             }
         )
     return out
+
+
+def parse_docker_events(df, line_col: str = "line", key: str = "message",
+                        parser_spec=None):
+    """in_docker_events: one record per event-socket line.
+
+    Reference: /root/reference/plugins/in_docker_events/
+    docker_events.c:239-330 — without a parser each line lands under
+    ``key`` (default "message", docker_events.h:30); with one, the
+    line is parsed and parse FAILURES ARE DROPPED (the parser-error
+    branch :324 skips the record). Columnar over captured lines.
+    """
+    from pyspark.sql import functions as F
+
+    if parser_spec is None:
+        return df.withColumn(key, F.col(line_col)).drop(
+            *([line_col] if line_col != key else []))
+    from fluent_bit_spark.parsers.compile import apply_parser
+
+    out = apply_parser(df, line_col, parser_spec)
+    return out.filter(F.col("_parse_ok")).drop("_parse_ok", line_col)
