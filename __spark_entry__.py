@@ -700,6 +700,27 @@ def q_kmsg_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_azure_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_azure Log Analytics body records (plugins/out_azure/
+    azure.c:55-160): @timestamp prepended as epoch double, or ISO8601
+    with 3-digit millis + Z under time_generated; record fields
+    follow. The Authorization SharedKey HMAC is driver-side
+    (test_azure_sky_plot.py pins it against a hand-computed HMAC)."""
+    from fluent_bit_spark.functions.azure_out import to_azure_record
+
+    ev = _ep(_t(spark, sf_dir, "events")).select(
+        "event_id", "ts", "event_type", F.lit("az.0").alias("tag"))
+    plain = to_azure_record(ev, "ts")
+    gen = to_azure_record(ev, "ts", time_generated=True)
+    return ev.select(
+        "event_id",
+        F.round(F.get_json_object(plain, "$['@timestamp']")
+                .cast("double"), 6).alias("ts_double"),
+        F.get_json_object(gen, "$['@timestamp']").alias("ts_iso"),
+        F.get_json_object(plain, "$.event_type").alias("event_type"),
+    )
+
+
 def q_cloudwatch_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """out_cloudwatch_logs PutLogEvents event encode (plugins/
     out_cloudwatch_logs/cloudwatch_api.c:245 write_event, :380
@@ -3290,6 +3311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_encode": q_http_encode,
         "mqtt_decode": q_mqtt_decode,
         "cloudwatch_encode": q_cloudwatch_encode,
+        "azure_encode": q_azure_encode,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -4292,6 +4314,15 @@ def oracle_sql() -> dict[str, str]:
                      AS text,
                    CASE WHEN event_id % 4 = 0 THEN '******' || chr(0)
                         ELSE CAST(user_id AS VARCHAR) END AS num
+            FROM events
+        """,
+        "azure_encode": """
+            SELECT event_id,
+                   round(epoch_us(ts) / 1000000.0, 6) AS ts_double,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%S')
+                     || printf('.%03dZ', (epoch_us(ts) % 1000000) // 1000)
+                     AS ts_iso,
+                   event_type
             FROM events
         """,
         "cloudwatch_encode": """

@@ -250,3 +250,62 @@ def http_body(records: list[str], out_format: str = "json") -> str:
     if out_format == "json_lines":
         return "\n".join(records) + ("\n" if records else "")
     raise ValueError(f"unknown out_format {out_format!r}")
+
+
+# ---------------------------------------------------------- skywalking
+
+def to_skywalking_record(
+    df: DataFrame,
+    ts_col: str,
+    tag_col: str = "tag",
+    svc_name: str = "sw-service",
+    ins_name: str = "fluent-bit",
+) -> Column:
+    """out_skywalking /v3/logs element (plugins/out_skywalking/
+    skywalking.c:120-280): ``{timestamp: sec*1000 (whole-second ms,
+    :126), service, serviceInstance, body: {json: {json: <record
+    JSON>}}}`` — and ONLY string-keyed string-valued entries survive
+    into the body (:180-183)."""
+    str_cols = [c for c, t in df.dtypes
+                if t == "string" and c not in (ts_col, tag_col)
+                and not c.startswith("_")]
+    body_json = F.to_json(
+        F.struct(*[df[c] for c in str_cols]), _KEEP_NULLS)
+    ms = ((F.unix_micros(F.col(ts_col))
+           - F.unix_micros(F.col(ts_col)) % 1_000_000)
+          / 1_000_000).cast("long") * 1000
+    return F.to_json(
+        F.struct(
+            ms.alias("timestamp"),
+            F.lit(svc_name).alias("service"),
+            F.lit(ins_name).alias("serviceInstance"),
+            F.struct(
+                F.struct(body_json.alias("json")).alias("json")
+            ).alias("body"),
+        ),
+        _KEEP_NULLS,
+    )
+
+
+# ---------------------------------------------------------------- plot
+
+def to_plot_line(df: DataFrame, ts_col: str, key: str | None = None,
+                 tag_col: str = "tag") -> Column:
+    """out_plot gnuplot line (plugins/out_plot/plot.c:126-190):
+    ``<ts %f> <value>`` — the configured ``key``'s value (or the
+    FIRST record field when unset), ints printed as integers and
+    doubles with %f."""
+    cols = _record_cols(df, (ts_col, tag_col))
+    src = key if key is not None else cols[0]
+    if src not in cols:
+        raise ValueError(f"unmatched key '{src}'")
+    dtype = df.schema[src].dataType
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        val = F.format_string("%f", df[src])
+    else:
+        val = df[src].cast("long").cast("string")
+    return F.concat(
+        F.format_string(
+            "%f", F.unix_micros(F.col(ts_col)) / F.lit(1_000_000.0)),
+        F.lit(" "), val,
+    )
