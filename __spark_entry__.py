@@ -700,6 +700,34 @@ def q_kmsg_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_es_bulk_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_elasticsearch Bulk API body parse (plugins/in_elasticsearch/
+    in_elasticsearch_bulk_prot.c:345 process_ndpack): meta line's
+    first key is the write op, index/create emit records carrying the
+    meta map under @meta, delete/update consume without records,
+    tag_key overrides routing from the body. Bodies are assembled per
+    event in Catalyst and parsed back."""
+    from fluent_bit_spark.sources.api_in import parse_es_bulk
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    body = F.concat(
+        F.lit('{"index":{"_i":'), e.cast("string"),
+        F.lit('}}\n{"event_id":'), e.cast("string"),
+        F.lit(',"svc":"s'), (e % 3).cast("string"),
+        F.lit('"}\n{"delete":{"_id":"x"}}'),
+    )
+    src = ev.select(body.alias("body"))
+    out = parse_es_bulk(src, tag_key="svc")
+    return out.select(
+        "tag",
+        F.get_json_object("record", "$.event_id").cast("long")
+        .alias("event_id"),
+        F.get_json_object("record", "$['@meta'].index._i").cast("long")
+        .alias("meta_i"),
+    )
+
+
 def q_azure_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """out_azure Log Analytics body records (plugins/out_azure/
     azure.c:55-160): @timestamp prepended as epoch double, or ISO8601
@@ -3312,6 +3340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mqtt_decode": q_mqtt_decode,
         "cloudwatch_encode": q_cloudwatch_encode,
         "azure_encode": q_azure_encode,
+        "es_bulk_in": q_es_bulk_in,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -4314,6 +4343,11 @@ def oracle_sql() -> dict[str, str]:
                      AS text,
                    CASE WHEN event_id % 4 = 0 THEN '******' || chr(0)
                         ELSE CAST(user_id AS VARCHAR) END AS num
+            FROM events
+        """,
+        "es_bulk_in": """
+            SELECT 's' || (event_id % 3) AS tag, event_id,
+                   event_id AS meta_i
             FROM events
         """,
         "azure_encode": """
