@@ -700,6 +700,51 @@ def q_kmsg_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forward_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluent Forward protocol round-trip (plugins/out_forward/
+    forward.c:1175,1268; in_forward/fw_prot.c dispatcher): per event
+    one chunk in a mode chosen by event_id — Forward mode with
+    EventTime fixext8 timestamps, Message mode, or
+    CompressedPackedForward (gzip bin entries) — decoded back to
+    (tag, sec, nsec, record). The oracle recomputes all fields."""
+    import pandas as pd
+
+    from fluent_bit_spark.functions.forward_wire import (
+        decode_forward_streams,
+        encode_forward,
+        encode_message,
+    )
+
+    ev = _ep(_t(spark, sf_dir, "events")).select("event_id")
+
+    def mk(batches):
+        for pdf in batches:
+            chunks = []
+            for e in pdf["event_id"]:
+                e = int(e)
+                tag = f"fw.{e % 4}"
+                sec, nsec = 1_700_000_000 + e % 100, (e % 1000) * 1000
+                rec = {"event_id": e}
+                if e % 3 == 0:
+                    chunks.append(encode_forward(
+                        tag, [(sec, nsec, rec)], send_options=True))
+                elif e % 3 == 1:
+                    chunks.append(encode_message(tag, sec, nsec, rec))
+                else:
+                    chunks.append(encode_forward(
+                        tag, [(sec, nsec, rec)], compressed=True))
+            yield pd.DataFrame(
+                {"data": pd.Series(chunks, dtype="object")})
+
+    streams = ev.mapInPandas(mk, "data binary")
+    rows = decode_forward_streams(streams)
+    return rows.select(
+        "tag", "sec", "nsec",
+        F.get_json_object("record", "$.event_id").cast("long")
+        .alias("event_id"),
+    )
+
+
 def q_es_bulk_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """in_elasticsearch Bulk API body parse (plugins/in_elasticsearch/
     in_elasticsearch_bulk_prot.c:345 process_ndpack): meta line's
@@ -3341,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cloudwatch_encode": q_cloudwatch_encode,
         "azure_encode": q_azure_encode,
         "es_bulk_in": q_es_bulk_in,
+        "forward_decode": q_forward_decode,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -4343,6 +4389,13 @@ def oracle_sql() -> dict[str, str]:
                      AS text,
                    CASE WHEN event_id % 4 = 0 THEN '******' || chr(0)
                         ELSE CAST(user_id AS VARCHAR) END AS num
+            FROM events
+        """,
+        "forward_decode": """
+            SELECT 'fw.' || (event_id % 4) AS tag,
+                   1700000000 + event_id % 100 AS sec,
+                   (event_id % 1000) * 1000 AS nsec,
+                   event_id
             FROM events
         """,
         "es_bulk_in": """

@@ -18,6 +18,24 @@ import struct
 from typing import Any
 
 
+class Ext:
+    """msgpack extension value (type code + payload). Needed for the
+    Forward protocol's EventTime (fixext8, type 0)."""
+
+    __slots__ = ("code", "data")
+
+    def __init__(self, code: int, data: bytes):
+        self.code = code
+        self.data = bytes(data)
+
+    def __eq__(self, other):
+        return (isinstance(other, Ext) and other.code == self.code
+                and other.data == self.data)
+
+    def __repr__(self):
+        return f"Ext({self.code}, {self.data!r})"
+
+
 def packb(v: Any) -> bytes:
     out = bytearray()
     _pack(v, out)
@@ -96,6 +114,18 @@ def _pack(v: Any, out: bytearray) -> None:
         for k, val in v.items():
             _pack(k, out)
             _pack(val, out)
+    elif isinstance(v, Ext):
+        n = len(v.data)
+        fix = {1: 0xD4, 2: 0xD5, 4: 0xD6, 8: 0xD7, 16: 0xD8}.get(n)
+        if fix is not None:
+            out.append(fix)
+        elif n <= 0xFF:
+            out += b"\xc7" + struct.pack(">B", n)
+        elif n <= 0xFFFF:
+            out += b"\xc8" + struct.pack(">H", n)
+        else:
+            out += b"\xc9" + struct.pack(">I", n)
+        out += struct.pack("b", v.code) + v.data
     else:
         raise TypeError(f"cannot msgpack {type(v).__name__}")
 
@@ -168,6 +198,22 @@ def _unpack(r: _Reader) -> Any:
         return r.u(">i", 4)
     if c == 0xD3:
         return r.u(">q", 8)
+    if 0xD4 <= c <= 0xD8:
+        n = 1 << (c - 0xD4)
+        code = struct.unpack("b", r.take(1))[0]
+        return Ext(code, r.take(n))
+    if c == 0xC7:
+        n = r.u(">B", 1)
+        code = struct.unpack("b", r.take(1))[0]
+        return Ext(code, r.take(n))
+    if c == 0xC8:
+        n = r.u(">H", 2)
+        code = struct.unpack("b", r.take(1))[0]
+        return Ext(code, r.take(n))
+    if c == 0xC9:
+        n = r.u(">I", 4)
+        code = struct.unpack("b", r.take(1))[0]
+        return Ext(code, r.take(n))
     if c == 0xD9:
         return r.take(r.u(">B", 1)).decode("utf-8")
     if c == 0xDA:
