@@ -700,6 +700,41 @@ def q_kmsg_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_otlp_logs_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_opentelemetry OTLP/JSON logs decode (plugins/
+    in_opentelemetry/opentelemetry_logs.c:354-630): resourceLogs →
+    scopeLogs → logRecords walk, timeUnixNano digit-strings, AnyValue
+    unwrapping (intValue strings → int64), attribute kvlists into the
+    otlp metadata map, kvlist bodies becoming the record. Bodies are
+    assembled per event in Catalyst and decoded back."""
+    from fluent_bit_spark.sources.otlp import parse_otlp_logs_df
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    body = F.concat(
+        F.lit('{"resourceLogs":[{"scopeLogs":[{"logRecords":[{'
+              '"timeUnixNano":"'),
+        (e * 1000 + 5).cast("string"),
+        F.lit('","severityNumber":'), (e % 25).cast("string"),
+        F.lit(',"attributes":[{"key":"svc","value":{"stringValue":"'),
+        F.col("event_type"),
+        F.lit('"}}],"body":{"kvlistValue":{"values":[{"key":"event_id",'
+              '"value":{"intValue":"'),
+        e.cast("string"),
+        F.lit('"}}]}}}]}]}]}'),
+    )
+    out = parse_otlp_logs_df(ev.select(body.alias("body")))
+    return out.select(
+        "time_unix_nano",
+        F.get_json_object("metadata", "$.otlp.severity_number")
+        .cast("long").alias("severity_number"),
+        F.get_json_object("metadata", "$.otlp.attributes.svc")
+        .alias("svc"),
+        F.get_json_object("record", "$.event_id").cast("long")
+        .alias("event_id"),
+    )
+
+
 def q_forward_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fluent Forward protocol round-trip (plugins/out_forward/
     forward.c:1175,1268; in_forward/fw_prot.c dispatcher): per event
@@ -3387,6 +3422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "azure_encode": q_azure_encode,
         "es_bulk_in": q_es_bulk_in,
         "forward_decode": q_forward_decode,
+        "otlp_logs_in": q_otlp_logs_in,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -4389,6 +4425,12 @@ def oracle_sql() -> dict[str, str]:
                      AS text,
                    CASE WHEN event_id % 4 = 0 THEN '******' || chr(0)
                         ELSE CAST(user_id AS VARCHAR) END AS num
+            FROM events
+        """,
+        "otlp_logs_in": """
+            SELECT event_id * 1000 + 5 AS time_unix_nano,
+                   event_id % 25 AS severity_number,
+                   event_type AS svc, event_id
             FROM events
         """,
         "forward_decode": """
