@@ -3374,17 +3374,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per VERDICT.md #2: positions 1-8 are the eight entries that had
     # never received a driver row (r1-r3 kept them past the window),
     # position 9 is the re-fixed embedding_clusters (the one r3 red
-    # row), positions 10-14 the first round-4 additions
-    # (grok_conf_parse, lua_script on the real Lua interpreter,
-    # wasm_filter on the real wasm runtime, kubernetes_meta,
-    # multiline_partial), positions 15-23 the late-round-4 additions
-    # (out_syslog/out_influxdb/out_loki/out_splunk/out_datadog wire
-    # encoders, the stock builtin-parser pack, in_statsd, prometheus
-    # exposition text, in_kmsg); the remaining window re-verifies the
-    # heavy dedup/ANN/corpus family. Everything at 51+ already has a
-    # driver-green row from r1-r3 (see VERDICT.md coverage table), so
-    # after this round every registry entry has at least one
-    # independently-verified row.
+    # row), positions 10-37 the round-4 additions in arrival order
+    # (grok_conf_parse, the real Lua/wasm runtimes, kubernetes_meta,
+    # multiline_partial, the syslog/influx/loki/splunk/datadog/es/
+    # kafka/stackdriver/cloudwatch/azure/http/nats-family encoders,
+    # the builtin-parser pack, in_statsd/in_kmsg/in_collectd/in_mqtt
+    # decoders, tf_infer, nightfall_redact, in_elasticsearch bulk, the
+    # Fluent Forward wire codec, and the OTLP/JSON logs decoder); the
+    # remaining window re-verifies the heavy dedup/ANN family.
+    # Everything at 51+ already has a driver-green row from r1-r3
+    # (see VERDICT.md coverage table), so after this round every
+    # oracle-paired entry has at least one independently-verified row.
     return {
         "incremental_dedup_stream": q_incremental_dedup_stream,
         "decontam_bloom": q_decontam_bloom,

@@ -592,6 +592,44 @@ def main() -> int:
          "projection", ok, "")
     )
 
+    # session-2 round-4 queries: wire decoders are Arrow mapInPandas
+    # with no shuffle around the decode; encoders stay in codegen
+    p = plan_of(qs["syslog_parse"](spark, sf_dir))
+    ok = ("BatchEvalPython" not in p and "MapInPandas" not in p
+          and "hashpartitioning(" not in p)
+    checks.append(("syslog_parse: shuffle-free codegen parse", ok, ""))
+
+    # (the round-robin REPARTITION_BY_NUM from _ep() is the deliberate
+    # core-spread of one-file scans, not a data shuffle — only
+    # hashpartitioning exchanges count against these checks)
+    for q in ("http_encode", "azure_encode", "cloudwatch_encode"):
+        p = plan_of(qs[q](spark, sf_dir))
+        ok = ("BatchEvalPython" not in p and "MapInPandas" not in p
+              and "hashpartitioning(" not in p)
+        checks.append((f"{q}: shuffle-free codegen encoder", ok, ""))
+
+    p = plan_of(qs["stackdriver_encode"](spark, sf_dir))
+    ok = (len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1
+          and "hashpartitioning(" not in p
+          and "BatchEvalPython" not in p)
+    checks.append(
+        ("stackdriver_encode: single Arrow stage, no shuffle", ok, ""))
+
+    for q in ("mqtt_decode", "forward_decode", "es_bulk_in",
+              "otlp_logs_in"):
+        p = plan_of(qs[q](spark, sf_dir))
+        ok = ("hashpartitioning(" not in p
+              and "BatchEvalPython" not in p
+              and "CartesianProduct" not in p)
+        checks.append(
+            (f"{q}: wire decode fans out with no shuffle", ok, ""))
+
+    p = plan_of(qs["collectd_decode"](spark, sf_dir))
+    ok = ("partial" in p.lower() and "BatchEvalPython" not in p
+          and p.count("hashpartitioning(") <= 1)  # the agg's own
+    checks.append(
+        ("collectd_decode: partial agg above the Arrow decode", ok, ""))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
