@@ -700,6 +700,25 @@ def q_kmsg_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prom_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_prometheus_scrape exposition-text PARSE (the cmetrics
+    cmt_decode_prometheus surface) run as a round-trip: the engine's
+    own out_prometheus_exporter text (q_prom_text) is parsed back into
+    sample rows — name, label map, double value, TYPE attachment —
+    and must reproduce the per-event_type aggregates the exposition
+    was rendered from."""
+    from fluent_bit_spark.sources.prom_scrape import parse_prometheus_text
+
+    lines = q_prom_text(spark, sf_dir).select("line")
+    out = parse_prometheus_text(lines)
+    return out.select(
+        "name",
+        F.element_at("labels", "event_type").alias("event_type"),
+        F.round("value", 4).alias("value"),
+        "mtype",
+    )
+
+
 def q_otlp_logs_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """in_opentelemetry OTLP/JSON logs decode (plugins/
     in_opentelemetry/opentelemetry_logs.c:354-630): resourceLogs →
@@ -3423,6 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_bulk_in": q_es_bulk_in,
         "forward_decode": q_forward_decode,
         "otlp_logs_in": q_otlp_logs_in,
+        "prom_scrape": q_prom_scrape,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -4426,6 +4446,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 4 = 0 THEN '******' || chr(0)
                         ELSE CAST(user_id AS VARCHAR) END AS num
             FROM events
+        """,
+        "prom_scrape": """
+            SELECT 'fb_events_total' AS name, event_type,
+                   CAST(count(*) AS DOUBLE) AS value,
+                   'counter' AS mtype
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'fb_events_value', event_type,
+                   round(sum(value), 4), 'gauge'
+            FROM events GROUP BY event_type
         """,
         "otlp_logs_in": """
             SELECT event_id * 1000 + 5 AS time_unix_nano,
