@@ -1508,7 +1508,7 @@ def run_classic_outputs(
         elif sec.name in (
             "syslog", "influxdb", "gelf", "loki", "splunk", "datadog",
             "es", "opensearch", "stackdriver", "nats", "logdna", "slack",
-            "td", "nrlogs", "http",
+            "td", "nrlogs", "http", "websocket", "kafka_rest",
         ):
             encoded = encode_output_lines(df, sec)
 
@@ -1743,7 +1743,8 @@ def encode_output_lines(df, sec):
             in ("on", "true"),
         )
         return df.select("tag", line.alias("line"))
-    if sec.name in ("nats", "logdna", "slack", "td", "nrlogs", "http"):
+    if sec.name in ("nats", "logdna", "slack", "td", "nrlogs", "http",
+                    "websocket", "kafka_rest"):
         from fluent_bit_spark.functions import misc_out
 
         if ts is None:
@@ -1760,7 +1761,17 @@ def encode_output_lines(df, sec):
             line = misc_out.to_td_record(df, ts)
         elif sec.name == "nrlogs":
             line = misc_out.to_newrelic_log(df, ts)
-        else:  # http
+        elif sec.name == "kafka_rest":
+            line = misc_out.to_kafka_rest_record(
+                df, ts,
+                time_key=sec.get("time_key") or "@timestamp",
+                message_key=sec.get("message_key"),
+                partition=int(sec.get("partition") or -1),
+                include_tag_key=(sec.get("include_tag_key") or "off")
+                .lower() in ("on", "true"),
+                tag_key=sec.get("tag_key") or "_flb-key",
+            )
+        else:  # http / websocket share the flb_pack body formats
             dk = sec.get("json_date_key") or "date"
             line = misc_out.to_http_record(
                 df, ts,

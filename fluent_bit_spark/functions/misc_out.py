@@ -309,3 +309,69 @@ def to_plot_line(df: DataFrame, ts_col: str, key: str | None = None,
             "%f", F.unix_micros(F.col(ts_col)) / F.lit(1_000_000.0)),
         F.lit(" "), val,
     )
+
+
+# ----------------------------------------------------------- kafka_rest
+
+def to_kafka_rest_record(
+    df: DataFrame,
+    ts_col: str,
+    tag_col: str = "tag",
+    time_key: str = "@timestamp",
+    time_format: str = "yyyy-MM-dd'T'HH:mm:ss",
+    message_key: str | None = None,
+    partition: int | None = None,
+    include_tag_key: bool = False,
+    tag_key: str = "_flb-key",
+) -> Column:
+    """out_kafka_rest ``records[]`` element (plugins/out_kafka_rest/
+    kafka.c:128-210): ``{partition?, key?, value: {<time_key>:
+    <strftime'd WHOLE-SECOND gmtime>, ...record, <tag_key>?}}`` —
+    time_key default @timestamp, format default %Y-%m-%dT%H:%M:%S
+    (kafka.h:23-24; given here as the equivalent Java pattern)."""
+    value_parts: list[Column] = [
+        F.date_format(F.col(ts_col), time_format).alias(time_key)]
+    value_parts += [df[c] for c in _record_cols(df, (ts_col, tag_col))]
+    if include_tag_key:
+        value_parts.append(F.col(tag_col).alias(tag_key))
+    parts: list[Column] = []
+    if partition is not None and partition >= 0:
+        parts.append(F.lit(partition).cast("long").alias("partition"))
+    if message_key is not None:
+        parts.append(F.lit(message_key).alias("key"))
+    parts.append(F.struct(*value_parts).alias("value"))
+    return F.to_json(F.struct(*parts), _KEEP_NULLS)
+
+
+def kafka_rest_payload(records: list[str]) -> str:
+    return '{"records":[' + ",".join(records) + "]}"
+
+
+# ---------------------------------------------------------------- pgsql
+
+def pgsql_insert_sql(
+    table: str,
+    tag: str,
+    json_body: str,
+    timestamp_key: str = "date",
+    cockroachdb: bool = False,
+) -> str:
+    """out_pgsql INSERT statement (pgsql.h:39-44): the chunk's records
+    are one JSON array bound through json_array_elements, the tag a
+    SQL-escaped literal, and the event time recovered from
+    ``timestamp_key`` inside each element (epoch-double
+    ``to_timestamp`` on PostgreSQL; INTERVAL + epoch date on
+    CockroachDB)."""
+    tag_lit = "'" + tag.replace("'", "''") + "'"
+    body_lit = "'" + json_body.replace("'", "''") + "'"
+    if cockroachdb:
+        return (
+            f"INSERT INTO {table} SELECT {tag_lit},"
+            f"CAST(value->>'{timestamp_key}' AS INTERVAL) + "
+            f"DATE'1970-01-01', * FROM json_array_elements({body_lit});"
+        )
+    return (
+        f"INSERT INTO {table} SELECT {tag_lit}, "
+        f"to_timestamp(CAST(value->>'{timestamp_key}' as FLOAT)),"
+        f" * FROM json_array_elements({body_lit});"
+    )

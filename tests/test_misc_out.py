@@ -188,3 +188,73 @@ def test_classic_misc_outputs(spark, tmp_path):
     nr = [json.loads(ln) for ln in lines("nrlogs.3")]
     assert all(d["message"] == "boot ok"
                and d["attributes"]["level"] == "err" for d in nr)
+
+
+def test_kafka_rest_record(rec_df):
+    from fluent_bit_spark.functions.misc_out import (
+        kafka_rest_payload,
+        to_kafka_rest_record,
+    )
+
+    d = json.loads(rec_df.select(to_kafka_rest_record(
+        rec_df, "ts", message_key="mk", partition=3,
+        include_tag_key=True).alias("l")).first()["l"])
+    assert d["partition"] == 3 and d["key"] == "mk"
+    v = d["value"]
+    assert v["@timestamp"] == "2023-11-14T22:13:20"  # whole seconds
+    assert v["message"] == "boot ok" and v["_flb-key"] == "app.a"
+    assert list(v)[0] == "@timestamp"  # time key first
+    assert kafka_rest_payload(['{"value":1}']) == \
+        '{"records":[{"value":1}]}'
+
+
+def test_pgsql_insert_sql():
+    from fluent_bit_spark.functions.misc_out import pgsql_insert_sql
+
+    q = pgsql_insert_sql("fluentbit", "app's", '[{"date":1.5}]')
+    assert q == ("INSERT INTO fluentbit SELECT 'app''s', "
+                 "to_timestamp(CAST(value->>'date' as FLOAT)),"
+                 " * FROM json_array_elements('[{\"date\":1.5}]');")
+    q = pgsql_insert_sql("t", "a", "[]", cockroachdb=True)
+    assert "AS INTERVAL) + DATE'1970-01-01'" in q
+
+
+def test_classic_websocket_and_kafka_rest(spark, tmp_path):
+    import glob
+    import os
+
+    from fluent_bit_spark.classic import (
+        build_classic_pipeline,
+        run_classic_outputs,
+    )
+
+    conf = """
+[INPUT]
+    Name    dummy
+    Tag     svc.a
+    Dummy   {"message":"x"}
+    Samples 1
+
+[OUTPUT]
+    Name   websocket
+    Match  svc.*
+    json_date_format epoch
+
+[OUTPUT]
+    Name        kafka_rest
+    Match       svc.*
+    partition   2
+"""
+    pipe = build_classic_pipeline(spark, conf)
+    counts = run_classic_outputs(pipe, str(tmp_path), with_retry=False)
+    assert counts == {"websocket.0": 1, "kafka_rest.1": 1}
+
+    def first_line(oid):
+        for p in glob.glob(os.path.join(str(tmp_path), oid, "*",
+                                        "part-*")):
+            return open(p, encoding="utf-8").read().splitlines()[0]
+
+    ws = json.loads(first_line("websocket.0"))
+    assert isinstance(ws["date"], int) and ws["message"] == "x"
+    kr = json.loads(first_line("kafka_rest.1"))
+    assert kr["partition"] == 2 and kr["value"]["message"] == "x"
