@@ -101,3 +101,34 @@ def azure_headers(
     if time_generated:
         headers["time-generated-field"] = time_key
     return headers
+
+
+def to_kusto_record(
+    df: DataFrame,
+    ts_col: str,
+    tag_col: str = "tag",
+    time_key: str = "timestamp",
+    tag_key: str = "tag",
+    log_key: str = "log",
+    include_time_key: bool = True,
+    include_tag_key: bool = True,
+) -> Column:
+    """out_azure_kusto ingestion record (plugins/out_azure_kusto/
+    azure_kusto.c:990-1070): ``{<time_key>: ISO8601 + 3-digit ms Z,
+    <tag_key>: tag, <log_key>: <record map>}`` with the time/tag keys
+    config-gated (defaults timestamp/tag/log, azure_kusto.h:48-50)."""
+    us = F.unix_micros(F.col(ts_col))
+    parts: list[Column] = []
+    if include_time_key:
+        parts.append(F.concat(
+            F.date_format(F.col(ts_col), _ISO),
+            F.format_string(".%03dZ", (((us % 1_000_000) - (us % 1000))
+                                       / 1000).cast("long")),
+        ).alias(time_key))
+    if include_tag_key:
+        parts.append(F.col(tag_col).alias(tag_key))
+    parts.append(
+        F.struct(*[df[c] for c in df.columns
+                   if c not in (ts_col, tag_col)
+                   and not c.startswith("_")]).alias(log_key))
+    return F.to_json(F.struct(*parts), {"ignoreNullFields": "false"})

@@ -92,3 +92,18 @@ def test_plot_line(rec_df):
     assert line.endswith(" 7")
     with pytest.raises(ValueError, match="unmatched key"):
         to_plot_line(rec_df, "ts", key="missing")
+
+
+def test_kusto_record(rec_df):
+    from fluent_bit_spark.functions.azure_out import to_kusto_record
+
+    d = json.loads(rec_df.select(
+        to_kusto_record(rec_df, "ts").alias("l")).first()["l"])
+    assert list(d) == ["timestamp", "tag", "log"]
+    assert d["timestamp"] == "2023-11-14T22:13:20.250Z"
+    assert d["tag"] == "app.a"
+    assert d["log"]["message"] == "boot ok" and d["log"]["n"] == 7
+    d = json.loads(rec_df.select(to_kusto_record(
+        rec_df, "ts", include_time_key=False, include_tag_key=False,
+        log_key="l2").alias("l")).first()["l"])
+    assert list(d) == ["l2"]
