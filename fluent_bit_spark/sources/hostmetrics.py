@@ -239,3 +239,32 @@ def thermal_records(
         {"name": name, "type": ztype, "temp": milli / 1000.0}
         for name, (ztype, milli) in zones.items()
     ]
+
+
+def nginx_stub_status_record(text: str) -> dict | None:
+    """in_nginx_exporter_metrics stub_status parse (reference
+    /root/reference/plugins/in_nginx_exporter_metrics/nginx.c:36-90):
+    line 0 ``Active connections: N``, line 2 the accepts/handled/
+    requests triple, line 3 ``Reading: R Writing: W Waiting: Q``; a
+    malformed page returns None (the reference errors the scrape)."""
+    import re as _re
+
+    lines = text.splitlines()
+    if len(lines) < 4:
+        return None
+    m0 = _re.match(r"Active connections:\s+(\d+)", lines[0])
+    m2 = _re.match(r"\s*(\d+)\s+(\d+)\s+(\d+)", lines[2])
+    m3 = _re.match(
+        r"Reading:\s+(\d+)\s+Writing:\s+(\d+)\s+Waiting:\s+(\d+)",
+        lines[3])
+    if not (m0 and m2 and m3):
+        return None
+    return {
+        "active": int(m0.group(1)),
+        "accepts": int(m2.group(1)),
+        "handled": int(m2.group(2)),
+        "requests": int(m2.group(3)),
+        "reading": int(m3.group(1)),
+        "writing": int(m3.group(2)),
+        "waiting": int(m3.group(3)),
+    }

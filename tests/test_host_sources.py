@@ -328,3 +328,19 @@ def test_docker_skips_snapshotless(tmp_path):
     os.makedirs(os.path.join(sysfs, "cpu", "docker", CID_A))
     recs = docker_snapshots(sysfs_path=sysfs, containers_path=str(tmp_path))
     assert recs == []
+
+
+def test_nginx_stub_status():
+    from fluent_bit_spark.sources.hostmetrics import (
+        nginx_stub_status_record,
+    )
+
+    page = ("Active connections: 291\n"
+            "server accepts handled requests\n"
+            " 16630948 16630948 31070465\n"
+            "Reading: 6 Writing: 179 Waiting: 106\n")
+    rec = nginx_stub_status_record(page)
+    assert rec == {"active": 291, "accepts": 16630948,
+                   "handled": 16630948, "requests": 31070465,
+                   "reading": 6, "writing": 179, "waiting": 106}
+    assert nginx_stub_status_record("oops") is None
