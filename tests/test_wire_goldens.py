@@ -109,3 +109,24 @@ def test_es_bulk_golden(spark):
     records, statuses = process_bulk(
         '{"upsert":{"_index":"fluent-bit","_id":1}}\n{"test":"msg"}\n')
     assert records == [] and '"status":400' in statuses
+
+
+def test_wire_replay_job_decode(spark, tmp_path):
+    """jobs/run_wire_replay.py decode stage over a captured-forward
+    parquet, written back partitioned by tag."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    from run_wire_replay import decode
+
+    from fluent_bit_spark.functions.forward_wire import encode_forward
+
+    rows = [(encode_forward(f"svc.{i % 2}",
+                            [(1_700_000_000 + i, 0, {"v": i})]),)
+            for i in range(6)]
+    src = str(tmp_path / "capture")
+    spark.createDataFrame(rows, "data binary").write.parquet(src)
+    out = decode(spark, spark.read.parquet(src), "forward")
+    got = {(r["tag"], json.loads(r["record"])["v"]) for r in out.collect()}
+    assert got == {(f"svc.{i % 2}", i) for i in range(6)}
+    assert "event_time" in out.columns
