@@ -22,7 +22,11 @@ Supported plugin surface (the SURVEY §2 in-scope set):
   lua (REAL scripts on the in-repo Lua 5.1 interpreter), wasm (REAL
   binaries, json|msgpack event formats), kubernetes, stdout (no-op)
 - outputs: file (json/csv/ltsv/template + Delimiter names), counter,
-  flowcounter, null, stdout
+  flowcounter, null, stdout; encoder-backed outputs (bytes match the
+  reference's wire format, delivery is file-per-tag — SURVEY §2.9):
+  syslog, influxdb, gelf, loki, splunk, datadog, es, opensearch,
+  stackdriver, nats, logdna, slack, td, nrlogs, http, websocket,
+  kafka_rest
 
 Match scoping is UNION-FREE: the Match predicate is pushed into each
 operator row-wise (when(gate, new).otherwise(old); grep keeps
