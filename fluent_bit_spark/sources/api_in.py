@@ -112,11 +112,10 @@ def parse_es_bulk(
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             tags, recs = [], []
-            for _, row in pdf.iterrows():
-                body = row[body_col]
+            base_tags = pdf[tag_col] if tag_col else [None] * len(pdf)
+            for body, base_tag in zip(pdf[body_col], base_tags):
                 if body is None:
                     continue
-                base_tag = row[tag_col] if tag_col else None
                 out, _ = process_bulk(body, meta_key=meta_key,
                                       tag_key=tag_key, tag=base_tag)
                 for t, r in out:
@@ -175,13 +174,12 @@ def parse_hec_json(
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             tags, recs = [], []
-            for _, row in pdf.iterrows():
-                body = row[body_col]
+            base_tags = pdf[tag_col] if tag_col else [None] * len(pdf)
+            for body, base_tag in zip(pdf[body_col], base_tags):
                 if body is None:
                     continue
                 for t, r in hec_json_records(
-                        body, tag_key=tag_key,
-                        tag=row[tag_col] if tag_col else None):
+                        body, tag_key=tag_key, tag=base_tag):
                     tags.append(t)
                     recs.append(r)
             yield pd.DataFrame(

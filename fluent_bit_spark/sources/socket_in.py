@@ -64,12 +64,11 @@ def parse_json_stream(
         dec = json.JSONDecoder()
         for pdf in batches:
             recs = []
-            for _, row in pdf.iterrows():
-                body = row[data_col]
+            addrs = pdf[source_address_col] if source_address_col \
+                else [None] * len(pdf)
+            for body, addr in zip(pdf[data_col], addrs):
                 if body is None:
                     continue
-                addr = row[source_address_col] \
-                    if source_address_col else None
                 pos, n = 0, len(body)
                 docs = []
                 ok = True
