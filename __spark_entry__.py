@@ -700,6 +700,45 @@ def q_kmsg_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_remote_write_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus remote_write body decode (plugins/
+    in_prometheus_remote_write/prom_rw_prot.c:156-230): snappy framed
+    AND raw-block bodies over prompb WriteRequest protobuf, __name__
+    lifted out of the label set. Bodies are assembled per event with
+    the out_prometheus_remote_write-shape encoder and decoded back;
+    the oracle recomputes every field from event_id."""
+    import pandas as pd
+
+    from fluent_bit_spark.functions.remote_write import (
+        decode_remote_write,
+        encode_remote_write_body,
+    )
+
+    ev = _ep(_t(spark, sf_dir, "events")).select("event_id")
+
+    def mk(batches):
+        for pdf in batches:
+            bodies = []
+            for e in pdf["event_id"]:
+                e = int(e)
+                series = [(
+                    {"__name__": "ev_metric", "job": f"j{e % 3}"},
+                    [(float(e % 100) / 4.0, 1_700_000_000_000 + e)],
+                )]
+                bodies.append(encode_remote_write_body(
+                    series, framed=(e % 2 == 0)))
+            yield pd.DataFrame(
+                {"data": pd.Series(bodies, dtype="object")})
+
+    rows = decode_remote_write(ev.mapInPandas(mk, "data binary"))
+    return rows.select(
+        "name",
+        F.get_json_object("labels", "$.job").alias("job"),
+        F.round("value", 6).alias("value"),
+        "ts_ms",
+    )
+
+
 def q_prom_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """in_prometheus_scrape exposition-text PARSE (the cmetrics
     cmt_decode_prometheus surface) run as a round-trip: the engine's
@@ -3443,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_decode": q_forward_decode,
         "otlp_logs_in": q_otlp_logs_in,
         "prom_scrape": q_prom_scrape,
+        "remote_write_decode": q_remote_write_decode,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -4445,6 +4485,13 @@ def oracle_sql() -> dict[str, str]:
                      AS text,
                    CASE WHEN event_id % 4 = 0 THEN '******' || chr(0)
                         ELSE CAST(user_id AS VARCHAR) END AS num
+            FROM events
+        """,
+        "remote_write_decode": """
+            SELECT 'ev_metric' AS name,
+                   'j' || (event_id % 3) AS job,
+                   round((event_id % 100) / 4.0, 6) AS value,
+                   1700000000000 + event_id AS ts_ms
             FROM events
         """,
         "prom_scrape": """
