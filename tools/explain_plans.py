@@ -630,6 +630,20 @@ def main() -> int:
     checks.append(
         ("collectd_decode: partial agg above the Arrow decode", ok, ""))
 
+    p = plan_of(qs["remote_write_decode"](spark, sf_dir))
+    ok = ("hashpartitioning(" not in p and "BatchEvalPython" not in p)
+    checks.append(
+        ("remote_write_decode: snappy+protobuf decode, no shuffle",
+         ok, ""))
+
+    p = plan_of(qs["prom_scrape"](spark, sf_dir))
+    ok = ("BroadcastHashJoin" in p
+          and "BroadcastNestedLoopJoin" not in p
+          and "CartesianProduct" not in p)
+    checks.append(
+        ("prom_scrape: TYPE/HELP attach via broadcast equi-join "
+         "(suffix expansion, no nested loop)", ok, ""))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
