@@ -158,7 +158,12 @@ def decode_forward_streams(
             for buf in pdf[data_col]:
                 if buf is None:
                     continue
-                for tag, sec, nsec, rec, _ in decode_forward(bytes(buf)):
+                try:
+                    decoded = decode_forward(bytes(buf))
+                except (ValueError, IndexError, struct.error,
+                        UnicodeDecodeError, EOFError, OSError):
+                    continue  # hostile/truncated chunk: skip, not die
+                for tag, sec, nsec, rec, _ in decoded:
                     tags.append(tag)
                     secs.append(sec)
                     nsecs.append(nsec)

@@ -284,7 +284,7 @@ def decode_remote_write(
                 try:
                     raw = snappy_unframe(bytes(buf))
                     series = decode_write_request(raw)
-                except ValueError:
+                except (ValueError, IndexError, struct.error):
                     continue  # undecodable body skipped with a warn
                 for labels, samples in series:
                     name = labels.pop("__name__", "")

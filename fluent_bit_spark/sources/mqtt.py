@@ -122,8 +122,12 @@ def decode_mqtt_streams(
             for buf in pdf[data_col]:
                 if buf is None:
                     continue
-                for topic, rec in decode_mqtt_buffer(
-                        bytes(buf), payload_key=payload_key):
+                try:
+                    decoded = decode_mqtt_buffer(
+                        bytes(buf), payload_key=payload_key)
+                except (ValueError, IndexError):
+                    continue  # hostile/truncated stream: skip, not die
+                for topic, rec in decoded:
                     topics.append(topic)
                     recs.append(rec)
             yield pd.DataFrame(

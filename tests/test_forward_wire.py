@@ -81,3 +81,15 @@ def test_decode_streams_spark(spark):
     assert len(out) == 5
     assert out["s.3"]["sec"] == 103 and out["s.3"]["nsec"] == 3
     assert json.loads(out["s.3"]["record"]) == {"v": 3}
+
+
+def test_hostile_chunks_skipped(spark):
+    """Malformed UTF-8 / truncated msgpack must skip the chunk, not
+    kill the task."""
+    good = encode_forward("ok", EVENTS[:1])
+    bad_utf8 = packb(["t\xff".encode("latin-1"), [[1, {"a": 1}]]])
+    rows = [(good,), (good[:-3],), (bad_utf8,), (b"\xc1\xc1\xc1",)]
+    df = spark.createDataFrame(rows, "data binary")
+    out = decode_forward_streams(df).collect()
+    tags = [r["tag"] for r in out]
+    assert "ok" in tags  # the intact chunk survives

@@ -88,3 +88,13 @@ def test_known_crc32c_vector():
 
     # RFC 3720 test vector: 32 bytes of zeros -> 0x8A9136AA
     assert _crc32c(bytes(32)) == 0x8A9136AA
+
+
+def test_truncated_bodies_are_skipped(spark):
+    """Truncated/hostile bytes must skip the body, never kill the
+    task (the reference logs and drops)."""
+    good = encode_remote_write_body(SERIES[:1])
+    rows = [(good[: i * 7],) for i in range(1, 10)] + [(good,)]
+    df = spark.createDataFrame(rows, "data binary")
+    out = decode_remote_write(df).collect()
+    assert len(out) >= 2  # the intact body's samples survive
