@@ -700,6 +700,34 @@ def q_kmsg_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k8s_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_kubernetes_events shaping (plugins/in_kubernetes_events/
+    kubernetes_events.c:268-380): lastTimestamp→firstTimestamp→
+    creationTimestamp precedence, retention filter, per-uid dedup
+    keeping the highest resourceVersion. Event JSONs are assembled per
+    row; the oracle reproduces the dedup with max/max_by."""
+    from fluent_bit_spark.k8s import k8s_events_records
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    item = F.concat(
+        F.lit('{"metadata":{"uid":"u'), (e % 500).cast("string"),
+        F.lit('","resourceVersion":"'), e.cast("string"),
+        F.lit('"},"lastTimestamp":"'),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit('","reason":"Scheduled"}'),
+    )
+    out = k8s_events_records(
+        ev.select(item.alias("item")),
+        now_ts=F.lit("2030-01-01 00:00:00").cast("timestamp"),
+        retention_sec=10**9,
+    )
+    return out.select(
+        "uid", "resource_version",
+        F.round(F.col("event_time").cast("double"), 6).alias("ts6"),
+    )
+
+
 def q_remote_write_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus remote_write body decode (plugins/
     in_prometheus_remote_write/prom_rw_prot.c:156-230): snappy framed
@@ -3483,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otlp_logs_in": q_otlp_logs_in,
         "prom_scrape": q_prom_scrape,
         "remote_write_decode": q_remote_write_decode,
+        "k8s_events": q_k8s_events,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -4486,6 +4515,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 4 = 0 THEN '******' || chr(0)
                         ELSE CAST(user_id AS VARCHAR) END AS num
             FROM events
+        """,
+        "k8s_events": """
+            SELECT 'u' || (event_id % 500) AS uid,
+                   max(event_id) AS resource_version,
+                   round(epoch(date_trunc('second',
+                               max_by(ts, event_id))), 6) AS ts6
+            FROM events GROUP BY uid
         """,
         "remote_write_decode": """
             SELECT 'ev_metric' AS name,

@@ -245,3 +245,64 @@ def _re_quote(s: str) -> str:
     for ch in s:
         out.append("\\" + ch if ch in r"\.[]{}()*+?^$|" else ch)
     return "".join(out)
+
+
+def k8s_events_records(
+    df: DataFrame,
+    item_col: str = "item",
+    now_ts: Column | None = None,
+    retention_sec: int = 3600,
+):
+    """in_kubernetes_events record shaping (reference
+    /root/reference/plugins/in_kubernetes_events/kubernetes_events.c):
+
+    - the event time picks lastTimestamp, then firstTimestamp, then
+      metadata.creationTimestamp (:268-292 — "some events can have
+      lastTimestamp and firstTimestamp set to NULL");
+    - events older than ``retention_time`` (default 1h,
+      kubernetes_events.h) are filtered (:304-309);
+    - re-lists are deduplicated per metadata.uid keeping the HIGHEST
+      resourceVersion (:296-380 — the sqlite exists-by-uid check the
+      reference keeps across polls, expressed here as a max-per-uid
+      aggregation, the shape that holds on a cluster).
+
+    Input: one K8s Event JSON per row; output adds event_time, uid,
+    resource_version and keeps only the surviving rows.
+    """
+    item = F.col(item_col)
+    t = F.coalesce(
+        F.try_to_timestamp(
+            F.get_json_object(item, "$.lastTimestamp"),
+            F.lit("yyyy-MM-dd'T'HH:mm:ssX")),
+        F.try_to_timestamp(
+            F.get_json_object(item, "$.firstTimestamp"),
+            F.lit("yyyy-MM-dd'T'HH:mm:ssX")),
+        F.try_to_timestamp(
+            F.get_json_object(item, "$.metadata.creationTimestamp"),
+            F.lit("yyyy-MM-dd'T'HH:mm:ssX")),
+    )
+    now = now_ts if now_ts is not None else F.current_timestamp()
+    out = (
+        df.withColumn("event_time", t)
+        .withColumn("uid", F.get_json_object(item, "$.metadata.uid"))
+        .withColumn(
+            "resource_version",
+            F.get_json_object(item, "$.metadata.resourceVersion")
+            .try_cast("long"),
+        )
+        .filter(F.col("event_time").isNotNull()
+                & F.col("uid").isNotNull()
+                & F.col("resource_version").isNotNull())
+        .filter(
+            F.col("event_time")
+            >= now - F.make_dt_interval(secs=F.lit(retention_sec)))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("uid").orderBy(
+        F.col("resource_version").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

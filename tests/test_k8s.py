@@ -207,3 +207,38 @@ class TestTagRegex:
         import re
 
         assert re.match(TAG_REGEX, f"a_b_c-{'a'*32}.log") is None
+
+
+def test_k8s_events_records(spark):
+    """in_kubernetes_events: timestamp precedence, retention filter,
+    uid dedup keeping the highest resourceVersion."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.k8s import k8s_events_records
+
+    def ev(uid, rv, last=None, first=None, created=None):
+        item = {"metadata": {"uid": uid, "resourceVersion": str(rv),
+                             "creationTimestamp": created},
+                "lastTimestamp": last, "firstTimestamp": first,
+                "reason": "Scheduled"}
+        return (json.dumps(item),)
+
+    rows = [
+        ev("u1", 10, last="2023-11-14T22:00:00Z"),
+        ev("u1", 12, last="2023-11-14T22:05:00Z"),  # wins (higher rv)
+        ev("u2", 5, first="2023-11-14T22:01:00Z"),  # firstTimestamp
+        ev("u3", 7, created="2023-11-14T22:02:00Z"),  # creationTs
+        ev("u4", 9, last="2023-11-14T10:00:00Z"),  # outside retention
+        ev("u5", 1),  # no timestamp at all -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["item"])
+    out = k8s_events_records(
+        df, now_ts=F.lit("2023-11-14 23:00:00").cast("timestamp"),
+        retention_sec=3600 * 2)
+    got = {r["uid"]: r for r in out.collect()}
+    assert set(got) == {"u1", "u2", "u3"}
+    assert got["u1"]["resource_version"] == 12
+    assert str(got["u2"]["event_time"]).startswith("2023-11-14 22:01")
+    assert str(got["u3"]["event_time"]).startswith("2023-11-14 22:02")
