@@ -31,7 +31,7 @@ from typing import Any, Iterator
 
 from pyspark.sql import DataFrame
 
-from fluent_bit_spark.wasm.mpack import Ext, packb, unpackb
+from fluent_bit_spark.wasm.mpack import Ext, packb
 
 
 def pack_event_time(sec: int, nsec: int = 0) -> Ext:

@@ -43,7 +43,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_NO_NULLS = {"ignoreNullFields": "true"}
 _KEEP_NULLS = {"ignoreNullFields": "false"}
 
 
