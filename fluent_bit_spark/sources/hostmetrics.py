@@ -268,3 +268,44 @@ def nginx_stub_status_record(text: str) -> dict | None:
         "writing": int(m3.group(2)),
         "waiting": int(m3.group(3)),
     }
+
+
+def node_meminfo_metrics(text: str) -> dict[str, float]:
+    """in_node_exporter_metrics meminfo collector (reference
+    /root/reference/plugins/in_node_exporter_metrics/
+    ne_meminfo_linux.c:20-130,260-280): per /proc/meminfo line the
+    metric is ``node_memory_<Name>`` with ``(anon)``/``(file)``
+    rewritten to ``_anon``/``_file``; a trailing ``kB`` unit appends
+    ``_bytes`` AND multiplies the value by 1024 (:267); other part
+    counts are skipped."""
+    out: dict[str, float] = {}
+    for line in text.splitlines():
+        parts = line.split()
+        if not parts or not parts[0].endswith(":"):
+            continue
+        name = parts[0][:-1]
+        name = name.replace("(anon)", "_anon").replace("(file)", "_file")
+        try:
+            val = float(parts[1])
+        except (IndexError, ValueError):
+            continue
+        if len(parts) == 3:  # trailing kB unit
+            out[f"node_memory_{name}_bytes"] = val * 1024
+        elif len(parts) == 2:
+            out[f"node_memory_{name}"] = val
+        # else: skipped like the reference's parts fallthrough
+    return out
+
+
+def node_loadavg_metrics(text: str) -> dict[str, float] | None:
+    """node_load1/5/15 gauges from /proc/loadavg
+    (ne_loadavg_linux.c:35-60)."""
+    parts = text.split()
+    if len(parts) < 3:
+        return None
+    try:
+        return {"node_load1": float(parts[0]),
+                "node_load5": float(parts[1]),
+                "node_load15": float(parts[2])}
+    except ValueError:
+        return None

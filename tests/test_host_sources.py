@@ -344,3 +344,27 @@ def test_nginx_stub_status():
                    "handled": 16630948, "requests": 31070465,
                    "reading": 6, "writing": 179, "waiting": 106}
     assert nginx_stub_status_record("oops") is None
+
+
+def test_node_meminfo_metrics():
+    from fluent_bit_spark.sources.hostmetrics import node_meminfo_metrics
+
+    text = ("MemTotal:       16314912 kB\n"
+            "MemFree:         3243612 kB\n"
+            "HugePages_Total:       0\n"
+            "Active(anon):    5871524 kB\n"
+            "garbage line without colon\n")
+    m = node_meminfo_metrics(text)
+    assert m["node_memory_MemTotal_bytes"] == 16314912 * 1024
+    assert m["node_memory_HugePages_Total"] == 0  # unitless: no suffix
+    assert m["node_memory_Active_anon_bytes"] == 5871524 * 1024
+    assert len(m) == 4
+
+
+def test_node_loadavg_metrics():
+    from fluent_bit_spark.sources.hostmetrics import node_loadavg_metrics
+
+    m = node_loadavg_metrics("0.91 1.12 1.30 2/2291 12345\n")
+    assert m == {"node_load1": 0.91, "node_load5": 1.12,
+                 "node_load15": 1.30}
+    assert node_loadavg_metrics("bad") is None
