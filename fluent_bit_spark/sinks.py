@@ -196,3 +196,41 @@ def write_per_tag(
         .partitionBy(tag_col)
         .text(os.path.join(out_dir))
     )
+
+
+def s3_key(
+    format: str,
+    time_epoch: int,
+    tag: str,
+    tag_delimiter: str = ".",
+    seq_index: int = 0,
+    uuid8: str | None = None,
+) -> str:
+    """out_s3 object-key template rendering (reference
+    /root/reference/src/aws/flb_aws_util.c:814-1010 flb_get_s3_key):
+    substitution order is ``$TAG[0..9]`` (tag split on any delimiter
+    char, max 10 parts), ``$TAG`` (whole), ``$INDEX`` (sequence),
+    ``$UUID`` (8 random alphanumerics), then strftime over the whole
+    key with gmtime. Keys longer than 1024 chars only warn in the
+    reference — same here (no truncation). ``uuid8`` is injectable
+    for deterministic layouts/tests."""
+    import re as _re
+    import time as _time
+    import uuid as _uuid
+    import warnings
+
+    key = format
+    if len(key) > 1024:
+        warnings.warn("[s3_key] Object key length is longer than the "
+                      "1024 character limit.")
+    parts = [p for p in _re.split(
+        "[" + _re.escape(tag_delimiter) + "]", tag) if p != ""]
+    for i, part in enumerate(parts[:10]):
+        key = key.replace(f"$TAG[{i}]", part)
+    key = key.replace("$TAG", tag)
+    if "$INDEX" in key:
+        key = key.replace("$INDEX", str(seq_index))
+    if "$UUID" in key:
+        rnd = uuid8 if uuid8 is not None else _uuid.uuid4().hex[:8]
+        key = key.replace("$UUID", rnd)
+    return _time.strftime(key, _time.gmtime(time_epoch))

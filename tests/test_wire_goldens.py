@@ -130,3 +130,23 @@ def test_wire_replay_job_decode(spark, tmp_path):
     got = {(r["tag"], json.loads(r["record"])["v"]) for r in out.collect()}
     assert got == {(f"svc.{i % 2}", i) for i in range(6)}
     assert "event_time" in out.columns
+
+
+def test_s3_key_template():
+    """out_s3 key rendering order: $TAG[n] parts, $TAG, $INDEX, $UUID,
+    then strftime (flb_aws_util.c:814-1010)."""
+    from fluent_bit_spark.sinks import s3_key
+
+    key = s3_key(
+        "logs/$TAG[0]/$TAG[1]/%Y/%m/%d/$TAG-$INDEX-$UUID.gz",
+        1_700_000_000, "app.web.prod", tag_delimiter=".",
+        seq_index=42, uuid8="abcd1234")
+    assert key == "logs/app/web/2023/11/14/app.web.prod-42-abcd1234.gz"
+    # out-of-range tag part: the reference warns, then the later
+    # whole-$TAG replacement still rewrites its prefix (the C token
+    # replace has no word boundary) -> '<tag>[5]'
+    key = s3_key("$TAG[5]/x", 0, "a.b", uuid8="z")
+    assert key == "a.b[5]/x"
+    # multiple delimiter chars split on ANY of them
+    key = s3_key("$TAG[2]", 0, "a.b-c", tag_delimiter=".-")
+    assert key == "c"
