@@ -374,3 +374,25 @@ def pgsql_insert_sql(
         f"to_timestamp(CAST(value->>'{timestamp_key}' as FLOAT)),"
         f" * FROM json_array_elements({body_lit});"
     )
+
+
+def pgsql_insert_col(
+    table: str,
+    tag_col: Column,
+    body_col: Column,
+    timestamp_key: str = "date",
+) -> Column:
+    """Column-expression form of :func:`pgsql_insert_sql` (PostgreSQL
+    flavor) for rendering one INSERT per chunk/tag group inside a
+    distributed job — same statement byte-for-byte, with the tag and
+    JSON-array body SQL-escaped in Catalyst instead of Python."""
+    esc_tag = F.concat(
+        F.lit("'"), F.replace(tag_col, F.lit("'"), F.lit("''")), F.lit("'"))
+    esc_body = F.concat(
+        F.lit("'"), F.replace(body_col, F.lit("'"), F.lit("''")), F.lit("'"))
+    return F.concat(
+        F.lit(f"INSERT INTO {table} SELECT "), esc_tag,
+        F.lit(", to_timestamp(CAST(value->>'"), F.lit(timestamp_key),
+        F.lit("' as FLOAT)), * FROM json_array_elements("), esc_body,
+        F.lit(");"),
+    )

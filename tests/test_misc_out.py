@@ -258,3 +258,30 @@ def test_classic_websocket_and_kafka_rest(spark, tmp_path):
     assert isinstance(ws["date"], int) and ws["message"] == "x"
     kr = json.loads(first_line("kafka_rest.1"))
     assert kr["partition"] == 2 and kr["value"]["message"] == "x"
+
+
+def test_pgsql_insert_col_matches_python_renderer(spark):
+    """The Catalyst column form of the out_pgsql INSERT must render the
+    byte-identical statement pgsql_insert_sql builds driver-side,
+    including the single-quote SQL escaping of tag and body."""
+    from fluent_bit_spark.functions.misc_out import (
+        pgsql_insert_col,
+        pgsql_insert_sql,
+    )
+
+    cases = [
+        ("app.a", '[{"date":1,"msg":"hi"}]'),
+        ("it's", '[{"date":2,"msg":"o''hara"}]'),
+    ]
+    df = spark.createDataFrame(cases, ["tag", "body"])
+    got = {
+        r["tag"]: r["stmt"]
+        for r in df.select(
+            "tag",
+            pgsql_insert_col(
+                "logs", F.col("tag"), F.col("body")
+            ).alias("stmt"),
+        ).collect()
+    }
+    for tag, body in cases:
+        assert got[tag] == pgsql_insert_sql("logs", tag, body)

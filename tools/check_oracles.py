@@ -49,6 +49,38 @@ def to_multiset(cols, rows):
     return out
 
 
+def pandas_multiset(pdf):
+    """Driver-style canonicalization: the driver routes both result
+    sets through pandas before hashing, so DuckDB HUGEINT/DECIMAL
+    columns degrade to float64 ("5e+15") and array columns crash its
+    sort. Emulating that here makes local green predict driver green.
+    Raises TypeError on unhashable (list/ndarray) cells, mirroring the
+    driver's pandas sort_values crash. Floats compare by full repr —
+    no rounding — because the driver hashes exact stringifications."""
+    import math
+
+    def strict(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NULL" if math.isnan(v) else repr(float(v))
+        return str(v)
+
+    cols = sorted(pdf.columns)
+    out = {}
+    for row in pdf[cols].itertuples(index=False):
+        key = []
+        for v in row:
+            if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+                raise TypeError(
+                    "unhashable type in result column (driver _canon would crash)"
+                )
+            key.append(strict(v))
+        key = tuple(key)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -108,6 +140,26 @@ def main() -> int:
             diff = [k for k in ms if ms[k] != md.get(k, 0)][:3]
             diffd = [k for k in md if md[k] != ms.get(k, 0)][:3]
             print(f"FAIL {name}: value mismatch; spark-only={diff} duck-only={diffd}")
+            continue
+        # driver-predictor pass: pandas canonicalization on both sides
+        try:
+            import pandas as pd
+
+            spdf = pd.DataFrame(srows, columns=scols)
+            ddf = cur.df()
+            ps, pdd = pandas_multiset(spdf), pandas_multiset(ddf)
+        except TypeError as e:
+            failures.append(name)
+            print(f"FAIL {name}: driver-canon crash: {e}")
+            continue
+        if ps != pdd:
+            failures.append(name)
+            diff = [k for k in ps if ps[k] != pdd.get(k, 0)][:2]
+            diffd = [k for k in pdd if pdd[k] != ps.get(k, 0)][:2]
+            print(
+                f"FAIL {name}: driver-canon mismatch (pandas dtypes); "
+                f"spark-only={diff} duck-only={diffd}"
+            )
             continue
         print(f"OK   {name}: rows={len(srows)}")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
