@@ -644,6 +644,30 @@ def main() -> int:
         ("prom_scrape: TYPE/HELP attach via broadcast equi-join "
          "(suffix expansion, no nested loop)", ok, ""))
 
+    # round-5: the misc/out encoder gates — all pure-Catalyst string
+    # assembly (to_json / format_string / concat), so the plan must be
+    # shuffle-free codegen with zero Python stages
+    for q in ("nats_encode", "logdna_encode", "slack_encode",
+              "td_encode", "nrlogs_encode", "skywalking_encode",
+              "plot_encode", "kafka_rest_encode", "kusto_encode",
+              "websocket_encode"):
+        p = plan_of(qs[q](spark, sf_dir))
+        ok = ("BatchEvalPython" not in p and "MapInPandas" not in p
+              and "ArrowEvalPython" not in p
+              and "hashpartitioning(" not in p)
+        checks.append((f"{q}: shuffle-free codegen encoder", ok, ""))
+
+    # pgsql_insert groups records into per-tag chunk bodies: exactly
+    # the groupBy's own exchange, object-hash aggregated (collect_list
+    # has no partial-merge shortcut), still zero Python stages
+    p = plan_of(qs["pgsql_insert"](spark, sf_dir))
+    ok = (p.count("hashpartitioning(") == 1
+          and "BatchEvalPython" not in p
+          and "MapInPandas" not in p)
+    checks.append(
+        ("pgsql_insert: single exchange (the chunk groupBy), "
+         "all-JVM statement assembly", ok, ""))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
