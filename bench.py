@@ -303,33 +303,46 @@ def main() -> None:
             )
     except OSError:
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "headline query suite + synthetic parse->route->aggregate pipeline, wall sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "reps": reps,
-                "detail": detail_path,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "pipeline_rows": n_rows,
-                "pipeline_docs_per_sec": (
-                    round(n_rows / pipeline_sec, 1) if pipeline_sec else None
-                ),
-                "pipeline_mb_per_sec": (
-                    round(total_bytes / 1e6 / pipeline_sec, 2) if pipeline_sec else None
-                ),
-                "cpus": spark.sparkContext.defaultParallelism,
-                "sink_mode": sink_mode if pipe_times else None,
-                "sink_media": (
-                    ("tmpfs" if (sink_base or "").startswith("/dev/shm") else "disk")
-                    if pipe_times and sink_mode != "noop"
-                    else None
-                ),
-            }
-        )
-    )
+    # The driver records only the LAST ~2000 chars of stdout and
+    # json-parses them (BENCH_r3/r4 recorded parsed=null because the
+    # full 139-query dict pushed the line past that window, truncating
+    # its head). The stdout line therefore carries the headline
+    # numbers plus as many per-query timings as fit under the window;
+    # the COMPLETE per-query timings/reps/steal%% always live in
+    # BENCH_DETAIL.json (committed to the repo) regardless.
+    payload = {
+        "metric": "headline query suite + synthetic parse->route->aggregate pipeline, wall sec",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(timings),
+        "suite_queries": len(timings),
+        "reps": reps,
+        "detail": detail_path,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pipeline_rows": n_rows,
+        "pipeline_docs_per_sec": (
+            round(n_rows / pipeline_sec, 1) if pipeline_sec else None
+        ),
+        "pipeline_mb_per_sec": (
+            round(total_bytes / 1e6 / pipeline_sec, 2) if pipeline_sec else None
+        ),
+        "cpus": spark.sparkContext.defaultParallelism,
+        "sink_mode": sink_mode if pipe_times else None,
+        "sink_media": (
+            ("tmpfs" if (sink_base or "").startswith("/dev/shm") else "disk")
+            if pipe_times and sink_mode != "noop"
+            else None
+        ),
+    }
+    line = json.dumps(payload)
+    dropped = 0
+    qnames = list(payload["queries"])
+    while len(line) > 1800 and qnames:
+        payload["queries"].pop(qnames.pop())
+        dropped += 1
+        payload["queries_in_detail_only"] = dropped
+        line = json.dumps(payload)
+    print(line)
     spark.stop()
 
 
