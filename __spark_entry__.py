@@ -2534,6 +2534,22 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_card(emb, 16, centroids=fixed_centroids(DIM, 16))
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): nearest-
+    centroid cells (the fixed_centroids literals both engines consume
+    verbatim) + within-cell exact cosine, dropping the higher-id
+    member of every pair >= 0.35 (the synthetic embeddings are near-
+    orthogonal random vectors — 0.35 splits the corpus meaningfully,
+    cf. the 0.3 thresholds of the neardup family). Per-vector verdict
+    rows."""
+    from fluent_bit_spark.textprep.simsearch import fixed_centroids, semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(
+        emb, 16, threshold=0.35, centroids=fixed_centroids(DIM, 16), dim=DIM
+    )
+
+
 def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-quantized cosine top-k: integer-exact pair math, 4x smaller
     index scan (same query/data split as ann_cosine_topk)."""
@@ -3718,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pgsql_insert": q_pgsql_insert,
         "kusto_encode": q_kusto_encode,
         "websocket_encode": q_websocket_encode,
+        "semdedup": q_semdedup,
         # bpe_tokenize is rows-only by design (the BPE merge walk is not
         # SQL-expressible) so it can never earn a hash row — it stays in
         # the never-hash-verified front block per test_registry.py
@@ -3987,6 +4004,42 @@ def _duck_embedding_clusters(n_cells: int = 16) -> str:
         f"cast(sum(cast(round(sqrt({norm2}) * 1e6) as bigint)) as bigint) "
         "AS sum_norm_micros "
         "FROM assign GROUP BY cell"
+    )
+
+
+def _duck_semdedup(n_cells: int = 16, threshold: float = 0.35) -> str:
+    """SemDeDup oracle: same fixed_centroids literals, same argmax
+    (dot desc, ci asc) as _duck_embedding_clusters; pairs within a
+    cell via the sequential-fold cosine rounded to 6, the higher id
+    of any pair >= threshold marked dropped."""
+    from fluent_bit_spark.textprep.simsearch import fixed_centroids
+
+    cents = fixed_centroids(DIM, n_cells)
+    vals = ",".join(
+        "({}, [{}])".format(ci, ",".join(f"cast({x!r} as double)" for x in row))
+        for ci, row in enumerate(cents)
+    )
+    dd = _duck_dot
+    return (
+        f"WITH cents(ci, cv) AS (SELECT * FROM (VALUES {vals}) t(ci, cv)), "
+        f"v AS (SELECT vec_id, embedding, "
+        f"(embedding IS NOT NULL AND len(embedding) = {DIM}) AS ok FROM embeddings), "
+        f"dd AS (SELECT v.vec_id, c.ci, ({dd('v.embedding', 'c.cv')}) AS dt "
+        "FROM v CROSS JOIN cents c WHERE v.ok), "
+        "best AS (SELECT vec_id, ci AS cell FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, ci ASC) rn "
+        "FROM dd) WHERE rn = 1), "
+        "assign AS (SELECT v.vec_id, v.embedding, b.cell "
+        "FROM v LEFT JOIN best b USING (vec_id)), "
+        "ok_cells AS (SELECT cell FROM assign WHERE cell IS NOT NULL "
+        "GROUP BY cell HAVING count(*) BETWEEN 2 AND 100000), "
+        "dups AS (SELECT DISTINCT b.vec_id AS id FROM assign a "
+        "JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id "
+        "JOIN ok_cells oc ON oc.cell = a.cell "
+        f"WHERE round({_duck_cos('a.embedding', 'b.embedding')}, 6) "
+        f">= {threshold}) "
+        "SELECT a.vec_id, a.cell, (d.id IS NULL) AS kept "
+        "FROM assign a LEFT JOIN dups d ON a.vec_id = d.id"
     )
 
 
@@ -5756,6 +5809,7 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _duck_url_filter(),
         "ann_quantized": _duck_ann_quantized(),
         "embedding_clusters": _duck_embedding_clusters(),
+        "semdedup": _duck_semdedup(),
         "curation_pipeline": _duck_curation_pipeline(),
         # streaming run drains micro-batches; survivors are exactly
         # the text-unique, index-disjoint %5==0 originals (see

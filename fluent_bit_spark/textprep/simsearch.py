@@ -661,6 +661,92 @@ def cluster_card(
     )
 
 
+def semdedup(
+    data: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    dim: int | None = None,
+    max_cell: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest centroid
+    cell, compute exact pairwise cosine ONLY within a cell, and drop
+    the higher-id member of every pair at/above ``threshold`` (a
+    deterministic stand-in for the paper's keep-one-per-group rule).
+
+    Output: (``id_col``, cell, kept) — one row per input vector.
+    Vectors that are NULL or not ``dim``-long get a NULL cell and are
+    kept (never compared), mirroring cluster_card's ok-guard.
+
+    Scale shape: the quadratic work is confined to one cell — at
+    corpus scale pick n_cells ~ N/50k so cells stay bounded (the
+    paper uses k = tens of thousands for billions of docs), and the
+    ``max_cell`` guard skips (keeps) any degenerate cell rather than
+    expanding it quadratically inside one task. One shuffle on the
+    cell id; the per-pair cosine is the SAME Arrow cumsum fold as
+    embedding_neardup_lsh's verify (bit-identical to the SQL
+    sequential fold), with only round(.,6) in Catalyst.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from fluent_bit_spark import cache
+
+    dim = _infer_dim(data, vec_col, dim)
+    cents = centroids or ivf_centroids(data, n_cells, vec_col, id_col)
+    s = cache.track(
+        data.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            cell_assign_udf(cents)(F.col(vec_col)).alias("cell"),
+        )
+    )
+    cell_ok = (
+        s.groupBy("cell").count()
+        .filter(F.col("count").between(2, max_cell))
+        .select("cell")
+    )
+    a = s.join(cell_ok, "cell").select(
+        "cell", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = s.join(cell_ok, "cell").select(
+        "cell", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    id_type = s.schema["id"].dataType.simpleString()
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            A, _ = _vec_mat(pdf["va"], dim)
+            B, _ = _vec_mat(pdf["vb"], dim)
+            dot = np.cumsum(A * B, axis=1)[:, -1]
+            na = np.cumsum(A * A, axis=1)[:, -1]
+            nb = np.cumsum(B * B, axis=1)[:, -1]
+            denom = na * nb
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0, 0.0, dot / np.sqrt(denom))
+            yield pd.DataFrame({"id_b": pdf["id_b"], "cos": cos})
+
+    dups = (
+        pairs.select("id_b", "va", "vb")
+        .mapInPandas(verify, schema=f"id_b {id_type}, cos double")
+        .filter(F.expr("round(cos, 6)") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return s.join(dups, "id", "left").select(
+        F.col("id").alias(id_col),
+        "cell",
+        F.col("_dup").isNull().alias("kept"),
+    )
+
+
 def lsh_topk(
     data: DataFrame,
     queries: DataFrame,

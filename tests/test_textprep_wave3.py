@@ -302,3 +302,62 @@ def test_connected_components_endpoints_outside_vertices(spark):
     }
     cache.release_all()
     assert out == {10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_semdedup_drops_higher_id_of_near_pairs(spark):
+    """SemDeDup verdicts vs a brute-force python reference: within a
+    cell the higher id of any pair >= threshold is dropped; vectors in
+    other cells and bad vectors (NULL cell) are kept."""
+    import math
+
+    from fluent_bit_spark.textprep.simsearch import semdedup
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.05, 0.0]),   # cell 0
+        (2, [1.0, 0.06, 0.0]),   # cell 0, ~identical to 1 -> dropped
+        (3, [0.9, -0.9, 0.0]),   # cell 0 (tie -> first index), far
+        (4, [0.0, 1.0, 0.5]),    # cell 1, alone above threshold? no pair
+        (5, [0.1, 1.0, 0.5]),    # cell 1, near 4 -> dropped
+        (6, None),               # bad vector -> NULL cell, kept
+        (7, [1.0]),              # wrong dim -> NULL cell, kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semdedup(df, 2, threshold=0.95, centroids=cents, dim=3).collect()
+    }
+    from fluent_bit_spark import cache
+
+    cache.release_all()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    assert cos(rows[0][1], rows[1][1]) >= 0.95
+    assert cos(rows[3][1], rows[4][1]) >= 0.95
+    assert got[1] == (0, True) and got[2] == (0, False)
+    assert got[3] == (0, True)
+    assert got[4] == (1, True) and got[5] == (1, False)
+    assert got[6] == (None, True) and got[7] == (None, True)
+
+
+def test_semdedup_max_cell_guard_keeps_oversized_cells(spark):
+    from fluent_bit_spark import cache
+    from fluent_bit_spark.textprep.simsearch import semdedup
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(i, [1.0, 0.001 * i]) for i in range(5)]  # all cell 0, all near
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semdedup(
+            df, 2, threshold=0.9, centroids=cents, dim=2, max_cell=3
+        ).collect()
+    }
+    cache.release_all()
+    # the 5-member cell exceeds max_cell=3: skipped, everyone kept
+    assert got == {i: True for i in range(5)}

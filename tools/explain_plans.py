@@ -668,6 +668,18 @@ def main() -> int:
         ("pgsql_insert: single exchange (the chunk groupBy), "
          "all-JVM statement assembly", ok, ""))
 
+    # semdedup: Arrow centroid assignment, quadratic work confined to
+    # one cell (equi-join on cell, never a cartesian), Arrow cumsum
+    # cosine verify — no row-at-a-time Python anywhere
+    p = plan_of(qs["semdedup"](spark, sf_dir))
+    ok = ("BatchEvalPython" not in p
+          and "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p
+          and len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1)
+    checks.append(
+        ("semdedup: within-cell equi-join pairs + single Arrow cosine "
+         "verify, no cartesian", ok, ""))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
