@@ -5135,7 +5135,10 @@ def oracle_sql() -> dict[str, str]:
                 CASE event_id % 5 WHEN 0 THEN 'counter' WHEN 1 THEN 'gauge'
                      WHEN 2 THEN 'timer' WHEN 3 THEN 'set'
                      ELSE 'counter' END AS mtype0,
-                CASE WHEN event_id % 3 = 0 THEN 0.5 ELSE 1.0 END AS rate
+                -- ::double: a bare 0.5 literal makes this DECIMAL(2,1),
+                -- which degrades through pandas in the driver compare
+                CASE WHEN event_id % 3 = 0 THEN 0.5::double
+                     ELSE 1.0::double END AS rate
               FROM events)
             SELECT event_id,
               CASE WHEN mtype0 = 'timer' THEN 'set' ELSE mtype0 END AS mtype,
