@@ -894,6 +894,127 @@ def q_es_bulk_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_otlp_logs_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_opentelemetry OTLP/JSON logs EXPORT (plugins/
+    out_opentelemetry/opentelemetry_logs.c:385-628 field precedence,
+    :917-1216 resource/scope grouping): LogRecords grouped into
+    ExportLogsServiceRequest bodies per (resource, scope), invalid
+    severityNumber (>24) and malformed trace ids left unset, record
+    map as kvlistValue body — then decoded back with the engine's own
+    in_opentelemetry parser (the prom_scrape round-trip pattern) so
+    the oracle checks encode∘decode == identity."""
+    from fluent_bit_spark.functions.otlp_out import (
+        otlp_log_record,
+        otlp_logs_export,
+    )
+    from fluent_bit_spark.sources.otlp import parse_otlp_logs_df
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    trace = F.when(
+        e % 2 == 0, F.lpad(F.lower(F.hex(e)), 32, "0"),
+    ).otherwise(F.lit("not-a-trace-id"))
+    lr = otlp_log_record(
+        F.unix_micros(F.col("ts")) * 1000,
+        severity_number=e % 30,
+        severity_text=F.upper(F.col("event_type")),
+        attributes=F.create_map(F.lit("svc"), F.col("event_type")),
+        trace_id=trace,
+        record=F.create_map(F.lit("event_id"), e.cast("string")),
+    )
+    enc = otlp_logs_export(
+        ev, lr,
+        resource_col=F.col("user_id") % 40,
+        scope_col=F.col("user_id") % 4,
+        resource_attrs=F.create_map(
+            F.lit("host"),
+            F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"))),
+        scope_name=F.lit("fluent_bit_spark"),
+    )
+    dec = parse_otlp_logs_df(enc.select("body"))
+    return dec.select(
+        "time_unix_nano",
+        F.get_json_object("metadata", "$.otlp.severity_number")
+        .cast("long").alias("severity_number"),
+        F.get_json_object("metadata", "$.otlp.severity_text")
+        .alias("severity_text"),
+        F.get_json_object("metadata", "$.otlp.attributes.svc")
+        .alias("svc"),
+        F.get_json_object("metadata", "$.otlp.trace_id")
+        .alias("trace_id"),
+        F.get_json_object("record", "$.event_id").cast("long")
+        .alias("event_id"),
+    )
+
+
+def q_kinesis_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_kinesis_streams PutRecords entries (plugins/
+    out_kinesis_streams/kinesis_api.c:148-166 Data+PartitionKey,
+    :272-320 time_key blind append, :104-137 random_partition_key —
+    made deterministic here by seeding it with the event time the
+    reference would read from the clock). Data decodes back to the
+    newline-terminated JSON record for the oracle."""
+    from fluent_bit_spark.functions.cloudwatch_out import (
+        to_kinesis_record,
+    )
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    src = ev.select(
+        "ts", "event_id",
+        F.concat(F.lit("app."), F.col("event_type")).alias("tag"),
+        F.col("event_id").alias("n"),
+    )
+    entry = to_kinesis_record(
+        src.drop("event_id"), "ts", time_key="t")
+    return src.select(
+        "event_id",
+        F.get_json_object(entry, "$.PartitionKey").alias("pk"),
+        F.decode(F.unbase64(F.get_json_object(entry, "$.Data")), "UTF-8")
+        .alias("data"),
+    )
+
+
+def q_bigquery_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_bigquery insertAll rows (plugins/out_bigquery/
+    bigquery.c:916-938): one {"json": {record}} element per record,
+    no insertId (unsupported upstream)."""
+    from fluent_bit_spark.functions.misc_out import to_bigquery_row
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    src = ev.select(
+        "ts", "event_id", F.lit("bq.0").alias("tag"),
+        F.col("event_id").alias("n"), "event_type",
+    )
+    row = to_bigquery_row(src, exclude=("ts", "tag", "event_id"))
+    return src.select("event_id", row.alias("row"))
+
+
+def q_http_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_http POST body parse (plugins/in_http/http_prot.c:276-360
+    process_pack, :870-930 URI tag): an array body emits every
+    element, tag_key prefix-compare quirk (:194 — record key 'tag'
+    matches configured 'tagx') routes the first element, the second
+    falls back to the sanitized URI tag."""
+    from fluent_bit_spark.sources.api_in import parse_http_json
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    body = F.concat(
+        F.lit('[{"m":"'), F.col("event_type"),
+        F.lit('","tag":"T'), (e % 3).cast("string"),
+        F.lit('"},{"v":'), e.cast("string"), F.lit("}]"),
+    )
+    uri = F.concat(F.lit("/logs/"), F.col("event_type"), F.lit("?x=1"))
+    out = parse_http_json(
+        ev.select(body.alias("body"), uri.alias("uri")),
+        uri_col="uri", tag_key="tagx")
+    return out.select(
+        "tag",
+        F.get_json_object("record", "$.m").alias("m"),
+        F.get_json_object("record", "$.v").cast("long").alias("v"),
+    )
+
+
 def q_azure_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """out_azure Log Analytics body records (plugins/out_azure/
     azure.c:55-160): @timestamp prepended as epoch double, or ISO8601
@@ -3719,7 +3840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # skywalking/plot/kafka_rest/pgsql/kusto/websocket). The remaining
     # window re-verifies the round-4 wire codecs plus the heavy
     # dedup/ANN family. Every oracle-paired entry at 51+ already has a
-    # driver-green row from r1-r4.
+    # driver-green row from r1-r4. Late round-5 additions
+    # (otlp_logs_encode, kinesis_encode, bigquery_encode, http_in)
+    # take the window slots of es_bulk_in/forward_decode/otlp_logs_in/
+    # prom_scrape, all four of which went green in the r4 gate.
     return {
         "embedding_clusters": q_embedding_clusters,
         "hash_embed": q_hash_embed,
@@ -3770,6 +3894,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mqtt_decode": q_mqtt_decode,
         "cloudwatch_encode": q_cloudwatch_encode,
         "azure_encode": q_azure_encode,
+        "otlp_logs_encode": q_otlp_logs_encode,
+        "kinesis_encode": q_kinesis_encode,
+        "bigquery_encode": q_bigquery_encode,
+        "http_in": q_http_in,
         "es_bulk_in": q_es_bulk_in,
         "forward_decode": q_forward_decode,
         "otlp_logs_in": q_otlp_logs_in,
@@ -4976,6 +5104,53 @@ def oracle_sql() -> dict[str, str]:
         "es_bulk_in": """
             SELECT 's' || (event_id % 3) AS tag, event_id,
                    event_id AS meta_i
+            FROM events
+        """,
+        "otlp_logs_encode": """
+            SELECT epoch_us(ts) * 1000 AS time_unix_nano,
+                   CASE WHEN (event_id % 30) BETWEEN 1 AND 24
+                        THEN event_id % 30 END AS severity_number,
+                   upper(event_type) AS severity_text,
+                   event_type AS svc,
+                   CASE WHEN event_id % 2 = 0
+                        THEN lpad(lower(to_hex(event_id)), 32, '0')
+                   END AS trace_id,
+                   event_id
+            FROM events
+        """,
+        # kinesis pk halves: djb2('app.'||event_type) % 7919 (the
+        # Python twin kinesis_partition_key is pytest-pinned against
+        # the Catalyst fold; the five literals below are that hash
+        # constant-folded per tag) and the uint64-wraparound time
+        # product in HUGEINT
+        "kinesis_encode": """
+            SELECT event_id,
+                   (CASE event_type
+                        WHEN 'click' THEN '4897' WHEN 'error' THEN '5133'
+                        WHEN 'purchase' THEN '2439' WHEN 'signup' THEN '108'
+                        ELSE '7654' END)
+                   || CAST((((5381::HUGEINT * (epoch_us(ts) // 1000000))
+                             % 18446744073709551616)
+                            * ((epoch_us(ts) % 1000000) * 1000))
+                           % 18446744073709551616 % 7919 AS VARCHAR)
+                   AS pk,
+                   '{"n":' || event_id || ',"t":"'
+                   || strftime(ts, '%Y-%m-%dT%H:%M:%S') || '"}'
+                   || chr(10) AS data
+            FROM events
+        """,
+        "bigquery_encode": """
+            SELECT event_id,
+                   '{"json":{"n":' || event_id || ',"event_type":"'
+                   || event_type || '"}}' AS row
+            FROM events
+        """,
+        "http_in": """
+            SELECT 'T' || (event_id % 3) AS tag, event_type AS m,
+                   CAST(NULL AS BIGINT) AS v
+            FROM events
+            UNION ALL
+            SELECT 'logs_' || event_type, CAST(NULL AS VARCHAR), event_id
             FROM events
         """,
         "azure_encode": """

@@ -91,3 +91,151 @@ def cloudwatch_payloads(
     if batch:
         out.append("[" + ",".join(batch) + "]")
     return out
+
+
+# ------------------------------------- out_kinesis_streams / out_kinesis_firehose
+
+# Reference: /root/reference/plugins/out_kinesis_streams/kinesis_api.c
+# and out_kinesis_firehose/firehose_api.c (the record path is shared
+# code): each record renders to JSON (or, with log_key, EVERY map key
+# the configured name prefix-matches emits that VALUE's JSON with its
+# first and last characters blindly stripped — the quote-strip quirk,
+# :253-262, applied to non-strings too); empty renders ('""', '{}')
+# are discarded (:266-269); time_key appends ,"<key>":"<strftime>"
+# over the closing char (:272-320, the blind overwrite-last-char
+# merge); a newline is appended (:281); the PutRecords entry is
+# {"Data":"<base64>","PartitionKey":"<pk>"} (:148-166) — firehose
+# omits PartitionKey. The partition key is random_partition_key
+# (:104-137): "%lu%lu" of djb2(tag) % 7919 and
+# (5381 * sec * nsec) % 7919 in uint64 wraparound.
+
+DEFAULT_TIME_KEY_FORMAT = "%Y-%m-%dT%H:%M:%S"  # kinesis.h:30
+
+_U64 = 1 << 64
+
+
+def kinesis_partition_key(tag: str, sec: int, nsec: int) -> str:
+    """Exact random_partition_key (kinesis_api.c:104-137) given the
+    flb_time the reference reads from the clock."""
+    h = 5381
+    for c in tag.encode():
+        h = (((h << 5) + h) + c) % _U64
+    h2 = (5381 * sec % _U64) * nsec % _U64
+    return f"{h % 7919}{h2 % 7919}"
+
+
+_DEC = "decimal(38,0)"
+
+
+def kinesis_partition_key_col(
+    tag_col: Column, sec: Column, nsec: Column
+) -> Column:
+    """Catalyst twin of kinesis_partition_key — C uint64 wraparound
+    emulated with decimal(38,0) arithmetic mod 2^64 (ANSI mode makes
+    plain long products throw on overflow). Tags are ASCII in the
+    reference's tag space, so per-char ascii() == per-byte walk."""
+    u64 = F.lit(str(_U64)).cast(_DEC)  # 2^64 exceeds lit()'s long
+    h = F.aggregate(
+        F.transform(F.split(tag_col, ""), lambda ch: F.ascii(ch)),
+        F.lit(5381).cast(_DEC),
+        lambda acc, c: F.pmod(acc * 33 + c.cast(_DEC), u64),
+    )
+    h2 = F.pmod(
+        F.pmod(F.lit(5381).cast(_DEC) * sec.cast(_DEC), u64)
+        * nsec.cast(_DEC),
+        u64,
+    )
+    return F.concat(
+        F.pmod(h, F.lit(7919)).cast("long").cast("string"),
+        F.pmod(h2, F.lit(7919)).cast("long").cast("string"),
+    )
+
+
+def aws_strftime_col(
+    ts_col: str, fmt: str = DEFAULT_TIME_KEY_FORMAT
+) -> Column:
+    """flb_aws_strftime_precision (src/aws/flb_aws_util.c:1043):
+    %3N -> zero-padded milliseconds, %9N / %L -> zero-padded
+    nanoseconds (micros*1000 here — Spark timestamps are micro-
+    precision), the rest plain gmtime strftime."""
+    from fluent_bit_spark.functions.es_out import strftime_to_spark
+
+    us = F.unix_micros(F.col(ts_col))
+    frac_us = F.pmod(us, F.lit(1_000_000))
+    ms = F.lpad(((frac_us - F.pmod(frac_us, 1000)) / 1000)
+                .cast("long").cast("string"), 3, "0")
+    ns = F.concat(F.lpad(frac_us.cast("string"), 6, "0"), F.lit("000"))
+    parts: list[Column] = []
+    buf = ""
+    i = 0
+    while i < len(fmt):
+        tok3 = fmt[i:i + 3]
+        tok2 = fmt[i:i + 2]
+        if tok3 in ("%3N", "%9N") or tok2 == "%L":
+            if buf:
+                parts.append(F.date_format(
+                    F.col(ts_col), strftime_to_spark(buf)))
+                buf = ""
+            parts.append(ms if tok3 == "%3N" else ns)
+            i += 3 if tok3 in ("%3N", "%9N") else 2
+        else:
+            buf += fmt[i:i + 2] if fmt[i] == "%" else fmt[i]
+            i += 2 if fmt[i] == "%" else 1
+    if buf:
+        parts.append(F.date_format(F.col(ts_col), strftime_to_spark(buf)))
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+
+def to_kinesis_record(
+    df: DataFrame,
+    ts_col: str,
+    tag_col: str = "tag",
+    *,
+    log_key: str | None = None,
+    time_key: str | None = None,
+    time_key_format: str = DEFAULT_TIME_KEY_FORMAT,
+    partition_key: Column | None = None,
+    firehose: bool = False,
+) -> Column:
+    """One PutRecords/PutRecordBatch entry JSON per record; NULL for
+    records the reference discards (empty render). The newline the
+    reference appends to every record rides inside Data before
+    base64. partition_key defaults to the reference's random key
+    seeded from the event time (pass a Column for a custom layout)."""
+    if log_key is not None:
+        rendered = F.to_json(F.array(F.col(log_key).cast("string")))
+        rendered = F.substring(rendered, 2, F.length(rendered) - 2)
+    else:
+        rendered = F.to_json(
+            F.struct(*[df[c] for c in df.columns
+                       if c not in (ts_col, tag_col)
+                       and not c.startswith("_")]),
+            {"ignoreNullFields": "false"},
+        )
+    discarded = F.length(rendered) <= 2
+    if log_key is not None:
+        # blind first/last char strip (:253-262)
+        rendered = F.substring(rendered, 2, F.length(rendered) - 2)
+    if time_key is not None:
+        rendered = F.concat(
+            F.substring(rendered, 1, F.length(rendered) - 1),
+            F.lit(',"' + time_key + '":"'),
+            aws_strftime_col(ts_col, time_key_format),
+            F.lit('"}'),
+        )
+    data = F.base64(F.encode(F.concat(rendered, F.lit("\n")), "UTF-8"))
+    if firehose:
+        entry = F.concat(F.lit('{"Data":"'), data, F.lit('"}'))
+    else:
+        if partition_key is None:
+            us = F.unix_micros(F.col(ts_col))
+            partition_key = kinesis_partition_key_col(
+                F.col(tag_col),
+                F.floor(us / 1_000_000),
+                F.pmod(us, 1_000_000) * 1000,
+            )
+        entry = F.concat(
+            F.lit('{"Data":"'), data,
+            F.lit('","PartitionKey":"'), partition_key, F.lit('"}'),
+        )
+    return F.when(~discarded, entry)

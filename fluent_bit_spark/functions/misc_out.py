@@ -396,3 +396,34 @@ def pgsql_insert_col(
         F.lit("' as FLOAT)), * FROM json_array_elements("), esc_body,
         F.lit(");"),
     )
+
+
+# ------------------------------------------------------------ bigquery
+
+def to_bigquery_row(df: DataFrame, exclude: tuple = ("ts", "tag")) -> Column:
+    """out_bigquery insertAll row element (plugins/out_bigquery/
+    bigquery.c:916-938): ``{"json": {...record}}`` — no insertId (the
+    reference doesn't support it yet, :929)."""
+    return F.to_json(
+        F.struct(
+            F.struct(*[df[c] for c in _record_cols(df, exclude)])
+            .alias("json"),
+        ),
+        _KEEP_NULLS,
+    )
+
+
+def bigquery_payload(
+    rows: list[str],
+    skip_invalid_rows: bool = False,
+    ignore_unknown_values: bool = False,
+) -> str:
+    """tabledata.insertAll request body (bigquery.c:876-920):
+    kind + the two config booleans + rows."""
+    sk = "true" if skip_invalid_rows else "false"
+    ig = "true" if ignore_unknown_values else "false"
+    return (
+        '{"kind":"bigquery#tableDataInsertAllRequest",'
+        f'"skipInvalidRows":{sk},"ignoreUnknownValues":{ig},'
+        '"rows":[' + ",".join(rows) + "]}"
+    )

@@ -207,3 +207,102 @@ def parse_hec_raw(
             F.col(body_col).alias("log"),
         )
     return df.select(F.col(body_col).alias("log"))
+
+
+# ---------------------------------------------------------------- in_http
+
+def http_uri_tag(uri: str) -> str | None:
+    """in_http tag from the request URI (http_prot.c:870-930): strip
+    the query string, drop the leading '/'; '/' alone means the
+    default tag (None here); every char outside [alnum_.] rewrites to
+    '_' (:924-928)."""
+    qs = uri.find("?")
+    if qs >= 0:
+        uri = uri[:qs]
+    if len(uri) <= 1:
+        return None
+    return "".join(
+        c if (c.isalnum() or c in "_.") else "_" for c in uri[1:])
+
+
+def _http_tag_key(doc: dict, tag_key: str) -> str | None:
+    """tag_key lookup with the reference's prefix-compare quirk
+    (http_prot.c:194 ``strncmp(tag_key, key, strlen(key))``): a record
+    key that is a PREFIX of the configured tag_key matches; the first
+    string-valued match wins."""
+    for k, v in doc.items():
+        if isinstance(k, str) and tag_key.startswith(k):
+            if isinstance(v, str):
+                return v
+    return None
+
+
+def http_json_records(
+    body: str, tag_key: str | None = None, tag: str | None = None
+) -> list[tuple[str | None, str]]:
+    """One in_http request body -> [(tag, record_json)]
+    (http_prot.c process_pack :276-360): concatenated JSON roots; a
+    map root is one record; an array root emits EVERY element verbatim
+    (no map check, :318-336); other roots are skipped. Tag precedence:
+    tag_key value > URI tag > default."""
+    out: list[tuple[str | None, str]] = []
+    dec = json.JSONDecoder()
+    pos, n = 0, len(body)
+    while pos < n:
+        while pos < n and body[pos] in " \t\r\n":
+            pos += 1
+        if pos >= n:
+            break
+        try:
+            doc, pos = dec.raw_decode(body, pos)
+        except ValueError:
+            # FLB_ERR_JSON_PART/_INVAL skip the WHOLE body, valid
+            # leading roots included (parse_payload_json :389-400)
+            return []
+        if isinstance(doc, dict):
+            recs = [doc]
+        elif isinstance(doc, list):
+            recs = doc
+        else:
+            continue
+        for rec in recs:
+            rtag = None
+            if tag_key and isinstance(rec, dict):
+                rtag = _http_tag_key(rec, tag_key)
+            out.append((
+                rtag if rtag is not None else tag,
+                json.dumps(rec, separators=(",", ":")),
+            ))
+    return out
+
+
+def parse_http_json(
+    df: DataFrame,
+    body_col: str = "body",
+    uri_col: str | None = None,
+    tag_key: str | None = None,
+) -> DataFrame:
+    """DataFrame of in_http POST bodies -> (tag, record). The tag
+    derives per request from ``uri_col`` (http_uri_tag) and per record
+    from ``tag_key``."""
+    import pandas as pd
+
+    cols = [body_col] + ([uri_col] if uri_col else [])
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tags, recs = [], []
+            uris = pdf[uri_col] if uri_col else [None] * len(pdf)
+            for body, uri in zip(pdf[body_col], uris):
+                if body is None:
+                    continue
+                base = http_uri_tag(uri) if uri is not None else None
+                for t, r in http_json_records(
+                        body, tag_key=tag_key, tag=base):
+                    tags.append(t)
+                    recs.append(r)
+            yield pd.DataFrame(
+                {"tag": pd.Series(tags, dtype="object"),
+                 "record": pd.Series(recs, dtype="object")})
+
+    return df.select(*cols).mapInPandas(walk, "tag string, record string")
