@@ -680,6 +680,32 @@ def main() -> int:
         ("semdedup: within-cell equi-join pairs + single Arrow cosine "
          "verify, no cartesian", ok, ""))
 
+    # late round-5 gates: kinesis/bigquery are pure-Catalyst string
+    # assembly (shuffle-free codegen, partition key hash in decimal
+    # expressions); otlp_logs_encode is Catalyst struct assembly with
+    # exactly the grouping exchange plus ONE Arrow stage (the decode
+    # half of the round-trip); http_in is one Arrow body-parse stage
+    for q in ("kinesis_encode", "bigquery_encode"):
+        p = plan_of(qs[q](spark, sf_dir))
+        ok = ("BatchEvalPython" not in p and "MapInPandas" not in p
+              and "ArrowEvalPython" not in p
+              and "hashpartitioning(" not in p)
+        checks.append((f"{q}: shuffle-free codegen encoder", ok, ""))
+    p = plan_of(qs["otlp_logs_encode"](spark, sf_dir))
+    ok = ("BatchEvalPython" not in p
+          and "CartesianProduct" not in p
+          and p.count("hashpartitioning(") == 1
+          and len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1)
+    checks.append(
+        ("otlp_logs_encode: one exchange (the resource/scope groupBy) "
+         "+ one Arrow stage (the decode half)", ok, ""))
+    p = plan_of(qs["http_in"](spark, sf_dir))
+    ok = ("BatchEvalPython" not in p
+          and "hashpartitioning(" not in p
+          and len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1)
+    checks.append(
+        ("http_in: single Arrow body-parse stage, shuffle-free", ok, ""))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
