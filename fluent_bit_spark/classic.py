@@ -1513,6 +1513,7 @@ def run_classic_outputs(
             "syslog", "influxdb", "gelf", "loki", "splunk", "datadog",
             "es", "opensearch", "stackdriver", "nats", "logdna", "slack",
             "td", "nrlogs", "http", "websocket", "kafka_rest",
+            "kinesis_streams", "kinesis_firehose", "bigquery",
         ):
             encoded = encode_output_lines(df, sec)
 
@@ -1782,6 +1783,30 @@ def encode_output_lines(df, sec):
                 date_key=None if dk.lower() == "false" else dk,
                 date_format=sec.get("json_date_format") or "double",
             )
+        return df.select("tag", line.alias("line"))
+    if sec.name in ("kinesis_streams", "kinesis_firehose"):
+        from fluent_bit_spark.functions.cloudwatch_out import (
+            DEFAULT_TIME_KEY_FORMAT,
+            to_kinesis_record,
+        )
+
+        if ts is None:
+            raise ValueError(f"out_{sec.name} needs an event_time column")
+        lk = (sec.get("log_key") or "").lstrip("$") or None
+        line = to_kinesis_record(
+            df, ts,
+            log_key=lk if lk in df.columns else None,
+            time_key=sec.get("time_key"),
+            time_key_format=(sec.get("time_key_format")
+                             or DEFAULT_TIME_KEY_FORMAT),
+            firehose=sec.name == "kinesis_firehose",
+        )
+        return df.select("tag", line.alias("line")).filter(
+            F.col("line").isNotNull())
+    if sec.name == "bigquery":
+        from fluent_bit_spark.functions.misc_out import to_bigquery_row
+
+        line = to_bigquery_row(df, exclude=(ts or "", "tag"))
         return df.select("tag", line.alias("line"))
     if sec.name == "stackdriver":
         from fluent_bit_spark.functions.stackdriver_out import (

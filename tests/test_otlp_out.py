@@ -216,3 +216,60 @@ class TestInHttp:
             (r["tag"] or "", json.loads(r["record"])["m"])
             for r in parse_http_json(df, uri_col="uri").collect())
         assert got == [("", "c"), ("svc_logs", "a"), ("svc_logs", "b")]
+
+
+def test_classic_kinesis_bigquery_outputs(spark, tmp_path):
+    import glob
+    import os
+
+    from fluent_bit_spark.classic import (
+        build_classic_pipeline,
+        run_classic_outputs,
+    )
+
+    conf = """
+[INPUT]
+    Name    dummy
+    Tag     svc.a
+    Dummy   {"message":"boot ok"}
+    Samples 2
+
+[OUTPUT]
+    Name   kinesis_streams
+    Match  svc.*
+    time_key t
+
+[OUTPUT]
+    Name   kinesis_firehose
+    Match  svc.*
+    log_key message
+
+[OUTPUT]
+    Name   bigquery
+    Match  svc.*
+"""
+    pipe = build_classic_pipeline(spark, conf)
+    counts = run_classic_outputs(pipe, str(tmp_path), with_retry=False)
+    assert counts == {"kinesis_streams.0": 2, "kinesis_firehose.1": 2,
+                      "bigquery.2": 2}
+
+    def lines(oid):
+        out = []
+        for p in glob.glob(os.path.join(str(tmp_path), oid, "*",
+                                        "part-*")):
+            out += open(p, encoding="utf-8").read().splitlines()
+        return out
+
+    ks = [json.loads(ln) for ln in lines("kinesis_streams.0")]
+    for e in ks:
+        assert e["PartitionKey"].isdigit()
+        data = base64.b64decode(e["Data"]).decode()
+        assert data.endswith("\n")
+        rec = json.loads(data)
+        assert rec["message"] == "boot ok" and "t" in rec
+    fh = [json.loads(ln) for ln in lines("kinesis_firehose.1")]
+    for e in fh:
+        assert "PartitionKey" not in e
+        assert base64.b64decode(e["Data"]).decode() == "boot ok\n"
+    bq = [json.loads(ln) for ln in lines("bigquery.2")]
+    assert all(d["json"]["message"] == "boot ok" for d in bq)
