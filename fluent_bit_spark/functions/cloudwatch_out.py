@@ -201,7 +201,13 @@ def to_kinesis_record(
     records the reference discards (empty render). The newline the
     reference appends to every record rides inside Data before
     base64. partition_key defaults to the reference's random key
-    seeded from the event time (pass a Column for a custom layout)."""
+    seeded from the event time (pass a Column for a custom layout).
+
+    Deviation noted: with log_key on a NON-string value the C code
+    still strips the first/last char of the raw JSON render (123 ->
+    "2", kinesis_api.c:253-262); this encoder casts to string first,
+    so non-string log_key values keep their digits. String values —
+    the only shape the plugin documents — are byte-identical."""
     if log_key is not None:
         rendered = F.to_json(F.array(F.col(log_key).cast("string")))
         rendered = F.substring(rendered, 2, F.length(rendered) - 2)
