@@ -3842,8 +3842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup/ANN family. Every oracle-paired entry at 51+ already has a
     # driver-green row from r1-r4. Late round-5 additions
     # (otlp_logs_encode, kinesis_encode, bigquery_encode, http_in)
-    # take the window slots of es_bulk_in/forward_decode/otlp_logs_in/
-    # prom_scrape, all four of which went green in the r4 gate.
+    # join the never-verified prefix (positions 16-19), displacing
+    # es_bulk_in/forward_decode/otlp_logs_in/prom_scrape past the
+    # window — all four went green in the r4 gate.
     return {
         "embedding_clusters": q_embedding_clusters,
         "hash_embed": q_hash_embed,
@@ -3863,6 +3864,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL-expressible) so it can never earn a hash row — it stays in
         # the never-hash-verified front block per test_registry.py
         "bpe_tokenize": q_bpe_tokenize,
+        "otlp_logs_encode": q_otlp_logs_encode,
+        "kinesis_encode": q_kinesis_encode,
+        "bigquery_encode": q_bigquery_encode,
+        "http_in": q_http_in,
         "incremental_dedup_stream": q_incremental_dedup_stream,
         "decontam_bloom": q_decontam_bloom,
         "text_normalize": q_text_normalize,
@@ -3894,10 +3899,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mqtt_decode": q_mqtt_decode,
         "cloudwatch_encode": q_cloudwatch_encode,
         "azure_encode": q_azure_encode,
-        "otlp_logs_encode": q_otlp_logs_encode,
-        "kinesis_encode": q_kinesis_encode,
-        "bigquery_encode": q_bigquery_encode,
-        "http_in": q_http_in,
         "es_bulk_in": q_es_bulk_in,
         "forward_decode": q_forward_decode,
         "otlp_logs_in": q_otlp_logs_in,
