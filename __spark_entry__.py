@@ -821,6 +821,81 @@ def q_otlp_logs_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_otlp_traces_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_opentelemetry OTLP/JSON traces decode (plugins/
+    in_opentelemetry/opentelemetry_traces.c process_root_msgpack
+    :1030 → process_spans :608): resourceSpans → scopeSpans → spans
+    walk with hex trace/span/parent id validation + lowercase
+    normalization, string-only start/end timestamps, ctr_span_kind_set
+    0..5 validation (out-of-range keeps INTERNAL=1), status-code
+    string mapping, span attributes with strict wrapper-type matching,
+    and span events. Payloads are assembled per event in Catalyst
+    (snake_case resource_spans root for every 10th event) and decoded
+    back by the Arrow-batched walker."""
+    from fluent_bit_spark.sources.otlp_traces import parse_otlp_traces_df
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    start_ns = (F.lit(1700000000000000000).cast("long")
+                + e.cast("long") * 1000)
+    root_key = F.when(e % 10 == 0, F.lit("resource_spans")) \
+        .otherwise(F.lit("resourceSpans"))
+    body = F.concat(
+        F.lit('{"'), root_key,
+        F.lit('":[{"resource":{"attributes":[{"key":"host",'
+              '"value":{"stringValue":"'),
+        F.col("event_type"),
+        F.lit('"}}]},"scopeSpans":[{"scope":{"name":"svc","version":'
+              '"1"},"spans":[{"name":"op-'),
+        (e % 7).cast("string"),
+        F.lit('","traceId":"'),
+        F.lpad(F.hex(e), 32, "0"),
+        F.lit('","spanId":"'),
+        F.lpad(F.hex(e % 100000), 16, "0"),
+        F.lit('","parentSpanId":"'),
+        F.when(e % 3 == 0, F.lpad(F.hex(F.floor(e / 2)), 16, "0"))
+        .otherwise(F.lit("")),
+        F.lit('","kind":'), (e % 7).cast("string"),
+        F.lit(',"startTimeUnixNano":"'), start_ns.cast("string"),
+        F.lit('","endTimeUnixNano":"'),
+        (start_ns + 500).cast("string"),
+        F.lit('","attributes":[{"key":"evt","value":{"stringValue":"'),
+        F.col("event_type"),
+        F.lit('"}},{"key":"n","value":{"intValue":'),
+        (e % 50).cast("string"),
+        # intValue wrapping a STRING is skipped in traces (unlike the
+        # logs decoder) — must never surface in the attributes map
+        F.lit('}},{"key":"skipped","value":{"intValue":"'),
+        e.cast("string"),
+        F.lit('"}}],"droppedEventsCount":'), (e % 4).cast("string"),
+        F.lit(',"events":[{"name":"boot","timeUnixNano":"'),
+        (e.cast("long") * 1000 + 1).cast("string"),
+        F.lit('"}],"status":{"code":"'),
+        F.element_at(
+            F.array(F.lit("UNSET"), F.lit("OK"), F.lit("ERROR")),
+            (e % 3 + 1).cast("int")),
+        F.lit('","message":"m'), (e % 3).cast("string"),
+        F.lit('"}}]}]}]}'),
+    )
+    out = parse_otlp_traces_df(ev.select(body.alias("body")))
+    return out.select(
+        "trace_id", "span_id", "parent_span_id", "name",
+        F.col("kind").cast("long").alias("kind"),
+        F.col("start_time_unix_nano").alias("start_ns"),
+        F.col("end_time_unix_nano").alias("end_ns"),
+        F.col("status_code").cast("long").alias("status_code"),
+        "status_message",
+        F.get_json_object("resource_attributes", "$.host").alias("host"),
+        F.get_json_object("attributes", "$.n").cast("long")
+        .alias("attr_n"),
+        F.get_json_object("attributes", "$.skipped").alias("attr_skipped"),
+        F.get_json_object("events", "$[0].name").alias("event_name"),
+        F.get_json_object("events", "$[0].time_unix_nano").cast("long")
+        .alias("event_ns"),
+        "dropped_events_count",
+    )
+
+
 def q_forward_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fluent Forward protocol round-trip (plugins/out_forward/
     forward.c:1175,1268; in_forward/fw_prot.c dispatcher): per event
@@ -3868,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kinesis_encode": q_kinesis_encode,
         "bigquery_encode": q_bigquery_encode,
         "http_in": q_http_in,
+        "otlp_traces_in": q_otlp_traces_in,
         "incremental_dedup_stream": q_incremental_dedup_stream,
         "decontam_bloom": q_decontam_bloom,
         "text_normalize": q_text_normalize,
@@ -5093,6 +5169,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id * 1000 + 5 AS time_unix_nano,
                    event_id % 25 AS severity_number,
                    event_type AS svc, event_id
+            FROM events
+        """,
+        "otlp_traces_in": """
+            SELECT lpad(lower(to_hex(event_id)), 32, '0') AS trace_id,
+                   lpad(lower(to_hex(event_id % 100000)), 16, '0')
+                       AS span_id,
+                   CASE WHEN event_id % 3 = 0
+                        THEN lpad(lower(to_hex(event_id // 2)), 16, '0')
+                   END AS parent_span_id,
+                   'op-' || (event_id % 7) AS name,
+                   CASE WHEN event_id % 7 <= 5 THEN event_id % 7
+                        ELSE 1 END AS kind,
+                   1700000000000000000 + event_id * 1000 AS start_ns,
+                   1700000000000000000 + event_id * 1000 + 500 AS end_ns,
+                   event_id % 3 AS status_code,
+                   'm' || (event_id % 3) AS status_message,
+                   event_type AS host,
+                   event_id % 50 AS attr_n,
+                   CAST(NULL AS VARCHAR) AS attr_skipped,
+                   'boot' AS event_name,
+                   event_id * 1000 + 1 AS event_ns,
+                   event_id % 4 AS dropped_events_count
             FROM events
         """,
         "forward_decode": """

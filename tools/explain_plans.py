@@ -706,6 +706,18 @@ def main() -> int:
     checks.append(
         ("http_in: single Arrow body-parse stage, shuffle-free", ok, ""))
 
+    # otlp_traces_in: the traces walk is one Arrow stage over the
+    # Catalyst-assembled bodies — decode parallelizes per input split
+    # with zero exchanges
+    p = plan_of(qs["otlp_traces_in"](spark, sf_dir))
+    ok = ("BatchEvalPython" not in p
+          and "hashpartitioning(" not in p
+          and "CartesianProduct" not in p
+          and len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1)
+    checks.append(
+        ("otlp_traces_in: single Arrow span-walk stage, shuffle-free",
+         ok, ""))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
