@@ -896,6 +896,60 @@ def q_otlp_traces_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_otlp_traces_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_opentelemetry traces EXPORT (plugins/out_opentelemetry/
+    opentelemetry.c:590 process_traces — the OTLP/JSON encoding of
+    the protobuf tree it posts), round-tripped through the engine's
+    own in_opentelemetry trace decoder: spans grouped per resource
+    (event_type) into ExportTraceServiceRequest bodies, hex-id
+    validation, kind 0..5 gate (6 renders unset → decoder default
+    INTERNAL=1), status vocabulary UNSET/OK/ERROR (code 3 renders no
+    code → the decoder ignores the whole status)."""
+    from fluent_bit_spark.functions.otlp_out import (
+        otlp_span,
+        otlp_traces_export,
+    )
+    from fluent_bit_spark.sources.otlp_traces import parse_otlp_traces_df
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    start_ns = (F.lit(1700000000000000000).cast("long")
+                + e.cast("long") * 1000)
+    span = otlp_span(
+        F.concat(F.lit("op-"), (e % 7).cast("string")),
+        trace_id=F.lpad(F.lower(F.hex(e)), 32, "0"),
+        span_id=F.lpad(F.lower(F.hex(e % 100000)), 16, "0"),
+        parent_span_id=F.when(
+            e % 3 == 0, F.lpad(F.lower(F.hex(F.floor(e / 2))), 16, "0")),
+        kind=(e % 7),
+        start_nanos=start_ns,
+        end_nanos=start_ns + 500,
+        attributes=F.create_map(
+            F.lit("n"), (e % 50).cast("string")),
+        status_code=(e % 4),
+        status_message=F.concat(F.lit("m"), (e % 3).cast("string")),
+    )
+    bodies = otlp_traces_export(
+        ev, span,
+        resource_col=F.col("event_type"),
+        resource_attrs=F.create_map(
+            F.lit("host"), F.col("event_type")),
+        scope_name=F.lit("svc"), scope_version=F.lit("1"),
+    )
+    out = parse_otlp_traces_df(bodies)
+    return out.select(
+        "trace_id", "span_id", "parent_span_id", "name",
+        F.col("kind").cast("long").alias("kind"),
+        F.col("start_time_unix_nano").alias("start_ns"),
+        F.col("end_time_unix_nano").alias("end_ns"),
+        F.col("status_code").cast("long").alias("status_code"),
+        "status_message",
+        F.get_json_object("resource_attributes", "$.host").alias("host"),
+        "scope_name", "scope_version",
+        F.get_json_object("attributes", "$.n").alias("attr_n"),
+    )
+
+
 def q_forward_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fluent Forward protocol round-trip (plugins/out_forward/
     forward.c:1175,1268; in_forward/fw_prot.c dispatcher): per event
@@ -3944,6 +3998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigquery_encode": q_bigquery_encode,
         "http_in": q_http_in,
         "otlp_traces_in": q_otlp_traces_in,
+        "otlp_traces_encode": q_otlp_traces_encode,
         "incremental_dedup_stream": q_incremental_dedup_stream,
         "decontam_bloom": q_decontam_bloom,
         "text_normalize": q_text_normalize,
@@ -5191,6 +5246,28 @@ def oracle_sql() -> dict[str, str]:
                    'boot' AS event_name,
                    event_id * 1000 + 1 AS event_ns,
                    event_id % 4 AS dropped_events_count
+            FROM events
+        """,
+        "otlp_traces_encode": """
+            SELECT lpad(lower(to_hex(event_id)), 32, '0') AS trace_id,
+                   lpad(lower(to_hex(event_id % 100000)), 16, '0')
+                       AS span_id,
+                   CASE WHEN event_id % 3 = 0
+                        THEN lpad(lower(to_hex(event_id // 2)), 16, '0')
+                   END AS parent_span_id,
+                   'op-' || (event_id % 7) AS name,
+                   CASE WHEN event_id % 7 <= 5 THEN event_id % 7
+                        ELSE 1 END AS kind,
+                   1700000000000000000 + event_id * 1000 AS start_ns,
+                   1700000000000000000 + event_id * 1000 + 500 AS end_ns,
+                   CASE WHEN event_id % 4 = 3 THEN 0
+                        ELSE event_id % 4 END AS status_code,
+                   CASE WHEN event_id % 4 = 3 THEN NULL
+                        ELSE 'm' || (event_id % 3) END AS status_message,
+                   event_type AS host,
+                   'svc' AS scope_name,
+                   '1' AS scope_version,
+                   CAST(event_id % 50 AS VARCHAR) AS attr_n
             FROM events
         """,
         "forward_decode": """

@@ -44,7 +44,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["otlp_any_kvlist", "otlp_log_record", "otlp_logs_export"]
+__all__ = [
+    "otlp_any_kvlist", "otlp_log_record", "otlp_logs_export",
+    "otlp_span", "otlp_traces_export",
+]
 
 
 def _str_attrs(attrs: Column) -> Column:
@@ -172,5 +175,122 @@ def otlp_logs_export(
     rl_fields.append(scope_logs.alias("scopeLogs"))
     payload = F.to_json(
         F.struct(F.array(F.struct(*rl_fields)).alias("resourceLogs")))
+
+    return g.select("resource_id", "scope_id", payload.alias("body"))
+
+
+def otlp_span(
+    name: Column,
+    *,
+    trace_id: Column | None = None,
+    span_id: Column | None = None,
+    parent_span_id: Column | None = None,
+    kind: Column | None = None,
+    start_nanos: Column | None = None,
+    end_nanos: Column | None = None,
+    attributes: Column | None = None,
+    status_code: Column | None = None,
+    status_message: Column | None = None,
+) -> Column:
+    """One OTLP/JSON Span struct (the JSON encoding of the protobuf
+    tree out_opentelemetry posts for the traces event type —
+    plugins/out_opentelemetry/opentelemetry.c:590 process_traces over
+    a CTraces context; span fields per lib/ctraces msgpack layout).
+
+    Ids are validated exactly like the logs encoder (32/16 hex chars
+    else unset); uint64 nanos render as decimal strings per the
+    protobuf-JSON mapping; ``status.code`` renders as the
+    UNSET/OK/ERROR vocabulary the reference's own trace decoder
+    accepts (opentelemetry_traces.c:564-586), so an export is
+    re-ingestable by in_opentelemetry."""
+    fields = [name.alias("name")]
+    if trace_id is not None:
+        fields.append(_hex_id(trace_id, 32).alias("traceId"))
+    if span_id is not None:
+        fields.append(_hex_id(span_id, 16).alias("spanId"))
+    if parent_span_id is not None:
+        fields.append(_hex_id(parent_span_id, 16).alias("parentSpanId"))
+    if kind is not None:
+        k = kind.cast("long")
+        fields.append(F.when((k >= 0) & (k <= 5), k).alias("kind"))
+    if start_nanos is not None:
+        fields.append(
+            start_nanos.cast("string").alias("startTimeUnixNano"))
+    if end_nanos is not None:
+        fields.append(end_nanos.cast("string").alias("endTimeUnixNano"))
+    if attributes is not None:
+        fields.append(_str_attrs(attributes).alias("attributes"))
+    if status_code is not None or status_message is not None:
+        st = []
+        if status_code is not None:
+            code = status_code.cast("int")
+            st.append(
+                F.when(code == 0, F.lit("UNSET"))
+                .when(code == 1, F.lit("OK"))
+                .when(code == 2, F.lit("ERROR"))
+                .alias("code"))
+        if status_message is not None:
+            st.append(status_message.alias("message"))
+        fields.append(F.struct(*st).alias("status"))
+    return F.struct(*fields)
+
+
+def otlp_traces_export(
+    df: DataFrame,
+    span: Column,
+    *,
+    resource_col: Column | None = None,
+    scope_col: Column | None = None,
+    resource_attrs: Column | None = None,
+    scope_name: Column | None = None,
+    scope_version: Column | None = None,
+) -> DataFrame:
+    """Group Spans into ExportTraceServiceRequest JSON bodies — one
+    row per (resource, scope) group, mirroring otlp_logs_export:
+    resourceSpans → scopeSpans → spans with resource attributes and
+    scope name/version constant per group. Pure Catalyst (one
+    exchange on the group key, JVM-side rendering)."""
+    rid = (resource_col if resource_col is not None else F.lit(0)) \
+        .alias("resource_id")
+    sid = (scope_col if scope_col is not None else F.lit(0)) \
+        .alias("scope_id")
+    aggs = [F.collect_list(span.alias("sp")).alias("spans")]
+    if resource_attrs is not None:
+        aggs.append(F.first(resource_attrs).alias("rattrs"))
+    if scope_name is not None:
+        aggs.append(F.first(scope_name).alias("sname"))
+    if scope_version is not None:
+        aggs.append(F.first(scope_version).alias("sver"))
+    g = df.groupBy(rid, sid).agg(*aggs)
+
+    scope_fields = []
+    if scope_name is not None:
+        scope_fields.append(F.col("sname").alias("name"))
+    if scope_version is not None:
+        scope_fields.append(F.col("sver").alias("version"))
+
+    ss_fields = []
+    if scope_fields:
+        ss_fields.append(F.struct(*scope_fields).alias("scope"))
+    else:
+        # the in_ walk skips scope-less entries only when 'scope' is
+        # a non-map; an explicit empty scope keeps round-trips exact
+        ss_fields.append(
+            F.struct(F.lit(None).cast("string").alias("name"))
+            .alias("scope"))
+    ss_fields.append(F.col("spans").alias("spans"))
+    scope_spans = F.array(F.struct(*ss_fields))
+
+    rs_fields = []
+    if resource_attrs is not None:
+        rs_fields.append(
+            F.struct(_str_attrs(F.col("rattrs")).alias("attributes"))
+            .alias("resource"))
+    else:
+        rs_fields.append(
+            F.struct(F.array().alias("attributes")).alias("resource"))
+    rs_fields.append(scope_spans.alias("scopeSpans"))
+    payload = F.to_json(
+        F.struct(F.array(F.struct(*rs_fields)).alias("resourceSpans")))
 
     return g.select("resource_id", "scope_id", payload.alias("body"))

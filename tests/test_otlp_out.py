@@ -273,3 +273,79 @@ def test_classic_kinesis_bigquery_outputs(spark, tmp_path):
         assert base64.b64decode(e["Data"]).decode() == "boot ok\n"
     bq = [json.loads(ln) for ln in lines("bigquery.2")]
     assert all(d["json"]["message"] == "boot ok" for d in bq)
+
+
+class TestOtlpTracesEncode:
+    def _bodies(self, spark, rows, **kw):
+        from fluent_bit_spark.functions.otlp_out import (
+            otlp_span,
+            otlp_traces_export,
+        )
+
+        df = spark.createDataFrame(
+            rows,
+            "name string, tid string, sid string, kind long, "
+            "code int, rid long",
+        )
+        span = otlp_span(
+            F.col("name"), trace_id=F.col("tid"), span_id=F.col("sid"),
+            kind=F.col("kind"),
+            start_nanos=F.lit(1700000000000000000).cast("long"),
+            end_nanos=F.lit(1700000000000000500).cast("long"),
+            status_code=F.col("code"),
+            status_message=F.lit("msg"),
+        )
+        return otlp_traces_export(df, span, **kw)
+
+    def test_request_shape_and_round_trip(self, spark):
+        from fluent_bit_spark.sources.otlp_traces import (
+            parse_otlp_traces,
+        )
+
+        tid = "0af7651916cd43dd8448eb211c80319c"
+        out = self._bodies(
+            spark,
+            [("op", tid, "b7ad6b7169203331", 3, 1, 0)],
+            resource_attrs=F.create_map(F.lit("host"), F.lit("w1")),
+            scope_name=F.lit("svc"), scope_version=F.lit("2"),
+        ).collect()
+        assert len(out) == 1
+        doc = json.loads(out[0]["body"])
+        sp = doc["resourceSpans"][0]["scopeSpans"][0]["spans"][0]
+        assert sp["traceId"] == tid and sp["kind"] == 3
+        assert sp["startTimeUnixNano"] == "1700000000000000000"
+        assert sp["status"] == {"code": "OK", "message": "msg"}
+        # re-ingestable by the engine's own in_ decoder
+        rows = parse_otlp_traces(doc)
+        assert rows[0]["trace_id"] == tid
+        assert rows[0]["status_code"] == 1
+        assert rows[0]["resource_attributes"] == {"host": "w1"}
+        assert rows[0]["scope_name"] == "svc"
+
+    def test_invalid_ids_and_kind_unset(self, spark):
+        out = self._bodies(
+            spark, [("op", "nothex", "short", 9, 7, 0)]).collect()
+        sp = json.loads(out[0]["body"])[
+            "resourceSpans"][0]["scopeSpans"][0]["spans"][0]
+        assert "traceId" not in sp and "spanId" not in sp
+        assert "kind" not in sp          # 9 out of 0..5
+        assert "code" not in sp["status"]  # 7 invalid -> message only
+
+    def test_grouping_per_resource(self, spark):
+        tid = "0af7651916cd43dd8448eb211c80319c"
+        out = self._bodies(
+            spark,
+            [("a", tid, "b7ad6b7169203331", 1, 0, 0),
+             ("b", tid, "b7ad6b7169203331", 1, 0, 0),
+             ("c", tid, "b7ad6b7169203331", 1, 0, 1)],
+            resource_col=F.col("rid"),
+        ).collect()
+        by_rid = {r["resource_id"]: json.loads(r["body"]) for r in out}
+        assert len(by_rid) == 2
+        names = [s["name"] for s in
+                 by_rid[0]["resourceSpans"][0]["scopeSpans"][0]["spans"]]
+        assert sorted(names) == ["a", "b"]
+        # no scope columns -> explicit empty scope map survives the
+        # in_ walk (a non-map scope would drop the whole entry)
+        assert by_rid[0]["resourceSpans"][0]["scopeSpans"][0][
+            "scope"] == {}

@@ -718,6 +718,18 @@ def main() -> int:
         ("otlp_traces_in: single Arrow span-walk stage, shuffle-free",
          ok, ""))
 
+    # otlp_traces_encode: Catalyst struct assembly with exactly the
+    # resource groupBy's exchange plus ONE Arrow stage (the decode
+    # half of the round-trip) — mirrors the otlp_logs_encode shape
+    p = plan_of(qs["otlp_traces_encode"](spark, sf_dir))
+    ok = ("BatchEvalPython" not in p
+          and "CartesianProduct" not in p
+          and p.count("hashpartitioning(") == 1
+          and len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1)
+    checks.append(
+        ("otlp_traces_encode: one exchange (the resource groupBy) "
+         "+ one Arrow stage (the decode half)", ok, ""))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
