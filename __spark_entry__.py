@@ -950,6 +950,205 @@ def q_otlp_traces_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_otlp_metrics_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_opentelemetry OTLP metrics protobuf decode (plugins/
+    in_opentelemetry/opentelemetry_prot.c:108 process_payload_metrics
+    → lib/cmetrics/src/cmt_decode_opentelemetry.c): one context per
+    ScopeMetrics, Sum→counter with temporality + allow_reset =
+    !is_monotonic, Gauge/Histogram/Summary kinds, negative as_int
+    clamped to 0, first zero-attribute point = static sample, label
+    values stringified (int via PRIi64), bounds/quantiles pinned by
+    the first data point, empty description → "-". Payloads are
+    assembled per event in Arrow batches and decoded back."""
+    import pandas as pd
+
+    from fluent_bit_spark.functions.otlp_metrics import (
+        parse_otlp_metrics_df,
+    )
+
+    ev = _ep(_t(spark, sf_dir, "events")).select("event_id")
+    T = 1_700_000_000_000_000_000
+
+    def mk(batches):
+        import struct
+
+        from fluent_bit_spark.functions.otlp_metrics import (
+            _enc_uvarint,
+            _ld,
+        )
+
+        def vstr(s):
+            return _ld(1, s.encode())
+
+        def vint(i):
+            return _enc_uvarint(3 << 3 | 0) + _enc_uvarint(
+                i & ((1 << 64) - 1))
+
+        def kv(k, av):
+            return _ld(1, k.encode()) + _ld(2, av)
+
+        def npoint(ts, attrs=(), as_double=None, as_int=None):
+            b = bytearray(_enc_uvarint(3 << 3 | 1) + struct.pack("<Q", ts))
+            if as_double is not None:
+                b += _enc_uvarint(4 << 3 | 1) + struct.pack("<d", as_double)
+            if as_int is not None:
+                b += _enc_uvarint(6 << 3 | 1) + struct.pack("<q", as_int)
+            for a in attrs:
+                b += _ld(7, a)
+            return bytes(b)
+
+        for pdf in batches:
+            out = []
+            for e in pdf["event_id"]:
+                e = int(e)
+                counter = (
+                    _ld(1, b"ev_hits") + _ld(2, b"hits")
+                    + _ld(7,
+                          _ld(1, npoint(T + e, as_double=(e % 100) / 2.0))
+                          + _ld(1, npoint(
+                              T + e + 1,
+                              attrs=[kv("path", vstr("p%d" % (e % 5))),
+                                     kv("code", vint(e % 3))],
+                              as_int=(e % 7) - 3))
+                          + _enc_uvarint(2 << 3 | 0)
+                          + _enc_uvarint(1 if e % 2 else 2)
+                          + (_enc_uvarint(3 << 3 | 0) + _enc_uvarint(1)
+                             if e % 3 else b""))
+                )
+                hist_pt = bytearray(
+                    _enc_uvarint(3 << 3 | 1) + struct.pack("<Q", T + e))
+                hist_pt += _enc_uvarint(4 << 3 | 1) + struct.pack(
+                    "<Q", e % 9)
+                hist_pt += _enc_uvarint(5 << 3 | 1) + struct.pack(
+                    "<d", (e % 10) * 1.5)
+                hist_pt += _ld(6, struct.pack(
+                    "<3Q", e % 3, e % 4, e % 5))
+                hist_pt += _ld(7, struct.pack("<2d", 0.5, 2.0))
+                hist = (_ld(1, b"ev_lat")
+                        + _ld(9, _ld(1, bytes(hist_pt))
+                              + _enc_uvarint(2 << 3 | 0)
+                              + _enc_uvarint(2)))
+                sum_pt = bytearray(
+                    _enc_uvarint(3 << 3 | 1) + struct.pack("<Q", T + e))
+                sum_pt += _enc_uvarint(4 << 3 | 1) + struct.pack(
+                    "<Q", e % 6)
+                sum_pt += _enc_uvarint(5 << 3 | 1) + struct.pack(
+                    "<d", (e % 11) * 0.5)
+                for q, v in ((0.5, (e % 9) / 4.0), (0.99, (e % 9) / 2.0)):
+                    sum_pt += _ld(
+                        6,
+                        _enc_uvarint(1 << 3 | 1) + struct.pack("<d", q)
+                        + _enc_uvarint(2 << 3 | 1) + struct.pack("<d", v))
+                sum_pt += _ld(7, kv("route", vstr("r%d" % (e % 2))))
+                summ = _ld(1, b"ev_rt") + _ld(11, _ld(1, bytes(sum_pt)))
+                scope = _ld(1, b"svc") + _ld(2, b"1")
+                sm = (_ld(1, scope) + _ld(2, counter) + _ld(2, hist)
+                      + _ld(2, summ))
+                resource = _ld(1, kv("host", vstr("h%d" % (e % 4))))
+                rm = _ld(1, resource) + _ld(2, sm)
+                out.append(_ld(1, rm))
+            yield pd.DataFrame({"data": pd.Series(out, dtype="object")})
+
+    rows = parse_otlp_metrics_df(ev.mapInPandas(mk, "data binary"))
+    return rows.select(
+        "name", "mtype", "description", "temporality", "allow_reset",
+        F.get_json_object("labels", "$.path").alias("path"),
+        F.get_json_object("labels", "$.code").alias("code"),
+        F.get_json_object("labels", "$.route").alias("route"),
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.element_at("bucket_counts", 1).alias("b0"),
+        F.element_at("bucket_counts", 2).alias("b1"),
+        F.element_at("bucket_counts", 3).alias("b2"),
+        F.element_at("explicit_bounds", 2).alias("bound1"),
+        F.round("hist_sum", 6).alias("hist_sum"),
+        "hist_count",
+        F.element_at("quantiles", 2).alias("q1"),
+        F.round(F.element_at("quantile_values", 1), 6).alias("qv0"),
+        F.round(F.element_at("quantile_values", 2), 6).alias("qv1"),
+        F.round("sum_sum", 6).alias("sum_sum"),
+        "sum_count",
+        F.get_json_object("resource_attrs", "$.host").alias("host"),
+        "scope_name", "scope_version",
+    )
+
+
+def q_otlp_metrics_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_opentelemetry metrics EXPORT (plugins/out_opentelemetry/
+    opentelemetry.c:490 process_metrics → lib/cmetrics/src/
+    cmt_encode_opentelemetry.c), round-tripped through the engine's
+    own OTLP metrics decoder: one MetricsData blob per tag group,
+    metrics re-ordered counters-then-histograms, numerical points
+    re-encoded as_double with start_time 0, histogram temporality
+    dropped (counter-only in pack_basic_type :2410-2425), is_monotonic
+    = !allow_reset."""
+    from fluent_bit_spark.functions.otlp_metrics import (
+        otlp_metrics_export,
+        parse_otlp_metrics_df,
+    )
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    T = F.lit(1_700_000_000_000_000_000).cast("long")
+    null_l = F.lit(None).cast("array<long>")
+    null_d = F.lit(None).cast("array<double>")
+    counters = ev.select(
+        F.concat(F.lit("m."), (e % 4).cast("string")).alias("tag"),
+        F.lit("req_total").alias("name"),
+        F.lit("counter").alias("mtype"),
+        F.lit("requests").alias("description"),
+        F.lit("cumulative").alias("temporality"),
+        F.lit(False).alias("allow_reset"),
+        F.when(e % 10 == 0, F.lit("{}")).otherwise(F.concat(
+            F.lit('{"route":"r'), (e % 5).cast("string"),
+            F.lit('"}'))).alias("labels"),
+        (T + e).alias("ts"),
+        ((e % 100) / 2.0).alias("value"),
+        null_l.alias("bucket_counts"), null_d.alias("explicit_bounds"),
+        F.lit(None).cast("double").alias("hist_sum"),
+        F.lit(None).cast("long").alias("hist_count"),
+        null_d.alias("quantiles"), null_d.alias("quantile_values"),
+        F.lit(None).cast("double").alias("sum_sum"),
+        F.lit(None).cast("long").alias("sum_count"),
+    )
+    hists = ev.select(
+        F.concat(F.lit("m."), (e % 4).cast("string")).alias("tag"),
+        F.lit("lat").alias("name"),
+        F.lit("histogram").alias("mtype"),
+        F.lit("-").alias("description"),
+        F.lit(None).cast("string").alias("temporality"),
+        F.lit(None).cast("boolean").alias("allow_reset"),
+        F.concat(F.lit('{"shard":"s'), (e % 3).cast("string"),
+                 F.lit('"}')).alias("labels"),
+        (T + e).alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+        F.array((e % 3).cast("long"), (e % 4).cast("long"),
+                (e % 5).cast("long")).alias("bucket_counts"),
+        F.array(F.lit(0.5), F.lit(2.0)).alias("explicit_bounds"),
+        ((e % 10) * 1.5).alias("hist_sum"),
+        (e % 9).cast("long").alias("hist_count"),
+        null_d.alias("quantiles"), null_d.alias("quantile_values"),
+        F.lit(None).cast("double").alias("sum_sum"),
+        F.lit(None).cast("long").alias("sum_count"),
+    )
+    payloads = otlp_metrics_export(counters.unionByName(hists), "tag")
+    rows = parse_otlp_metrics_df(payloads.select(
+        F.col("payload").alias("data")))
+    return rows.select(
+        "name", "mtype", "description", "temporality", "allow_reset",
+        F.get_json_object("labels", "$.route").alias("route"),
+        F.get_json_object("labels", "$.shard").alias("shard"),
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.element_at("bucket_counts", 1).alias("b0"),
+        F.element_at("bucket_counts", 2).alias("b1"),
+        F.element_at("bucket_counts", 3).alias("b2"),
+        F.element_at("explicit_bounds", 2).alias("bound1"),
+        F.round("hist_sum", 6).alias("hist_sum"),
+        "hist_count",
+    )
+
+
 def q_forward_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fluent Forward protocol round-trip (plugins/out_forward/
     forward.c:1175,1268; in_forward/fw_prot.c dispatcher): per event
@@ -3999,6 +4198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_in": q_http_in,
         "otlp_traces_in": q_otlp_traces_in,
         "otlp_traces_encode": q_otlp_traces_encode,
+        "otlp_metrics_in": q_otlp_metrics_in,
+        "otlp_metrics_encode": q_otlp_metrics_encode,
         "incremental_dedup_stream": q_incremental_dedup_stream,
         "decontam_bloom": q_decontam_bloom,
         "text_normalize": q_text_normalize,
@@ -5269,6 +5470,97 @@ def oracle_sql() -> dict[str, str]:
                    '1' AS scope_version,
                    CAST(event_id % 50 AS VARCHAR) AS attr_n
             FROM events
+        """,
+        "otlp_metrics_in": """
+            WITH base AS (
+                SELECT event_id AS e,
+                       1700000000000000000 + event_id AS ts,
+                       'h' || (event_id % 4) AS host
+                FROM events
+            )
+            SELECT 'ev_hits' AS name, 'counter' AS mtype,
+                   'hits' AS description,
+                   CASE WHEN e % 2 = 1 THEN 'delta'
+                        ELSE 'cumulative' END AS temporality,
+                   (e % 3 = 0) AS allow_reset,
+                   CAST(NULL AS VARCHAR) AS path,
+                   CAST(NULL AS VARCHAR) AS code,
+                   CAST(NULL AS VARCHAR) AS route,
+                   ts, round((e % 100) / 2.0, 6) AS value,
+                   CAST(NULL AS BIGINT) AS b0,
+                   CAST(NULL AS BIGINT) AS b1,
+                   CAST(NULL AS BIGINT) AS b2,
+                   CAST(NULL AS DOUBLE) AS bound1,
+                   CAST(NULL AS DOUBLE) AS hist_sum,
+                   CAST(NULL AS BIGINT) AS hist_count,
+                   CAST(NULL AS DOUBLE) AS q1,
+                   CAST(NULL AS DOUBLE) AS qv0,
+                   CAST(NULL AS DOUBLE) AS qv1,
+                   CAST(NULL AS DOUBLE) AS sum_sum,
+                   CAST(NULL AS BIGINT) AS sum_count,
+                   host, 'svc' AS scope_name, '1' AS scope_version
+            FROM base
+            UNION ALL
+            SELECT 'ev_hits', 'counter', 'hits',
+                   CASE WHEN e % 2 = 1 THEN 'delta'
+                        ELSE 'cumulative' END,
+                   (e % 3 = 0),
+                   'p' || (e % 5), CAST(e % 3 AS VARCHAR), NULL,
+                   ts + 1,
+                   CASE WHEN (e % 7) - 3 < 0 THEN 0.0
+                        ELSE CAST((e % 7) - 3 AS DOUBLE) END,
+                   NULL, NULL, NULL, NULL, NULL, NULL,
+                   NULL, NULL, NULL, NULL, NULL,
+                   host, 'svc', '1'
+            FROM base
+            UNION ALL
+            SELECT 'ev_lat', 'histogram', '-', 'cumulative', NULL,
+                   NULL, NULL, NULL,
+                   ts, NULL,
+                   e % 3, e % 4, e % 5, 2.0,
+                   round((e % 10) * 1.5, 6), e % 9,
+                   NULL, NULL, NULL, NULL, NULL,
+                   host, 'svc', '1'
+            FROM base
+            UNION ALL
+            SELECT 'ev_rt', 'summary', '-', NULL, NULL,
+                   NULL, NULL, 'r' || (e % 2),
+                   ts, NULL,
+                   NULL, NULL, NULL, NULL, NULL, NULL,
+                   0.99, round((e % 9) / 4.0, 6),
+                   round((e % 9) / 2.0, 6),
+                   round((e % 11) * 0.5, 6), e % 6,
+                   host, 'svc', '1'
+            FROM base
+        """,
+        "otlp_metrics_encode": """
+            WITH base AS (
+                SELECT event_id AS e,
+                       1700000000000000000 + event_id AS ts
+                FROM events
+            )
+            SELECT 'req_total' AS name, 'counter' AS mtype,
+                   'requests' AS description,
+                   'cumulative' AS temporality,
+                   FALSE AS allow_reset,
+                   CASE WHEN e % 10 = 0 THEN NULL
+                        ELSE 'r' || (e % 5) END AS route,
+                   CAST(NULL AS VARCHAR) AS shard,
+                   ts, round((e % 100) / 2.0, 6) AS value,
+                   CAST(NULL AS BIGINT) AS b0,
+                   CAST(NULL AS BIGINT) AS b1,
+                   CAST(NULL AS BIGINT) AS b2,
+                   CAST(NULL AS DOUBLE) AS bound1,
+                   CAST(NULL AS DOUBLE) AS hist_sum,
+                   CAST(NULL AS BIGINT) AS hist_count
+            FROM base
+            UNION ALL
+            SELECT 'lat', 'histogram', '-', 'unspecified', NULL,
+                   NULL, 's' || (e % 3),
+                   ts, NULL,
+                   e % 3, e % 4, e % 5, 2.0,
+                   round((e % 10) * 1.5, 6), e % 9
+            FROM base
         """,
         "forward_decode": """
             SELECT 'fw.' || (event_id % 4) AS tag,

@@ -730,6 +730,32 @@ def main() -> int:
         ("otlp_traces_encode: one exchange (the resource groupBy) "
          "+ one Arrow stage (the decode half)", ok, ""))
 
+    # otlp_metrics_in: protobuf payload synthesis + the cmetrics-style
+    # decode are each one Arrow stage, pipelined per input split with
+    # zero exchanges
+    p = plan_of(qs["otlp_metrics_in"](spark, sf_dir))
+    ok = ("BatchEvalPython" not in p
+          and "hashpartitioning(" not in p
+          and "CartesianProduct" not in p
+          and len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 2)
+    checks.append(
+        ("otlp_metrics_in: two chained Arrow stages (synth + decode), "
+         "shuffle-free", ok, ""))
+
+    # otlp_metrics_encode: exactly the per-tag groupBy exchange feeding
+    # the context builder (FlatMapGroupsInPandas) plus one Arrow decode
+    # stage for the round-trip; the counters/hists union stays narrow
+    p = plan_of(qs["otlp_metrics_encode"](spark, sf_dir))
+    ok = ("BatchEvalPython" not in p
+          and "CartesianProduct" not in p
+          and p.count("hashpartitioning(") == 1
+          and len(re.findall(r"^\(\d+\) FlatMapGroupsInPandas", p, re.M))
+          == 1
+          and len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1)
+    checks.append(
+        ("otlp_metrics_encode: one exchange (the tag groupBy) + one "
+         "Arrow stage (the decode half)", ok, ""))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
