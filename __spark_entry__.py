@@ -1149,6 +1149,223 @@ def q_otlp_metrics_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_influx_metrics_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_influxdb METRICS event path (plugins/out_influxdb/
+    influxdb.c:483 → lib/cmetrics/src/cmt_encode_influx.c): line
+    protocol with measurement = ns[_subsystem], static labels +
+    escaped tags, raw metric name as the scalar field key, histogram
+    %g-bound buckets + +Inf + sum/count fields (raw per-bucket
+    counts), summary quantile=value pairs, nanosecond timestamps.
+    One counter + histogram + summary line per event, all-Catalyst."""
+    from fluent_bit_spark.functions.influx_out import cmt_influx_lines
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    T = F.lit(1_700_000_000_000_000_000).cast("long")
+    null_l = F.lit(None).cast("array<long>")
+    null_d = F.lit(None).cast("array<double>")
+    nd = F.lit(None).cast("double")
+    nl = F.lit(None).cast("long")
+
+    def tags(*pairs):
+        return F.array(*[
+            F.struct(F.lit(k).alias("key"), v.alias("value"))
+            for k, v in pairs
+        ])
+
+    counters = ev.select(
+        F.lit("counter").alias("mtype"),
+        F.lit("requests_total").alias("name"),
+        tags(("host", F.concat(F.lit("h"), (e % 4).cast("string"))))
+        .alias("tags"),
+        (T + e).alias("ts"),
+        ((e % 100) / 2.0).alias("value"),
+        null_l.alias("bucket_counts"), null_d.alias("explicit_bounds"),
+        nd.alias("hist_sum"), nl.alias("hist_count"),
+        null_d.alias("quantiles"), null_d.alias("quantile_values"),
+        nd.alias("sum_sum"), nl.alias("sum_count"),
+    )
+    hists = ev.select(
+        F.lit("histogram").alias("mtype"),
+        F.lit("lat").alias("name"),
+        tags(("shard", F.concat(F.lit("s"), (e % 3).cast("string"))))
+        .alias("tags"),
+        (T + e).alias("ts"),
+        nd.alias("value"),
+        F.array((e % 3).cast("long"), (e % 4).cast("long"),
+                (e % 5).cast("long")).alias("bucket_counts"),
+        F.array(F.lit(0.5), F.lit(2.0)).alias("explicit_bounds"),
+        ((e % 10) * 1.5).alias("hist_sum"),
+        (e % 9).cast("long").alias("hist_count"),
+        null_d.alias("quantiles"), null_d.alias("quantile_values"),
+        nd.alias("sum_sum"), nl.alias("sum_count"),
+    )
+    summaries = ev.select(
+        F.lit("summary").alias("mtype"),
+        F.lit("rt").alias("name"),
+        F.array().cast(
+            "array<struct<key:string,value:string>>").alias("tags"),
+        (T + e).alias("ts"),
+        nd.alias("value"),
+        null_l.alias("bucket_counts"), null_d.alias("explicit_bounds"),
+        nd.alias("hist_sum"), nl.alias("hist_count"),
+        F.array(F.lit(0.5), F.lit(0.99)).alias("quantiles"),
+        F.array((e % 9) / 4.0, (e % 9) / 2.0).alias("quantile_values"),
+        ((e % 11) * 0.5).alias("sum_sum"),
+        (e % 6).cast("long").alias("sum_count"),
+    )
+    rows = counters.unionByName(hists).unionByName(summaries)
+    out = cmt_influx_lines(rows, measurement="fb_node",
+                           static_labels=[("app", "api")])
+    return out.select("mtype", "name", "ts", "line")
+
+
+def q_splunk_metrics_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_splunk METRICS event path (plugins/out_splunk/splunk.c →
+    lib/cmetrics/src/cmt_encode_splunk_hec.c): HEC metric events with
+    %09lu.%09lu timestamps, metric_name:[subsystem.]name keys
+    (namespace ignored), double_to_string ".0" integral rendering,
+    histogram per-bucket fan-out with le strings + _sum/_count tail,
+    summary per-quantile events with qt strings. One counter +
+    histogram + summary sample per event, all-Catalyst."""
+    from fluent_bit_spark.functions.hec_out import cmt_splunk_hec_events
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    T = F.lit(1_700_000_000_000_000_000).cast("long")
+    null_l = F.lit(None).cast("array<long>")
+    null_d = F.lit(None).cast("array<double>")
+    nd = F.lit(None).cast("double")
+    nl = F.lit(None).cast("long")
+
+    def tags(*pairs):
+        return F.array(*[
+            F.struct(F.lit(k).alias("key"), v.alias("value"))
+            for k, v in pairs
+        ])
+
+    no_tags = F.array().cast("array<struct<key:string,value:string>>")
+    counters = ev.select(
+        F.lit("counter").alias("mtype"),
+        F.lit("requests_total").alias("name"),
+        F.lit("node").alias("subsystem"),
+        tags(("host", F.concat(F.lit("h"), (e % 4).cast("string"))))
+        .alias("tags"),
+        (T + e).alias("ts"),
+        ((e % 100) / 2.0).alias("value"),
+        null_l.alias("bucket_counts"), null_d.alias("explicit_bounds"),
+        nd.alias("hist_sum"), nl.alias("hist_count"),
+        null_d.alias("quantiles"), null_d.alias("quantile_values"),
+        nd.alias("sum_sum"), nl.alias("sum_count"),
+    )
+    hists = ev.select(
+        F.lit("histogram").alias("mtype"),
+        F.lit("lat").alias("name"),
+        F.lit("").alias("subsystem"),
+        tags(("shard", F.concat(F.lit("s"), (e % 3).cast("string"))))
+        .alias("tags"),
+        (T + e).alias("ts"),
+        nd.alias("value"),
+        F.array((e % 3).cast("long"), (e % 4).cast("long"),
+                (e % 5).cast("long")).alias("bucket_counts"),
+        F.array(F.lit(0.5), F.lit(2.0)).alias("explicit_bounds"),
+        ((e % 10) * 1.5).alias("hist_sum"),
+        (e % 9).cast("long").alias("hist_count"),
+        null_d.alias("quantiles"), null_d.alias("quantile_values"),
+        nd.alias("sum_sum"), nl.alias("sum_count"),
+    )
+    summaries = ev.select(
+        F.lit("summary").alias("mtype"),
+        F.lit("rt").alias("name"),
+        F.lit("").alias("subsystem"),
+        no_tags.alias("tags"),
+        (T + e).alias("ts"),
+        nd.alias("value"),
+        null_l.alias("bucket_counts"), null_d.alias("explicit_bounds"),
+        nd.alias("hist_sum"), nl.alias("hist_count"),
+        F.array(F.lit(0.5), F.lit(0.99)).alias("quantiles"),
+        F.array((e % 9) / 4.0, (e % 9) / 2.0).alias("quantile_values"),
+        ((e % 11) * 0.5).alias("sum_sum"),
+        (e % 6).cast("long").alias("sum_count"),
+    )
+    rows = counters.unionByName(hists).unionByName(summaries)
+    out = cmt_splunk_hec_events(
+        rows, host="web-1", index="main",
+        static_labels=[("app", "api")],
+    )
+    return out.select("event")
+
+
+def q_cloudwatch_emf_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_cloudwatch_logs METRICS event path (cloudwatch_api.c →
+    lib/cmetrics/src/cmt_encode_cloudwatch_emf.c): one EMF JSON
+    object per sample — _aws header (ms timestamp, Namespace,
+    Dimensions over all label keys + static keys, Unit only on
+    counters, StorageResolution 60), labels, prom_metric_type, then
+    fqname:value; histogram Min/Max over sorted bucket counts with
+    the reference's Max-at-count-1 off-by-one kept; summary Min/Max
+    = first/last quantile values. All-Catalyst."""
+    from fluent_bit_spark.functions.cloudwatch_out import cmt_emf_events
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    T = F.lit(1_700_000_000_000_000_000).cast("long")
+    ts = (T + e * 1_000_000).alias("ts")
+    null_l = F.lit(None).cast("array<long>")
+    null_d = F.lit(None).cast("array<double>")
+    nd = F.lit(None).cast("double")
+    nl = F.lit(None).cast("long")
+
+    def tags(*pairs):
+        return F.array(*[
+            F.struct(F.lit(k).alias("key"), v.alias("value"))
+            for k, v in pairs
+        ])
+
+    counters = ev.select(
+        F.lit("counter").alias("mtype"),
+        F.lit("req_total").alias("name"),
+        tags(("host", F.concat(F.lit("h"), (e % 4).cast("string"))))
+        .alias("tags"),
+        ts, ((e % 100) / 2.0).alias("value"),
+        null_l.alias("bucket_counts"), null_d.alias("explicit_bounds"),
+        nd.alias("hist_sum"), nl.alias("hist_count"),
+        null_d.alias("quantiles"), null_d.alias("quantile_values"),
+        nd.alias("sum_sum"), nl.alias("sum_count"),
+    )
+    hists = ev.select(
+        F.lit("histogram").alias("mtype"),
+        F.lit("lat").alias("name"),
+        tags(("shard", F.concat(F.lit("s"), (e % 3).cast("string"))))
+        .alias("tags"),
+        ts, nd.alias("value"),
+        F.array((e % 3).cast("long"), (e % 4).cast("long"),
+                (e % 5).cast("long")).alias("bucket_counts"),
+        F.array(F.lit(0.5), F.lit(2.0)).alias("explicit_bounds"),
+        ((e % 10) * 1.5).alias("hist_sum"),
+        (e % 9).cast("long").alias("hist_count"),
+        null_d.alias("quantiles"), null_d.alias("quantile_values"),
+        nd.alias("sum_sum"), nl.alias("sum_count"),
+    )
+    summaries = ev.select(
+        F.lit("summary").alias("mtype"),
+        F.lit("rt").alias("name"),
+        F.array().cast(
+            "array<struct<key:string,value:string>>").alias("tags"),
+        ts, nd.alias("value"),
+        null_l.alias("bucket_counts"), null_d.alias("explicit_bounds"),
+        nd.alias("hist_sum"), nl.alias("hist_count"),
+        F.array(F.lit(0.5), F.lit(0.99)).alias("quantiles"),
+        F.array((e % 9) / 4.0, (e % 9) / 2.0).alias("quantile_values"),
+        ((e % 11) * 0.5).alias("sum_sum"),
+        (e % 6).cast("long").alias("sum_count"),
+    )
+    rows = counters.unionByName(hists).unionByName(summaries)
+    out = cmt_emf_events(rows, namespace="fb",
+                         static_labels=[("app", "api")])
+    return out.select("mtype", "name", "ts", "event")
+
+
 def q_forward_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fluent Forward protocol round-trip (plugins/out_forward/
     forward.c:1175,1268; in_forward/fw_prot.c dispatcher): per event
@@ -4200,6 +4417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otlp_traces_encode": q_otlp_traces_encode,
         "otlp_metrics_in": q_otlp_metrics_in,
         "otlp_metrics_encode": q_otlp_metrics_encode,
+        "influx_metrics_encode": q_influx_metrics_encode,
+        "splunk_metrics_encode": q_splunk_metrics_encode,
+        "cloudwatch_emf_encode": q_cloudwatch_emf_encode,
         "incremental_dedup_stream": q_incremental_dedup_stream,
         "decontam_bloom": q_decontam_bloom,
         "text_normalize": q_text_normalize,
@@ -5561,6 +5781,208 @@ def oracle_sql() -> dict[str, str]:
                    e % 3, e % 4, e % 5, 2.0,
                    round((e % 10) * 1.5, 6), e % 9
             FROM base
+        """,
+        "influx_metrics_encode": """
+            WITH base AS (
+                SELECT event_id AS e,
+                       CAST(1700000000000000000 + event_id AS VARCHAR)
+                           AS ts_s,
+                       1700000000000000000 + event_id AS ts
+                FROM events
+            ), r AS (
+                SELECT *,
+                       CASE WHEN (e % 100) / 2.0
+                                 = floor((e % 100) / 2.0)
+                            THEN CAST(CAST((e % 100) / 2.0 AS BIGINT)
+                                      AS VARCHAR)
+                            ELSE CAST((e % 100) / 2.0 AS VARCHAR)
+                       END AS v_counter,
+                       CASE WHEN (e % 10) * 1.5 = floor((e % 10) * 1.5)
+                            THEN CAST(CAST((e % 10) * 1.5 AS BIGINT)
+                                      AS VARCHAR)
+                            ELSE CAST((e % 10) * 1.5 AS VARCHAR)
+                       END AS v_hsum,
+                       CASE WHEN (e % 9) / 4.0 = floor((e % 9) / 4.0)
+                            THEN CAST(CAST((e % 9) / 4.0 AS BIGINT)
+                                      AS VARCHAR)
+                            ELSE CAST((e % 9) / 4.0 AS VARCHAR)
+                       END AS v_q50,
+                       CASE WHEN (e % 9) / 2.0 = floor((e % 9) / 2.0)
+                            THEN CAST(CAST((e % 9) / 2.0 AS BIGINT)
+                                      AS VARCHAR)
+                            ELSE CAST((e % 9) / 2.0 AS VARCHAR)
+                       END AS v_q99,
+                       CASE WHEN (e % 11) * 0.5 = floor((e % 11) * 0.5)
+                            THEN CAST(CAST((e % 11) * 0.5 AS BIGINT)
+                                      AS VARCHAR)
+                            ELSE CAST((e % 11) * 0.5 AS VARCHAR)
+                       END AS v_ssum
+                FROM base
+            )
+            SELECT 'counter' AS mtype, 'requests_total' AS name, ts,
+                   'fb_node,app=api,host=h' || (e % 4)
+                   || ' requests_total=' || v_counter || ' ' || ts_s
+                       AS line
+            FROM r
+            UNION ALL
+            SELECT 'histogram', 'lat', ts,
+                   'fb_node,app=api,shard=s' || (e % 3)
+                   || ' 0.5=' || (e % 3) || ',2=' || (e % 4)
+                   || ',+Inf=' || (e % 5)
+                   || ',sum=' || v_hsum || ',count=' || (e % 9)
+                   || ' ' || ts_s
+            FROM r
+            UNION ALL
+            SELECT 'summary', 'rt', ts,
+                   'fb_node,app=api 0.5=' || v_q50
+                   || ',0.99=' || v_q99
+                   || ',sum=' || v_ssum || ',count=' || (e % 6)
+                   || ' ' || ts_s
+            FROM r
+        """,
+        "splunk_metrics_encode": """
+            WITH base AS (
+                SELECT event_id AS e,
+                       '{"host":"web-1","time":1700000000.'
+                       || lpad(CAST(event_id AS VARCHAR), 9, '0')
+                       || ',"event":"metric","index":"main","fields":{'
+                           AS h
+                FROM events
+            ), r AS (
+                SELECT *,
+                       CASE WHEN (e % 100) / 2.0
+                                 = floor((e % 100) / 2.0)
+                            THEN CAST(CAST((e % 100) / 2.0 AS BIGINT)
+                                      AS VARCHAR) || '.0'
+                            ELSE CAST((e % 100) / 2.0 AS VARCHAR)
+                       END AS v_counter,
+                       CASE WHEN (e % 10) * 1.5 = floor((e % 10) * 1.5)
+                            THEN CAST(CAST((e % 10) * 1.5 AS BIGINT)
+                                      AS VARCHAR) || '.0'
+                            ELSE CAST((e % 10) * 1.5 AS VARCHAR)
+                       END AS v_hsum,
+                       CASE WHEN (e % 9) / 4.0 = floor((e % 9) / 4.0)
+                            THEN CAST(CAST((e % 9) / 4.0 AS BIGINT)
+                                      AS VARCHAR) || '.0'
+                            ELSE CAST((e % 9) / 4.0 AS VARCHAR)
+                       END AS v_q50,
+                       CASE WHEN (e % 9) / 2.0 = floor((e % 9) / 2.0)
+                            THEN CAST(CAST((e % 9) / 2.0 AS BIGINT)
+                                      AS VARCHAR) || '.0'
+                            ELSE CAST((e % 9) / 2.0 AS VARCHAR)
+                       END AS v_q99,
+                       CASE WHEN (e % 11) * 0.5 = floor((e % 11) * 0.5)
+                            THEN CAST(CAST((e % 11) * 0.5 AS BIGINT)
+                                      AS VARCHAR) || '.0'
+                            ELSE CAST((e % 11) * 0.5 AS VARCHAR)
+                       END AS v_ssum,
+                       ',"app":"api","shard":"s' || (e % 3)
+                       || '","metric_type":"Histogram"}}' AS hl
+                FROM base
+            )
+            SELECT h || '"metric_name:node.requests_total":'
+                   || v_counter
+                   || ',"app":"api","host":"h' || (e % 4) || '"}}'
+                       AS event
+            FROM r
+            UNION ALL
+            SELECT h || '"metric_name:lat_bucket":' || (e % 3)
+                   || '.0,"le":"0.5"' || hl
+                   || h || '"metric_name:lat_bucket":' || (e % 4)
+                   || '.0,"le":"2.0"' || hl
+                   || h || '"metric_name:lat_bucket":' || (e % 5)
+                   || '.0,"le":"+Inf"' || hl
+                   || h || '"metric_name:lat_sum":' || v_hsum || hl
+                   || h || '"metric_name:lat_count":' || (e % 9)
+                   || '.0' || hl
+            FROM r
+            UNION ALL
+            SELECT h || '"metric_name:rt":' || v_q50
+                   || ',"qt":"0.5","app":"api",'
+                   || '"metric_type":"Summary"}}'
+                   || h || '"metric_name:rt":' || v_q99
+                   || ',"qt":"0.99","app":"api",'
+                   || '"metric_type":"Summary"}}'
+                   || h || '"metric_name:rt_sum":' || v_ssum
+                   || ',"app":"api","metric_type":"Summary"}}'
+                   || h || '"metric_name:rt_count":' || (e % 6)
+                   || '.0,"app":"api","metric_type":"Summary"}}'
+            FROM r
+        """,
+        "cloudwatch_emf_encode": """
+            WITH base AS (
+                SELECT event_id AS e,
+                       1700000000000000000 + event_id * 1000000 AS ts,
+                       CAST(1700000000000 + event_id AS VARCHAR) AS ms
+                FROM events
+            ), r AS (
+                SELECT *,
+                       CASE WHEN (e % 100) / 2.0
+                                 = floor((e % 100) / 2.0)
+                            THEN CAST(CAST((e % 100) / 2.0 AS BIGINT)
+                                      AS VARCHAR)
+                            ELSE CAST((e % 100) / 2.0 AS VARCHAR)
+                       END AS v_counter,
+                       CASE WHEN (e % 10) * 1.5 = floor((e % 10) * 1.5)
+                            THEN CAST(CAST((e % 10) * 1.5 AS BIGINT)
+                                      AS VARCHAR)
+                            ELSE CAST((e % 10) * 1.5 AS VARCHAR)
+                       END AS v_hsum,
+                       CASE WHEN (e % 9) / 4.0 = floor((e % 9) / 4.0)
+                            THEN CAST(CAST((e % 9) / 4.0 AS BIGINT)
+                                      AS VARCHAR)
+                            ELSE CAST((e % 9) / 4.0 AS VARCHAR)
+                       END AS v_q50,
+                       CASE WHEN (e % 9) / 2.0 = floor((e % 9) / 2.0)
+                            THEN CAST(CAST((e % 9) / 2.0 AS BIGINT)
+                                      AS VARCHAR)
+                            ELSE CAST((e % 9) / 2.0 AS VARCHAR)
+                       END AS v_q99,
+                       CASE WHEN (e % 11) * 0.5 = floor((e % 11) * 0.5)
+                            THEN CAST(CAST((e % 11) * 0.5 AS BIGINT)
+                                      AS VARCHAR)
+                            ELSE CAST((e % 11) * 0.5 AS VARCHAR)
+                       END AS v_ssum,
+                       (e % 3) + (e % 4) + (e % 5)
+                           - least(e % 3, e % 4, e % 5)
+                           - greatest(e % 3, e % 4, e % 5) AS mid,
+                       least(e % 3, e % 4, e % 5) AS lo
+                FROM base
+            )
+            SELECT 'counter' AS mtype, 'req_total' AS name, ts,
+                   '{"_aws":{"Timestamp":' || ms
+                   || ',"CloudWatchMetrics":[{"Namespace":"fb",'
+                   || '"Dimensions":[["host","app"]],"Metrics":'
+                   || '[{"Name":"req_total","Unit":"Counter",'
+                   || '"StorageResolution":60}]}]},"host":"h'
+                   || (e % 4) || '","app":"api",'
+                   || '"prom_metric_type":"counter","req_total":'
+                   || v_counter || '}' AS event
+            FROM r
+            UNION ALL
+            SELECT 'histogram', 'lat', ts,
+                   '{"_aws":{"Timestamp":' || ms
+                   || ',"CloudWatchMetrics":[{"Namespace":"fb",'
+                   || '"Dimensions":[["shard","app"]],"Metrics":'
+                   || '[{"Name":"lat","StorageResolution":60}]}]},'
+                   || '"shard":"s' || (e % 3) || '","app":"api",'
+                   || '"prom_metric_type":"histogram","lat":'
+                   || '{"Min":' || lo || ',"Max":' || mid
+                   || ',"Sum":' || v_hsum || ',"Count":' || (e % 9)
+                   || '}}'
+            FROM r
+            UNION ALL
+            SELECT 'summary', 'rt', ts,
+                   '{"_aws":{"Timestamp":' || ms
+                   || ',"CloudWatchMetrics":[{"Namespace":"fb",'
+                   || '"Dimensions":[["app"]],"Metrics":'
+                   || '[{"Name":"rt","StorageResolution":60}]}]},'
+                   || '"app":"api",'
+                   || '"prom_metric_type":"summary","rt":'
+                   || '{"Min":' || v_q50 || ',"Max":' || v_q99
+                   || ',"Sum":' || v_ssum || ',"Count":' || (e % 6)
+                   || '}}'
+            FROM r
         """,
         "forward_decode": """
             SELECT 'fw.' || (event_id % 4) AS tag,

@@ -245,3 +245,129 @@ def to_kinesis_record(
             F.lit('","PartitionKey":"'), partition_key, F.lit('"}'),
         )
     return F.when(~discarded, entry)
+
+
+# ------------------------------------------------- EMF (metrics path)
+
+
+def cmt_emf_events(
+    df: DataFrame,
+    namespace: Column | str | None = None,
+    static_labels: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """cmetrics -> CloudWatch EMF log events (the METRICS event path
+    of out_cloudwatch_logs, cloudwatch_api.c → lib/cmetrics/src/
+    cmt_encode_cloudwatch_emf.c), one JSON object per sample.
+
+    Input rows use the parse_otlp_metrics_df long-row model with
+    ``tags`` as array<struct<key,value>>; ``name`` is the cmetrics
+    fqname.  Semantics kept from the C:
+
+    - per-sample object key order (pack_metric :193):
+      ``_aws`` (Timestamp ms = ts_ns/1e6; CloudWatchMetrics[0] with
+      Namespace, Dimensions, Metrics), sample labels, static labels,
+      ``prom_metric_type``, then ``<fqname>: value``.
+    - Namespace falls back to ``cmetrics-metrics`` only when the
+      cmt namespace pointer is NULL (pack_basic_header :57-63);
+      pass None for that fallback.
+    - Dimensions names ALL the map's label keys plus the static
+      keys (pack_basic_header :65-82) — even when this sample
+      carries fewer label values, a reference quirk kept via the
+      ``dim_keys`` column (defaults to this row's tag keys).
+    - only counters carry ``"Unit":"Counter"`` in the Metrics entry;
+      everything gets ``StorageResolution: 60`` (pack_metric
+      :225-240).
+    - histogram value = {Min,Max,Sum,Count} over the per-bucket
+      COUNTS, where the C selection-sorts the count+1 buckets
+      ascending and reads Max at index count-1 — the SECOND-largest
+      bucket count (pack_histogram_metric :117-155, off-by-one
+      kept); summary value = {Min,Max,Sum,Count} with Min/Max the
+      first/last quantile VALUES (pack_summary_metric :166-190).
+    - doubles render via the shortest round-trip string (the
+      msgpack→JSON %.17g precedent shared with prom_out).
+    """
+    from .prom_out import _render_value
+
+    if namespace is None:
+        ns = F.lit("cmetrics-metrics")
+    elif isinstance(namespace, str):
+        ns = F.lit(namespace)
+    else:
+        ns = namespace
+    tags_col = F.col("tags") if "tags" in df.columns else F.array()
+    static = static_labels or []
+    dim_keys = F.col("dim_keys") if "dim_keys" in df.columns else \
+        F.transform(tags_col, lambda t: t["key"])
+    dims = F.concat(
+        F.lit("["),
+        F.array_join(
+            F.concat(
+                F.transform(dim_keys,
+                            lambda k: F.concat(F.lit('"'), k, F.lit('"'))),
+                F.array(*[F.lit(f'"{k}"') for k, _ in static]),
+            ),
+            ",",
+        ),
+        F.lit("]"),
+    )
+    unit = F.when(F.col("mtype") == "counter",
+                  F.lit('"Unit":"Counter",')).otherwise(F.lit(""))
+    aws = F.concat(
+        F.lit('{"_aws":{"Timestamp":'),
+        # integer division: a double detour would lose precision on
+        # nanosecond epochs (1.7e18 > 2^53)
+        F.expr("ts div 1000000").cast("string"),
+        F.lit(',"CloudWatchMetrics":[{"Namespace":"'), ns,
+        F.lit('","Dimensions":['), dims,
+        F.lit('],"Metrics":[{"Name":"'), F.col("name"),
+        F.lit('",'), unit,
+        F.lit('"StorageResolution":60}]}]}'),
+    )
+    labels = F.concat(
+        F.when(
+            F.size(tags_col) > 0,
+            F.concat(F.lit(","), F.array_join(
+                F.transform(
+                    tags_col,
+                    lambda t: F.concat(
+                        F.lit('"'), t["key"], F.lit('":"'),
+                        t["value"], F.lit('"'),
+                    ),
+                ), ",",
+            )),
+        ).otherwise(F.lit("")),
+        F.lit("".join(f',"{k}":"{v}"' for k, v in static)),
+    )
+    sorted_counts = F.array_sort(F.col("bucket_counts"))
+    hist_val = F.concat(
+        F.lit('{"Min":'),
+        _render_value(F.element_at(sorted_counts, 1)),
+        F.lit(',"Max":'),
+        _render_value(
+            F.element_at(sorted_counts, F.size(sorted_counts) - 1)),
+        F.lit(',"Sum":'), _render_value(F.col("hist_sum")),
+        F.lit(',"Count":'), _render_value(F.col("hist_count")),
+        F.lit("}"),
+    )
+    summ_val = F.concat(
+        F.lit('{"Min":'),
+        _render_value(F.element_at(F.col("quantile_values"), 1)),
+        F.lit(',"Max":'),
+        _render_value(F.element_at(
+            F.col("quantile_values"),
+            F.size(F.col("quantile_values")))),
+        F.lit(',"Sum":'), _render_value(F.col("sum_sum")),
+        F.lit(',"Count":'), _render_value(F.col("sum_count")),
+        F.lit("}"),
+    )
+    value = (
+        F.when(F.col("mtype") == "histogram", hist_val)
+        .when(F.col("mtype") == "summary", summ_val)
+        .otherwise(_render_value(F.col("value")))
+    )
+    event = F.concat(
+        aws, labels,
+        F.lit(',"prom_metric_type":"'), F.col("mtype"),
+        F.lit('","'), F.col("name"), F.lit('":'), value, F.lit("}"),
+    )
+    return df.withColumn("event", event)

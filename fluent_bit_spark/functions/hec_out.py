@@ -137,3 +137,173 @@ def to_datadog(
     if dd_tags is not None:
         parts.append(F.lit(dd_tags).alias("ddtags"))
     return F.to_json(F.struct(*parts), {"ignoreNullFields": "false"})
+
+
+# ------------------------------------------------------- metrics path
+
+
+def _hec_double(col: Column) -> Column:
+    """cmt_encode_splunk_hec.c double_to_string :32-55: ``%g``, and a
+    value whose rendering carries no '.' gets ``.0`` appended (so
+    integral values print "3.0"; the "e+"→"%e" branch and the
+    "1e-07.0" small-exponent quirk only fire outside the 6
+    significant digits real metric values use — rendering follows the
+    prom_out shortest round-trip precedent otherwise)."""
+    d = col.cast("double")
+    return F.when(
+        (d == F.floor(d).cast("double")) & (F.abs(d) < 1e15),
+        F.concat(d.cast("long").cast("string"), F.lit(".0")),
+    ).otherwise(d.cast("string"))
+
+
+def cmt_splunk_hec_events(
+    df: DataFrame,
+    host: str,
+    index: str | None = None,
+    source: str | None = None,
+    source_type: str | None = None,
+    static_labels: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """cmetrics -> Splunk HEC metric events (the METRICS event path of
+    out_splunk, splunk.c → lib/cmetrics/src/cmt_encode_splunk_hec.c).
+
+    Input rows use the parse_otlp_metrics_df long-row model with
+    ``tags`` as array<struct<key,value>> plus a ``subsystem`` string
+    column (may be empty).  Semantics kept from the C:
+
+    - every event is ``{"host":"H","time":<%09lu.%09lu>,
+      "event":"metric",["index":...,]["source":...,]
+      ["sourcetype":...,]"fields":{...}}`` — the timestamp prints
+      seconds AND nanoseconds both zero-padded to nine digits
+      (format_context_common :146).
+    - the fields key is ``metric_name:[subsystem.]name`` — the
+      NAMESPACE is ignored by this encoder (format_metric_name
+      :57-90, only opts->subsystem and opts->name).
+    - scalar kinds emit ONE event with no metric_type marker
+      (format_metric_data_points :540).
+    - a histogram sample fans out to one event PER BUCKET (with
+      ``"le"`` as a double_to_string STRING, ``+Inf`` last and
+      ``metric_type":"Histogram"``), then a ``_sum`` and a ``_count``
+      event — count rendered through double_to_string too ("10.0")
+      (format_histogram_bucket :293-406).
+    - a summary sample emits one event per quantile (``"qt"`` string,
+      metric_type Summary) then _sum/_count; samples whose quantile
+      set was never written skip the per-quantile events but still
+      emit _sum/_count (format_summary_metric :455 checks
+      sum_quantiles_set around the quantile loop only).
+    - static labels then per-sample labels inside ``fields``
+      (format_metric_labels :216).
+
+    Returns one row per input SAMPLE with an ``event`` column — a
+    single JSON event for scalars, the concatenated bucket/quantile +
+    _sum/_count event run for histograms/summaries; a chunk body is
+    the plain concatenation of rows (the C builds one buffer).
+    """
+    # integer division/modulo: a double detour loses precision on
+    # nanosecond epochs (1.7e18 > 2^53) near second boundaries
+    sec = F.expr("ts div 1000000000")
+    nsec = (F.col("ts") % F.lit(1_000_000_000)).cast("long")
+
+    def _pad9(c: Column) -> Column:
+        # C %09lu pads to a MINIMUM of nine digits but never truncates
+        # (Spark lpad would cut an epoch-seconds value to 9 chars)
+        s = c.cast("string")
+        return F.when(F.length(s) >= 9, s).otherwise(F.lpad(s, 9, "0"))
+
+    head = F.concat(
+        F.lit('{"host":"' + host + '","time":'),
+        _pad9(sec), F.lit("."),
+        _pad9(nsec),
+        F.lit(',"event":"metric",'),
+        F.lit(f'"index":"{index}",' if index is not None else ""),
+        F.lit(f'"source":"{source}",' if source is not None else ""),
+        F.lit(f'"sourcetype":"{source_type}",'
+              if source_type is not None else ""),
+        F.lit('"fields":{'),
+    )
+    subsystem = F.col("subsystem") if "subsystem" in df.columns \
+        else F.lit("")
+    mkey = F.concat(
+        F.lit('"metric_name:'),
+        F.when(subsystem != "", F.concat(subsystem, F.lit(".")))
+        .otherwise(F.lit("")),
+        F.col("name"),
+    )
+    static = static_labels or []
+    static_str = "".join(
+        f',"{k}":"{v}"' for k, v in static  # config constants
+    )
+    tags_col = F.col("tags") if "tags" in df.columns else F.array()
+    labels = F.concat(
+        F.lit(static_str),
+        F.when(
+            F.size(tags_col) > 0,
+            F.concat(F.lit(","), F.array_join(
+                F.transform(
+                    tags_col,
+                    lambda t: F.concat(
+                        F.lit('"'), t["key"], F.lit('":"'),
+                        t["value"], F.lit('"'),
+                    ),
+                ), ",",
+            )),
+        ).otherwise(F.lit("")),
+    )
+
+    def event(fields: Column) -> Column:
+        return F.concat(head, fields, F.lit("}}"))
+
+    scalar = df.filter(~F.col("mtype").isin("histogram", "summary"))
+    scalar_out = scalar.select(event(F.concat(
+        mkey, F.lit('":'), _hec_double(F.col("value")), labels,
+    )).alias("event"))
+
+    hist = df.filter(F.col("mtype") == "histogram")
+    bounds_plus = F.concat(
+        F.transform(F.col("explicit_bounds"),
+                    lambda b: _hec_double(b)),
+        F.array(F.lit("+Inf")),
+    )
+    bucket_events = F.zip_with(
+        bounds_plus,
+        F.transform(F.col("bucket_counts"),
+                    lambda c: _hec_double(c)),
+        lambda le, c: event(F.concat(
+            mkey, F.lit('_bucket":'), c, F.lit(',"le":"'), le,
+            F.lit('"'), labels, F.lit(',"metric_type":"Histogram"'),
+        )),
+    )
+    hist_out = hist.select(F.concat(
+        F.array_join(bucket_events, ""),
+        event(F.concat(mkey, F.lit('_sum":'),
+                       _hec_double(F.col("hist_sum")), labels,
+                       F.lit(',"metric_type":"Histogram"'))),
+        event(F.concat(mkey, F.lit('_count":'),
+                       _hec_double(F.col("hist_count")), labels,
+                       F.lit(',"metric_type":"Histogram"'))),
+    ).alias("event"))
+
+    summ = df.filter(F.col("mtype") == "summary")
+    q_events = F.when(
+        F.col("quantile_values").isNotNull(),
+        F.array_join(F.zip_with(
+            F.transform(F.col("quantiles"), lambda q: _hec_double(q)),
+            F.transform(F.col("quantile_values"),
+                        lambda v: _hec_double(v)),
+            lambda q, v: event(F.concat(
+                mkey, F.lit('":'), v, F.lit(',"qt":"'), q, F.lit('"'),
+                labels, F.lit(',"metric_type":"Summary"'),
+            )),
+        ), ""),
+    ).otherwise(F.lit(""))
+    summ_out = summ.select(F.concat(
+        q_events,
+        event(F.concat(mkey, F.lit('_sum":'),
+                       _hec_double(F.col("sum_sum")), labels,
+                       F.lit(',"metric_type":"Summary"'))),
+        event(F.concat(mkey, F.lit('_count":'),
+                       _hec_double(F.col("sum_count")), labels,
+                       F.lit(',"metric_type":"Summary"'))),
+    ).alias("event"))
+
+    return scalar_out.unionByName(hist_out).unionByName(summ_out)

@@ -170,3 +170,143 @@ def to_influx(
         .withColumn("line", line)
         .drop("_influx_ns", "_influx_body")
     )
+
+
+# ------------------------------------------------------- metrics path
+
+from .prom_out import _render_value  # noqa: E402 — shared %.17g twin
+
+
+def _render_g(col: Column) -> Column:
+    """C ``%g`` for bucket bounds / quantiles: integral doubles drop
+    the fraction ("2" not "2.0"); non-integral values use the JVM
+    shortest round-trip string — identical to %g for the <=6
+    significant-digit bounds real bucket configs use (the same
+    rendering precedent as functions/prom_out._render_value)."""
+    d = col.cast("double")
+    return F.when(
+        (d == F.floor(d).cast("double")) & (F.abs(d) < 1e15),
+        d.cast("long").cast("string"),
+    ).otherwise(d.cast("string"))
+
+
+def cmt_influx_lines(
+    df: DataFrame,
+    measurement: Column | str | None = None,
+    static_labels: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """cmetrics -> InfluxDB line protocol (the METRICS event path of
+    out_influxdb, influxdb.c:483 → lib/cmetrics/src/
+    cmt_encode_influx.c).
+
+    Input rows use the parse_otlp_metrics_df long-row model with
+    ``tags`` as array<struct<key,value>> (label order is
+    significant in line protocol).  Semantics kept from the C:
+
+    - measurement = ns[_subsystem] (format_metric :240-252); metrics
+      with an EMPTY namespace emit NO measurement — the line starts
+      at the tag set (or the field set when untagged), reference
+      behavior kept.  ``measurement`` maps ns_subsystem directly.
+    - static labels (config add_label) come before per-sample tags
+      (:255-280); keys and tag values escape whitespace ',' '=' and
+      double '\\\\' (line_protocol_escape :183).
+    - scalar kinds (:154-181): one field ``<name>=<%.17g value>``
+      with the metric NAME NOT escaped (the C cats opts->name raw);
+      timestamp nanoseconds, newline-terminated upstream.
+    - histogram (:49-108): fields ``<%g bound>=<count>`` per bucket
+      plus ``+Inf=<count>``, then ``sum=<%.17g>,count=<u64>``; the
+      bucket values are the RAW per-bucket counts (not cumulative —
+      the prometheus encoder cumulates, this one does not).
+    - summary (:110-152): ``<%g quantile>=<%.17g value>`` pairs then
+      sum/count; samples whose quantile set was never written are
+      SKIPPED (format_metric :233 sum_quantiles_set check) — here,
+      rows with NULL quantile_values.
+    - value rendering follows the prom_out precedent: integral
+      doubles print bare, others via the JVM shortest round-trip
+      string (exact wherever the %.17g form needs <= 17 significant
+      digits).
+    """
+    tags_col = F.col("tags") if "tags" in df.columns else F.array()
+    pieces = []
+    if measurement is not None:
+        m = F.lit(measurement) if isinstance(measurement, str) \
+            else measurement
+        pieces.append(m)
+        has_ns = m.isNotNull() & (m != "")
+    else:
+        has_ns = F.lit(False)
+        pieces.append(F.lit(""))
+    static = static_labels or []
+    static_str = ",".join(
+        f"{k}={v}" for k, v in static  # config constants, pre-escaped
+    )
+    if static:
+        pieces.append(F.when(has_ns, F.lit(",")).otherwise(F.lit("")))
+        pieces.append(F.lit(static_str))
+    tag_str = F.array_join(
+        F.transform(
+            tags_col,
+            lambda t: F.concat(
+                _esc_key(t["key"]), F.lit("="), _esc_key(t["value"])
+            ),
+        ),
+        ",",
+    )
+    has_tags = F.size(tags_col) > 0
+    pieces.append(
+        F.when(
+            has_tags & (has_ns | F.lit(bool(static))), F.lit(",")
+        ).otherwise(F.lit(""))
+    )
+    pieces.append(F.when(has_tags, tag_str).otherwise(F.lit("")))
+    sep = F.when(
+        has_ns | F.lit(bool(static)) | has_tags, F.lit(" ")
+    ).otherwise(F.lit(""))
+
+    scalar_body = F.concat(
+        F.col("name"), F.lit("="), _render_value(F.col("value"))
+    )
+    hist_keys = F.concat(
+        F.transform(F.col("explicit_bounds"), _render_g),
+        F.array(F.lit("+Inf")),
+    )
+    hist_body = F.concat(
+        F.array_join(
+            F.zip_with(
+                hist_keys,
+                F.col("bucket_counts"),
+                lambda k, c: F.concat(
+                    k, F.lit("="), F.coalesce(c, F.lit(0)).cast("string")
+                ),
+            ),
+            ",",
+        ),
+        F.lit(",sum="), _render_value(F.col("hist_sum")),
+        F.lit(",count="), F.col("hist_count").cast("string"),
+    )
+    summary_body = F.concat(
+        F.array_join(
+            F.zip_with(
+                F.col("quantiles"),
+                F.col("quantile_values"),
+                lambda q, v: F.concat(
+                    _render_g(q), F.lit("="), _render_value(v)
+                ),
+            ),
+            ",",
+        ),
+        F.lit(",sum="), _render_value(F.col("sum_sum")),
+        F.lit(",count="), F.col("sum_count").cast("string"),
+    )
+    body = (
+        F.when(F.col("mtype") == "histogram", hist_body)
+        .when(F.col("mtype") == "summary", summary_body)
+        .otherwise(scalar_body)
+    )
+    line = F.concat(*pieces, sep, body, F.lit(" "),
+                    F.col("ts").cast("string"))
+    out = df.filter(
+        (F.col("mtype") != "summary")
+        | F.col("quantile_values").isNotNull()
+    )
+    return out.withColumn("line", line)

@@ -167,3 +167,61 @@ def test_aws_filter_literal_columns(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------- cmt_encode_cloudwatch_emf
+
+
+def test_cmt_emf_events_golden(spark):
+    """cmt_encode_cloudwatch_emf.c golden shapes: _aws header with ms
+    timestamp + Dimensions over ALL label keys + static keys, Unit
+    only on counters, labels then prom_metric_type then the fqname
+    value; histogram Min/Max over SORTED bucket counts with Max read
+    at index count-1 (the second-largest — reference off-by-one
+    kept); summary Min/Max = first/last quantile values."""
+    import json
+
+    from fluent_bit_spark.functions.cloudwatch_out import cmt_emf_events
+
+    rows = [
+        ("counter", "req_total", [("host", "a")],
+         1_700_000_000_123_456_789, 2.5,
+         None, None, None, None, None, None, None, None),
+        ("histogram", "lat", [("h", "1")], 125_000_000, None,
+         [1, 2, 7], [0.5, 2.0], 99.5, 10, None, None, None, None),
+        ("summary", "rt", [], 126_000_000, None,
+         None, None, None, None, [0.5, 0.99], [0.25, 1.5], 2.0, 4),
+    ]
+    schema = (
+        "mtype string, name string, "
+        "tags array<struct<key:string,value:string>>, ts long, "
+        "value double, bucket_counts array<long>, explicit_bounds "
+        "array<double>, hist_sum double, hist_count long, quantiles "
+        "array<double>, quantile_values array<double>, sum_sum double, "
+        "sum_count long"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = [r.event for r in cmt_emf_events(
+        df, namespace="fb", static_labels=[("app", "api")])
+        .select("event").collect()]
+    objs = [json.loads(e) for e in out]
+    counter = next(o for o in objs if "req_total" in o)
+    assert counter["_aws"]["Timestamp"] == 1_700_000_000_123
+    cwm = counter["_aws"]["CloudWatchMetrics"][0]
+    assert cwm["Namespace"] == "fb"
+    assert cwm["Dimensions"] == [["host", "app"]]
+    assert cwm["Metrics"] == [{"Name": "req_total", "Unit": "Counter",
+                               "StorageResolution": 60}]
+    assert counter["req_total"] == 2.5
+    assert counter["prom_metric_type"] == "counter"
+    assert counter["host"] == "a" and counter["app"] == "api"
+    hist = next(o for o in objs if "lat" in o)
+    assert "Unit" not in hist["_aws"]["CloudWatchMetrics"][0]["Metrics"][0]
+    assert hist["lat"] == {"Min": 1, "Max": 2, "Sum": 99.5, "Count": 10}
+    summ = next(o for o in objs if "rt" in o)
+    assert summ["rt"] == {"Min": 0.25, "Max": 1.5, "Sum": 2, "Count": 4}
+    assert summ["_aws"]["CloudWatchMetrics"][0]["Dimensions"] == [["app"]]
+    # key ORDER is part of the wire format: _aws, labels, type, value
+    keys = list(counter.keys())
+    assert keys == ["_aws", "host", "app", "prom_metric_type",
+                    "req_total"]

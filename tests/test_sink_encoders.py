@@ -626,3 +626,130 @@ def test_classic_kafka_output(spark, tmp_path):
     assert rec["key"] == "payments"
     v = json.loads(rec["value"])
     assert v["message"] == "boot" and "@timestamp" in v
+
+
+# ---------------------------------------------- cmt_encode_influx (metrics)
+
+
+def _metric_rows(spark):
+    rows = [
+        ("counter", "requests_total", [("host", "a b"), ("p", "x=y")],
+         123, 2.5, None, None, None, None, None, None, None, None),
+        ("gauge", "mem", [], 124, 3.0,
+         None, None, None, None, None, None, None, None),
+        ("histogram", "lat", [("h", "1")], 125, None,
+         [1, 2, 7], [0.5, 2.0], 99.5, 10, None, None, None, None),
+        ("summary", "rt", [("q", "z")], 126, None,
+         None, None, None, None, [0.5, 0.99], [0.25, 1.5], 2.0, 4),
+        ("summary", "rt_skip", [], 127, None,
+         None, None, None, None, None, None, 2.0, 4),
+    ]
+    schema = (
+        "mtype string, name string, "
+        "tags array<struct<key:string,value:string>>, ts long, "
+        "value double, bucket_counts array<long>, explicit_bounds "
+        "array<double>, hist_sum double, hist_count long, quantiles "
+        "array<double>, quantile_values array<double>, sum_sum double, "
+        "sum_count long"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_cmt_influx_lines_golden(spark):
+    """cmt_encode_influx.c golden shapes: measurement=ns[_subsystem],
+    static labels then escaped tags, raw metric name as the field key,
+    histogram %g-bound buckets + +Inf + sum/count, summary
+    quantile=value pairs, quantile-less summary samples skipped."""
+    from fluent_bit_spark.functions.influx_out import cmt_influx_lines
+
+    out = cmt_influx_lines(
+        _metric_rows(spark), measurement="fb_node",
+        static_labels=[("app", "api")],
+    )
+    lines = [r.line for r in out.select("line").collect()]
+    assert lines == [
+        "fb_node,app=api,host=a\\ b,p=x\\=y requests_total=2.5 123",
+        "fb_node,app=api mem=3 124",
+        "fb_node,app=api,h=1 0.5=1,2=2,+Inf=7,sum=99.5,count=10 125",
+        "fb_node,app=api,q=z 0.5=0.25,0.99=1.5,sum=2,count=4 126",
+    ]
+
+
+def test_cmt_influx_lines_no_namespace(spark):
+    """Empty namespace emits NO measurement (format_metric :240-252):
+    the line starts at the tag set, or at the field set when the
+    sample is untagged — no leading separator either way."""
+    from fluent_bit_spark.functions.influx_out import cmt_influx_lines
+
+    out = cmt_influx_lines(_metric_rows(spark).limit(2))
+    lines = [r.line for r in out.select("line").collect()]
+    assert lines == [
+        "host=a\\ b,p=x\\=y requests_total=2.5 123",
+        "mem=3 124",
+    ]
+
+
+# ------------------------------------------ cmt_encode_splunk_hec (metrics)
+
+
+def _hec_metric_rows(spark):
+    rows = [
+        ("counter", "requests_total", "node", [("host", "a")],
+         1_700_000_000_123_456_789, 2.5,
+         None, None, None, None, None, None, None, None),
+        ("gauge", "mem", "", [], 123, 3.0,
+         None, None, None, None, None, None, None, None),
+        ("histogram", "lat", "", [("h", "1")], 125, None,
+         [1, 2, 7], [0.5, 2.0], 99.5, 10, None, None, None, None),
+        ("summary", "rt", "", [], 126, None,
+         None, None, None, None, [0.5, 0.99], [0.25, 1.5], 2.0, 4),
+        ("summary", "rt_noq", "", [], 127, None,
+         None, None, None, None, None, None, 2.0, 4),
+    ]
+    schema = (
+        "mtype string, name string, subsystem string, "
+        "tags array<struct<key:string,value:string>>, ts long, "
+        "value double, bucket_counts array<long>, explicit_bounds "
+        "array<double>, hist_sum double, hist_count long, quantiles "
+        "array<double>, quantile_values array<double>, sum_sum double, "
+        "sum_count long"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_cmt_splunk_hec_golden(spark):
+    """cmt_encode_splunk_hec.c golden shapes: %09lu.%09lu time (pad,
+    never truncate), metric_name:[subsystem.]name (namespace ignored),
+    double_to_string ".0" on integral values, per-bucket/quantile
+    event fan-out with le/qt STRINGS + metric_type, _sum/_count tail
+    events, quantile-less summaries skip only the per-quantile run."""
+    from fluent_bit_spark.functions.hec_out import cmt_splunk_hec_events
+
+    out = cmt_splunk_hec_events(
+        _hec_metric_rows(spark), host="web-1", index="main")
+    ev = {r.event[:60]: r.event for r in out.collect()}
+    events = sorted(ev.values())
+    counter = next(e for e in events if "requests_total" in e)
+    assert counter == (
+        '{"host":"web-1","time":1700000000.123456789,"event":"metric",'
+        '"index":"main","fields":{"metric_name:node.requests_total":2.5,'
+        '"host":"a"}}'
+    )
+    gauge = next(e for e in events if "metric_name:mem" in e)
+    assert '"time":000000000.000000123' in gauge
+    assert '"metric_name:mem":3.0}}' in gauge
+    hist = next(e for e in events if "lat_bucket" in e)
+    assert hist.count('"event":"metric"') == 5  # 3 buckets + sum + count
+    assert '"metric_name:lat_bucket":1.0,"le":"0.5"' in hist
+    assert '"metric_name:lat_bucket":7.0,"le":"+Inf"' in hist
+    assert '"metric_name:lat_sum":99.5' in hist
+    assert '"metric_name:lat_count":10.0' in hist
+    assert hist.count('"metric_type":"Histogram"') == 5
+    summ = next(e for e in events if '"metric_name:rt"' in e)
+    assert '"metric_name:rt":0.25,"qt":"0.5"' in summ
+    assert '"metric_name:rt":1.5,"qt":"0.99"' in summ
+    assert '"metric_name:rt_sum":2.0' in summ
+    assert '"metric_name:rt_count":4.0' in summ
+    noq = next(e for e in events if "rt_noq" in e)
+    assert noq.count('"event":"metric"') == 2  # only _sum and _count
+    assert '"qt"' not in noq

@@ -685,7 +685,9 @@ def main() -> int:
     # expressions); otlp_logs_encode is Catalyst struct assembly with
     # exactly the grouping exchange plus ONE Arrow stage (the decode
     # half of the round-trip); http_in is one Arrow body-parse stage
-    for q in ("kinesis_encode", "bigquery_encode"):
+    for q in ("kinesis_encode", "bigquery_encode",
+              "influx_metrics_encode", "splunk_metrics_encode",
+              "cloudwatch_emf_encode"):
         p = plan_of(qs[q](spark, sf_dir))
         ok = ("BatchEvalPython" not in p and "MapInPandas" not in p
               and "ArrowEvalPython" not in p
