@@ -1366,6 +1366,75 @@ def q_cloudwatch_emf_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("mtype", "name", "ts", "event")
 
 
+def q_cmt_text_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_stdout METRICS event path (plugins/out_stdout/stdout.c
+    metrics branch → lib/cmetrics/src/cmt_encode_text.c): one
+    debug-text line per sample — RFC3339Nano UTC timestamp with
+    exactly nine ns digits, fqname{static,sample labels} = value;
+    histogram ``{ buckets = { %g-bound=count, .., +Inf=count },
+    sum=%g, count=u64 }``; summary ``{ quantiles = { %g=%g .. },
+    sum, count }``; scalar %.17g.  ts = 1.7e18 + e*999999937 so the
+    second AND nanosecond parts both vary per event. All-Catalyst."""
+    from fluent_bit_spark.functions.text_out import cmt_text_lines
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    T = F.lit(1_700_000_000_000_000_000).cast("long")
+    ts = (T + e * 999_999_937).alias("ts")
+    null_l = F.lit(None).cast("array<long>")
+    null_d = F.lit(None).cast("array<double>")
+    nd = F.lit(None).cast("double")
+    nl = F.lit(None).cast("long")
+
+    def tags(*pairs):
+        return F.array(*[
+            F.struct(F.lit(k).alias("key"), v.alias("value"))
+            for k, v in pairs
+        ])
+
+    counters = ev.select(
+        F.lit("counter").alias("mtype"),
+        F.lit("fb_requests_total").alias("name"),
+        tags(("host", F.concat(F.lit("h"), (e % 4).cast("string"))))
+        .alias("tags"),
+        ts, ((e % 100) / 2.0).alias("value"),
+        null_l.alias("bucket_counts"), null_d.alias("explicit_bounds"),
+        nd.alias("hist_sum"), nl.alias("hist_count"),
+        null_d.alias("quantiles"), null_d.alias("quantile_values"),
+        nd.alias("sum_sum"), nl.alias("sum_count"),
+    )
+    hists = ev.select(
+        F.lit("histogram").alias("mtype"),
+        F.lit("lat").alias("name"),
+        tags(("shard", F.concat(F.lit("s"), (e % 3).cast("string"))))
+        .alias("tags"),
+        ts, nd.alias("value"),
+        F.array((e % 3).cast("long"), (e % 4).cast("long"),
+                (e % 5).cast("long")).alias("bucket_counts"),
+        F.array(F.lit(0.5), F.lit(2.0)).alias("explicit_bounds"),
+        ((e % 10) * 1.5).alias("hist_sum"),
+        (e % 9).cast("long").alias("hist_count"),
+        null_d.alias("quantiles"), null_d.alias("quantile_values"),
+        nd.alias("sum_sum"), nl.alias("sum_count"),
+    )
+    summaries = ev.select(
+        F.lit("summary").alias("mtype"),
+        F.lit("rt").alias("name"),
+        F.array().cast(
+            "array<struct<key:string,value:string>>").alias("tags"),
+        ts, nd.alias("value"),
+        null_l.alias("bucket_counts"), null_d.alias("explicit_bounds"),
+        nd.alias("hist_sum"), nl.alias("hist_count"),
+        F.array(F.lit(0.5), F.lit(0.99)).alias("quantiles"),
+        F.array((e % 9) / 4.0, (e % 9) / 2.0).alias("quantile_values"),
+        ((e % 11) * 0.5).alias("sum_sum"),
+        (e % 6).cast("long").alias("sum_count"),
+    )
+    rows = counters.unionByName(hists).unionByName(summaries)
+    out = cmt_text_lines(rows, static_labels=[("app", "api")])
+    return out.select("mtype", "name", "ts", "line")
+
+
 def q_forward_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fluent Forward protocol round-trip (plugins/out_forward/
     forward.c:1175,1268; in_forward/fw_prot.c dispatcher): per event
@@ -4420,6 +4489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influx_metrics_encode": q_influx_metrics_encode,
         "splunk_metrics_encode": q_splunk_metrics_encode,
         "cloudwatch_emf_encode": q_cloudwatch_emf_encode,
+        "cmt_text_encode": q_cmt_text_encode,
         "incremental_dedup_stream": q_incremental_dedup_stream,
         "decontam_bloom": q_decontam_bloom,
         "text_normalize": q_text_normalize,
@@ -5907,6 +5977,68 @@ def oracle_sql() -> dict[str, str]:
                    || ',"app":"api","metric_type":"Summary"}}'
                    || h || '"metric_name:rt_count":' || (e % 6)
                    || '.0,"app":"api","metric_type":"Summary"}}'
+            FROM r
+        """,
+        "cmt_text_encode": """
+            WITH base AS (
+                SELECT event_id AS e,
+                       1700000000000000000
+                           + event_id * 999999937 AS ts
+                FROM events
+            ), r AS (
+                SELECT *,
+                       strftime(make_timestamp(
+                                    (ts // 1000000000) * 1000000),
+                                '%Y-%m-%dT%H:%M:%S.')
+                       || printf('%09d', ts % 1000000000)
+                       || 'Z ' AS tss,
+                       CASE WHEN (e % 100) / 2.0
+                                 = floor((e % 100) / 2.0)
+                            THEN CAST(CAST((e % 100) / 2.0 AS BIGINT)
+                                      AS VARCHAR)
+                            ELSE CAST((e % 100) / 2.0 AS VARCHAR)
+                       END AS v_counter,
+                       CASE WHEN (e % 10) * 1.5 = floor((e % 10) * 1.5)
+                            THEN CAST(CAST((e % 10) * 1.5 AS BIGINT)
+                                      AS VARCHAR)
+                            ELSE CAST((e % 10) * 1.5 AS VARCHAR)
+                       END AS v_hsum,
+                       CASE WHEN (e % 9) / 4.0 = floor((e % 9) / 4.0)
+                            THEN CAST(CAST((e % 9) / 4.0 AS BIGINT)
+                                      AS VARCHAR)
+                            ELSE CAST((e % 9) / 4.0 AS VARCHAR)
+                       END AS v_q50,
+                       CASE WHEN (e % 9) / 2.0 = floor((e % 9) / 2.0)
+                            THEN CAST(CAST((e % 9) / 2.0 AS BIGINT)
+                                      AS VARCHAR)
+                            ELSE CAST((e % 9) / 2.0 AS VARCHAR)
+                       END AS v_q99,
+                       CASE WHEN (e % 11) * 0.5 = floor((e % 11) * 0.5)
+                            THEN CAST(CAST((e % 11) * 0.5 AS BIGINT)
+                                      AS VARCHAR)
+                            ELSE CAST((e % 11) * 0.5 AS VARCHAR)
+                       END AS v_ssum
+                FROM base
+            )
+            SELECT 'counter' AS mtype, 'fb_requests_total' AS name,
+                   ts,
+                   tss || 'fb_requests_total{app="api",host="h'
+                   || (e % 4) || '"} = ' || v_counter AS line
+            FROM r
+            UNION ALL
+            SELECT 'histogram', 'lat', ts,
+                   tss || 'lat{app="api",shard="s' || (e % 3)
+                   || '"} = { buckets = { 0.5=' || (e % 3)
+                   || ', 2=' || (e % 4) || ', +Inf=' || (e % 5)
+                   || ' }, sum=' || v_hsum
+                   || ', count=' || (e % 9) || ' }'
+            FROM r
+            UNION ALL
+            SELECT 'summary', 'rt', ts,
+                   tss || 'rt{app="api"} = { quantiles = { 0.5='
+                   || v_q50 || ', 0.99=' || v_q99
+                   || ' }, sum=' || v_ssum
+                   || ', count=' || (e % 6) || ' }'
             FROM r
         """,
         "cloudwatch_emf_encode": """

@@ -753,3 +753,48 @@ def test_cmt_splunk_hec_golden(spark):
     noq = next(e for e in events if "rt_noq" in e)
     assert noq.count('"event":"metric"') == 2  # only _sum and _count
     assert '"qt"' not in noq
+
+
+# ---------------------------------------------- cmt_encode_text (metrics)
+
+
+def test_cmt_text_lines_golden(spark):
+    """cmt_encode_text.c golden shapes: RFC3339Nano UTC timestamp
+    with exactly nine ns digits, fqname{static,sample labels} =
+    value with RAW label concatenation (the text encoder never
+    escapes), histogram buckets block with %g bounds + raw counts +
+    the C's exact spacing, summary quantiles block (zero-quantile
+    rows keep the single space between braces), scalar %.17g."""
+    from fluent_bit_spark.functions.text_out import cmt_text_lines
+
+    out = cmt_text_lines(_metric_rows(spark),
+                         static_labels=[("app", "api")])
+    lines = [r.line for r in out.select("line").collect()]
+    assert lines == [
+        '1970-01-01T00:00:00.000000123Z requests_total'
+        '{app="api",host="a b",p="x=y"} = 2.5',
+        '1970-01-01T00:00:00.000000124Z mem{app="api"} = 3',
+        '1970-01-01T00:00:00.000000125Z lat{app="api",h="1"}'
+        ' = { buckets = { 0.5=1, 2=2, +Inf=7 }, sum=99.5, count=10 }',
+        '1970-01-01T00:00:00.000000126Z rt{app="api",q="z"}'
+        ' = { quantiles = { 0.5=0.25, 0.99=1.5 }, sum=2, count=4 }',
+        '1970-01-01T00:00:00.000000127Z rt_skip{app="api"}'
+        ' = { quantiles = { }, sum=2, count=4 }',
+    ]
+
+
+def test_cmt_text_lines_no_static(spark):
+    """Label group braces appear only when at least one label exists
+    (format_metric :202-258); a second-resolution timestamp padding
+    check on a large ns value (integer div, no double rounding)."""
+    from fluent_bit_spark.functions.text_out import cmt_text_lines
+
+    rows = _metric_rows(spark).limit(2).withColumn(
+        "ts", F.lit(1_700_000_000_000_000_123).cast("long"))
+    lines = [r.line for r in
+             cmt_text_lines(rows).select("line").collect()]
+    assert lines == [
+        '2023-11-14T22:13:20.000000123Z requests_total'
+        '{host="a b",p="x=y"} = 2.5',
+        '2023-11-14T22:13:20.000000123Z mem = 3',
+    ]
