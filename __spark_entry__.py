@@ -1435,6 +1435,87 @@ def q_cmt_text_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("mtype", "name", "ts", "line")
 
 
+def q_ctr_text_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_stdout TRACES event path (plugins/out_stdout/stdout.c
+    traces branch → lib/ctraces/src/ctr_encode_text.c): one RESOURCE
+    SPAN debug-text block per group — resource attributes, scope
+    header, then every span as a ``[span #i 'name']`` section with
+    the C's exact field padding, F1BI7 default ids for unset
+    trace/span ids, ``undefined`` parent, raw kind int + name
+    (out-of-range -> unspecified), status message line only when
+    set, typed variant attributes (string/int/double/bool), event
+    sub-blocks, and the unconditional ``[links]`` header.  One
+    Catalyst projection + one grouping exchange."""
+    from fluent_bit_spark.functions.text_out import ctr_text_blocks
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    T = F.lit(1_700_000_000_000_000_000).cast("long")
+    start = T + e * 1000
+
+    def var(key, s=None, i=None, d=None, b=None):
+        return F.struct(
+            F.lit(key).alias("key"),
+            (F.lit(None).cast("string") if s is None else s).alias("s"),
+            (F.lit(None).cast("long") if i is None else i).alias("i"),
+            (F.lit(None).cast("double") if d is None else d).alias("d"),
+            (F.lit(None).cast("boolean") if b is None else b).alias("b"),
+        )
+
+    spans = ev.select(
+        F.concat(F.lit("svc."), (e % 97).cast("string")).alias("gid"),
+        e.alias("span_order"),
+        F.concat(F.lit("op-"), (e % 7).cast("string")).alias("name"),
+        F.when(e % 10 != 0,
+               F.lower(F.lpad(F.hex(e), 32, "0"))).alias("trace_id_hex"),
+        F.lower(F.lpad(F.hex(e % 100000), 16, "0")).alias("span_id_hex"),
+        F.when(e % 3 == 0,
+               F.lower(F.lpad(F.hex(F.floor(e / 2)), 16, "0")))
+        .alias("parent_span_id_hex"),
+        (e % 7).alias("kind"),
+        start.alias("start_nanos"),
+        (start + 500).alias("end_nanos"),
+        (e % 4).alias("dropped_attr"),
+        (e % 3).alias("dropped_events"),
+        (e % 2).alias("dropped_links"),
+        F.concat(F.lit("w3c="), (e % 2).cast("string"))
+        .alias("trace_state"),
+        (e % 3).cast("int").alias("status_code"),
+        F.when(e % 3 == 2, F.concat(F.lit("m"), (e % 5).cast("string")))
+        .alias("status_message"),
+        F.array(
+            var("evt", s=F.concat(F.lit("e"), (e % 5).cast("string"))),
+            var("n", i=(e % 50).cast("long")),
+            var("r", d=((e % 9) / 4.0)),
+            var("f", b=(e % 2 == 0)),
+        ).alias("attrs"),
+        F.when(
+            e % 5 == 0,
+            F.array(F.struct(
+                F.lit("boot").alias("name"),
+                (start + 1).alias("ts"),
+                (e % 3).alias("dropped"),
+            )),
+        ).otherwise(F.expr(
+            "array()").cast(
+            "array<struct<name:string,ts:bigint,dropped:bigint>>"))
+        .alias("events"),
+    )
+    res_attrs = F.array(
+        F.struct(
+            F.lit("service.name").alias("key"),
+            F.col("gid").alias("s"),
+            F.lit(None).cast("long").alias("i"),
+            F.lit(None).cast("double").alias("d"),
+            F.lit(None).cast("boolean").alias("b"),
+        )
+    )
+    return ctr_text_blocks(
+        spans, ["gid"], resource_attrs=res_attrs,
+        scope_name="fb", scope_version="v1",
+    )
+
+
 def q_forward_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fluent Forward protocol round-trip (plugins/out_forward/
     forward.c:1175,1268; in_forward/fw_prot.c dispatcher): per event
@@ -4490,6 +4571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "splunk_metrics_encode": q_splunk_metrics_encode,
         "cloudwatch_emf_encode": q_cloudwatch_emf_encode,
         "cmt_text_encode": q_cmt_text_encode,
+        "ctr_text_encode": q_ctr_text_encode,
         "incremental_dedup_stream": q_incremental_dedup_stream,
         "decontam_bloom": q_decontam_bloom,
         "text_normalize": q_text_normalize,
@@ -6040,6 +6122,110 @@ def oracle_sql() -> dict[str, str]:
                    || ' }, sum=' || v_ssum
                    || ', count=' || (e % 6) || ' }'
             FROM r
+        """,
+        "ctr_text_encode": """
+            WITH base AS (
+                SELECT event_id AS e,
+                       1700000000000000000 + event_id * 1000 AS st
+                FROM events
+            ), r AS (
+                SELECT *,
+                       'svc.' || (e % 97) AS gid,
+                       CASE WHEN (e % 9) / 4.0 = floor((e % 9) / 4.0)
+                            THEN CAST(CAST((e % 9) / 4.0 AS BIGINT)
+                                      AS VARCHAR)
+                            ELSE CAST((e % 9) / 4.0 AS VARCHAR)
+                       END AS v_r
+                FROM base
+            ), sp AS (
+                SELECT gid, e,
+                    '         [span #'
+                    || (row_number() OVER (PARTITION BY gid ORDER BY e)
+                        - 1)
+                    || ' ''op-' || (e % 7) || ''']' || chr(10)
+                    || '             - trace_id                : '
+                    || CASE WHEN e % 10 = 0
+                            THEN '000000F1BI700000000000F1BI700000'
+                            ELSE lpad(lower(to_hex(e)), 32, '0') END
+                    || chr(10)
+                    || '             - span_id                 : '
+                    || lpad(lower(to_hex(e % 100000)), 16, '0')
+                    || chr(10)
+                    || '             - parent_span_id          : '
+                    || CASE WHEN e % 3 = 0
+                            THEN lpad(lower(to_hex(e // 2)), 16, '0')
+                            ELSE 'undefined' END || chr(10)
+                    || '             - kind                    : '
+                    || (e % 7) || ' ('
+                    || CASE (e % 7) WHEN 1 THEN 'internal'
+                        WHEN 2 THEN 'server' WHEN 3 THEN 'client'
+                        WHEN 4 THEN 'producer' WHEN 5 THEN 'consumer'
+                        ELSE 'unspecified' END || ')' || chr(10)
+                    || '             - start_time              : '
+                    || st || chr(10)
+                    || '             - end_time                : '
+                    || (st + 500) || chr(10)
+                    || '             - dropped_attributes_count: '
+                    || (e % 4) || chr(10)
+                    || '             - dropped_events_count    : '
+                    || (e % 3) || chr(10)
+                    || '             - dropped_links_count     : '
+                    || (e % 2) || chr(10)
+                    || '             - trace_state             : w3c='
+                    || (e % 2) || chr(10)
+                    || '             - status:' || chr(10)
+                    || '                 - code    : ' || (e % 3)
+                    || chr(10)
+                    || CASE WHEN e % 3 = 2
+                       THEN '                 - message : ''m'
+                            || (e % 5) || '''' || chr(10)
+                       ELSE '' END
+                    || '             - attributes: ' || chr(10)
+                    || '                 - evt: ''e' || (e % 5) || ''''
+                    || chr(10)
+                    || '                 - n: ' || (e % 50) || chr(10)
+                    || '                 - r: ' || v_r || chr(10)
+                    || '                 - f: '
+                    || CASE WHEN e % 2 = 0 THEN 'true' ELSE 'false' END
+                    || chr(10)
+                    || CASE WHEN e % 5 = 0 THEN
+                         '             - events: ' || chr(10)
+                         || '                 - name: boot' || chr(10)
+                         || '                     - timestamp       '
+                         || '        : ' || (st + 1) || chr(10)
+                         || '                     '
+                         || '- dropped_attributes_count: ' || (e % 3)
+                         || chr(10)
+                         || '                     - attributes: none'
+                         || chr(10)
+                       ELSE '             - events: none' || chr(10)
+                       END
+                    || '             - [links]' || chr(10) AS span_text
+                FROM r
+            )
+            SELECT gid,
+                   '|-------------------- RESOURCE SPAN '
+                   || '--------------------|' || chr(10)
+                   || '  resource:' || chr(10)
+                   || '     - attributes:' || chr(10)
+                   || '            - service.name: ''' || gid || ''''
+                   || chr(10)
+                   || '     - dropped_attributes_count: 0' || chr(10)
+                   || '     - schema_url: ""' || chr(10)
+                   || '  [scope_span]' || chr(10)
+                   || '    instrumentation scope:' || chr(10)
+                   || '        - name                    : fb'
+                   || chr(10)
+                   || '        - version                 : v1'
+                   || chr(10)
+                   || '        - dropped_attributes_count: 0'
+                   || chr(10)
+                   || '        - attributes: undefined' || chr(10)
+                   || '    schema_url: ""' || chr(10)
+                   || '    [spans]' || chr(10)
+                   || string_agg(span_text, '' ORDER BY e) AS text
+            FROM sp
+            GROUP BY gid
         """,
         "cloudwatch_emf_encode": """
             WITH base AS (

@@ -142,3 +142,215 @@ def cmt_text_lines(
         value,
     )
     return df.withColumn("line", line)
+
+
+# --------------------------------------------------------------------------
+# ctraces debug-text encoding (the TRACES event path of out_stdout)
+# Reference: /root/reference/lib/ctraces/src/ctr_encode_text.c
+# --------------------------------------------------------------------------
+
+_TRACE_ID_DEFAULT = "000000F1BI700000000000F1BI700000"  # ctr_id.h:27
+_SPAN_ID_DEFAULT = "000000F1BI700000"                   # ctr_id.h:28
+
+_KIND_NAMES = {1: "internal", 2: "server", 3: "client",
+               4: "producer", 5: "consumer"}            # ctr_span.c:182
+
+
+def _variant(a: Column) -> Column:
+    """cfl_variant scalar rendering (format_string/int64/double/bool,
+    ctr_encode_text.c:30-62): strings single-quoted, ints bare,
+    doubles %.17g, bools true/false.  One nullable field per type in
+    the attr struct mirrors the C's variant dispatch; nested
+    array/kvlist variants are out of the span-row model (as in the
+    engine's OTLP traces decode, which keeps scalar attrs only)."""
+    return F.coalesce(
+        F.when(a["s"].isNotNull(),
+               F.concat(F.lit("'"), a["s"], F.lit("'"))),
+        F.when(a["b"].isNotNull(),
+               F.when(a["b"], F.lit("true")).otherwise(F.lit("false"))),
+        F.when(a["i"].isNotNull(), a["i"].cast("string")),
+        F.when(a["d"].isNotNull(), _render_value(a["d"])),
+    )
+
+
+def _attr_lines(attrs: Column, level: int) -> Column:
+    """format_attributes (ctr_encode_text.c:105-146): leading
+    newline, then ``- key: value`` per pair at level+4 spaces, each
+    newline-terminated."""
+    pad = " " * (level + 4)
+    return F.concat(
+        F.lit("\n"),
+        F.array_join(
+            F.transform(
+                attrs,
+                lambda a: F.concat(
+                    F.lit(pad + "- "), a["key"], F.lit(": "),
+                    _variant(a), F.lit("\n"),
+                ),
+            ),
+            "",
+        ),
+    )
+
+
+def _span_kind_line(kind: Column) -> Column:
+    k = kind.cast("int")
+    name = F.lit("unspecified")
+    for v, s in _KIND_NAMES.items():
+        name = F.when(k == v, F.lit(s)).otherwise(name)
+    return F.concat(
+        F.lit("             - kind                    : "),
+        k.cast("string"), F.lit(" ("), name, F.lit(")\n"),
+    )
+
+
+def _event_blocks(events: Column) -> Column:
+    """format_event (ctr_encode_text.c:148-177) at span level
+    (min=13): leading newline, name at 17, fields at 21; the span
+    row model carries no per-event attributes (``none``)."""
+    return F.array_join(
+        F.transform(
+            events,
+            lambda ev: F.concat(
+                F.lit("\n                 - name: "), ev["name"],
+                F.lit("\n                     - timestamp          "
+                      "     : "),
+                ev["ts"].cast("string"),
+                F.lit("\n                     "
+                      "- dropped_attributes_count: "),
+                ev["dropped"].cast("string"),
+                F.lit("\n                     - attributes: none\n"),
+            ),
+        ),
+        "",
+    )
+
+
+def ctr_text_blocks(
+    df: DataFrame,
+    group_cols: list[str],
+    resource_attrs: Column | None = None,
+    scope_name: Column | str = "",
+    scope_version: Column | str = "",
+    order_col: str = "span_order",
+) -> DataFrame:
+    """ctraces -> debug text (ctr_encode_text_create), the TRACES
+    event path of out_stdout: one RESOURCE SPAN block per group with
+    resource attributes, one scope_span (name/version, attributes
+    ``undefined`` — the common decode shape), and every span of the
+    group in ``order_col`` order as ``[span #i 'name']`` sections.
+
+    Span rows carry: name, trace_id_hex/span_id_hex (null -> the
+    F1BI7 default ids, ctr_id.h:27-28), parent_span_id_hex (null ->
+    ``undefined``), kind (out-of-range ints keep the raw number with
+    ``(unspecified)``), start_nanos/end_nanos, dropped_attr/
+    dropped_events/dropped_links, trace_state (raw %s), status_code
+    + optional status_message (quoted, line only when set), attrs
+    (typed variant structs key/s/i/d/b), events (name/ts/dropped).
+    Links entries are not modeled (the ``[links]`` header is still
+    emitted, as the C always does); schema_url lines render the
+    unset ``\"\"`` form.  The whole encoder is a Catalyst projection
+    plus ONE grouping exchange (sorted collect_list per group)."""
+    min_pad = "             "  # 13 = 1 + 2*4 + 4 (format_span level=2)
+    trace_id = F.coalesce(F.col("trace_id_hex"),
+                          F.lit(_TRACE_ID_DEFAULT))
+    span_id = F.coalesce(F.col("span_id_hex"), F.lit(_SPAN_ID_DEFAULT))
+    parent = F.coalesce(F.col("parent_span_id_hex"), F.lit("undefined"))
+
+    status = F.concat(
+        F.lit(min_pad + "- status:\n"),
+        F.lit(min_pad + "    - code    : "),
+        F.col("status_code").cast("int").cast("string"), F.lit("\n"),
+        F.when(
+            F.col("status_message").isNotNull(),
+            F.concat(F.lit(min_pad + "    - message : '"),
+                     F.col("status_message"), F.lit("'\n")),
+        ).otherwise(F.lit("")),
+    )
+    attrs_part = F.when(
+        F.size(F.col("attrs")) > 0,
+        F.concat(F.lit(min_pad + "- attributes: "),
+                 _attr_lines(F.col("attrs"), 13)),
+    ).otherwise(F.lit(min_pad + "- attributes: none\n"))
+    events_part = F.when(
+        F.size(F.col("events")) > 0,
+        F.concat(F.lit(min_pad + "- events: "),
+                 _event_blocks(F.col("events"))),
+    ).otherwise(F.lit(min_pad + "- events: none\n"))
+
+    body = F.concat(
+        F.lit(min_pad + "- trace_id                : "), trace_id,
+        F.lit("\n" + min_pad + "- span_id                 : "), span_id,
+        F.lit("\n" + min_pad + "- parent_span_id          : "), parent,
+        F.lit("\n"),
+        _span_kind_line(F.col("kind")),
+        F.lit(min_pad + "- start_time              : "),
+        F.col("start_nanos").cast("string"),
+        F.lit("\n" + min_pad + "- end_time                : "),
+        F.col("end_nanos").cast("string"),
+        F.lit("\n" + min_pad + "- dropped_attributes_count: "),
+        F.col("dropped_attr").cast("string"),
+        F.lit("\n" + min_pad + "- dropped_events_count    : "),
+        F.col("dropped_events").cast("string"),
+        F.lit("\n" + min_pad + "- dropped_links_count     : "),
+        F.col("dropped_links").cast("string"),
+        F.lit("\n" + min_pad + "- trace_state             : "),
+        F.col("trace_state"),
+        F.lit("\n"),
+        status,
+        attrs_part,
+        events_part,
+        F.lit(min_pad + "- [links]\n"),
+    )
+    rows = df.withColumn("_ctr_body", body)
+
+    if resource_attrs is not None:
+        res_block = F.concat(
+            F.lit("  resource:\n     - attributes:"),
+            _attr_lines(resource_attrs, 8),
+            F.lit("     - dropped_attributes_count: 0\n"),
+        )
+    else:
+        res_block = F.lit("  resource: {}\n")
+    res_block = F.concat(res_block, F.lit('     - schema_url: ""\n'))
+    sname = F.lit(scope_name) if isinstance(scope_name, str) \
+        else scope_name
+    sver = F.lit(scope_version) if isinstance(scope_version, str) \
+        else scope_version
+    scope_block = F.concat(
+        F.lit("  [scope_span]\n    instrumentation scope:\n"
+              "        - name                    : "), sname,
+        F.lit("\n        - version                 : "), sver,
+        F.lit("\n        - dropped_attributes_count: 0\n"
+              "        - attributes: undefined\n"
+              '    schema_url: ""\n    [spans]\n'),
+    )
+    rows = rows.withColumn("_ctr_res", res_block) \
+               .withColumn("_ctr_scope", scope_block)
+
+    spans = F.array_sort(F.collect_list(F.struct(
+        F.col(order_col).alias("ord"),
+        F.col("name").alias("name"),
+        F.col("_ctr_body").alias("body"),
+    )))
+    agg = rows.groupBy(*group_cols).agg(
+        spans.alias("_spans"),
+        F.first("_ctr_res").alias("_res"),
+        F.first("_ctr_scope").alias("_scope"),
+    )
+    span_texts = F.array_join(
+        F.transform(
+            F.col("_spans"),
+            lambda s, i: F.concat(
+                F.lit("         [span #"), i.cast("string"),
+                F.lit(" '"), s["name"], F.lit("']\n"), s["body"],
+            ),
+        ),
+        "",
+    )
+    text = F.concat(
+        F.lit("|-------------------- RESOURCE SPAN "
+              "--------------------|\n"),
+        F.col("_res"), F.col("_scope"), span_texts,
+    )
+    return agg.select(*group_cols, text.alias("text"))

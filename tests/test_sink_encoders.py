@@ -798,3 +798,96 @@ def test_cmt_text_lines_no_static(spark):
         '{host="a b",p="x=y"} = 2.5',
         '2023-11-14T22:13:20.000000123Z mem = 3',
     ]
+
+
+# ---------------------------------------------- ctr_encode_text (traces)
+
+
+def test_ctr_text_blocks_golden(spark):
+    """ctr_encode_text.c golden block: resource/scope headers with
+    the C's exact padding, [span #i 'name'] sections in order, F1BI7
+    default ids, 'undefined' parent, raw kind int + name with
+    out-of-range -> unspecified, status message line only when set,
+    typed variant attrs (string quoted, int bare, double %.17g, bool
+    words), event sub-block, unconditional [links] header."""
+    from fluent_bit_spark.functions.text_out import ctr_text_blocks
+
+    attr_t = ("array<struct<key:string,s:string,i:long,"
+              "d:double,b:boolean>>")
+    ev_t = "array<struct<name:string,ts:long,dropped:long>>"
+    rows = [
+        ("g1", 0, "GET /", "0af7651916cd43dd8448eb211c80319c",
+         "b7ad6b7169203331", None, 2,
+         1_700_000_000_000_000_000, 1_700_000_000_000_000_500,
+         1, 0, 0, "", 2, "boom",
+         [("http.method", "GET", None, None, None),
+          ("code", None, 200, None, None),
+          ("ratio", None, None, 0.5, None),
+          ("ok", None, None, None, True)],
+         [("boot", 1_700_000_000_000_000_001, 0)]),
+        ("g1", 1, "child", None, None, "b7ad6b7169203331", 6,
+         1_700_000_000_000_001_000, 1_700_000_000_000_001_500,
+         0, 0, 0, "st", 0, None, [], []),
+    ]
+    schema = (
+        "gid string, span_order long, name string, trace_id_hex "
+        "string, span_id_hex string, parent_span_id_hex string, "
+        "kind long, start_nanos long, end_nanos long, dropped_attr "
+        "long, dropped_events long, dropped_links long, trace_state "
+        "string, status_code int, status_message string, attrs "
+        + attr_t + ", events " + ev_t
+    )
+    df = spark.createDataFrame(rows, schema)
+    res = F.expr(
+        "array(named_struct('key','service.name','s','api',"
+        "'i',cast(null as long),'d',cast(null as double),"
+        "'b',cast(null as boolean)))")
+    out = ctr_text_blocks(df, ["gid"], resource_attrs=res,
+                          scope_name="svc", scope_version="1")
+    text = out.collect()[0].text
+    assert text.startswith(
+        "|-------------------- RESOURCE SPAN --------------------|\n"
+        "  resource:\n     - attributes:\n"
+        "            - service.name: 'api'\n"
+        "     - dropped_attributes_count: 0\n"
+        '     - schema_url: ""\n'
+        "  [scope_span]\n    instrumentation scope:\n"
+        "        - name                    : svc\n"
+        "        - version                 : 1\n"
+        "        - dropped_attributes_count: 0\n"
+        "        - attributes: undefined\n"
+        '    schema_url: ""\n    [spans]\n'
+        "         [span #0 'GET /']\n"
+        "             - trace_id                : "
+        "0af7651916cd43dd8448eb211c80319c\n")
+    assert "             - kind                    : 2 (server)\n" \
+        in text
+    assert ("             - parent_span_id          : undefined\n"
+            in text)
+    assert "                 - message : 'boom'\n" in text
+    assert ("             - attributes: \n"
+            "                 - http.method: 'GET'\n"
+            "                 - code: 200\n"
+            "                 - ratio: 0.5\n"
+            "                 - ok: true\n") in text
+    assert ("             - events: \n"
+            "                 - name: boot\n"
+            "                     - timestamp               : "
+            "1700000000000000001\n"
+            "                     - dropped_attributes_count: 0\n"
+            "                     - attributes: none\n") in text
+    # second span: defaults + out-of-range kind + no message line
+    assert ("         [span #1 'child']\n"
+            "             - trace_id                : "
+            "000000F1BI700000000000F1BI700000\n"
+            "             - span_id                 : "
+            "000000F1BI700000\n"
+            "             - parent_span_id          : "
+            "b7ad6b7169203331\n"
+            "             - kind                    : 6 (unspecified)"
+            "\n") in text
+    tail = text.split("[span #1")[1]
+    assert "- message" not in tail
+    assert "             - attributes: none\n" in tail
+    assert "             - events: none\n" in tail
+    assert tail.endswith("             - [links]\n")

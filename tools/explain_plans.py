@@ -707,6 +707,13 @@ def main() -> int:
           and len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1)
     checks.append(
         ("http_in: single Arrow body-parse stage, shuffle-free", ok, ""))
+    p = plan_of(qs["ctr_text_encode"](spark, sf_dir))
+    ok = ("BatchEvalPython" not in p and "MapInPandas" not in p
+          and "ArrowEvalPython" not in p
+          and p.count("hashpartitioning(") == 1)
+    checks.append(
+        ("ctr_text_encode: all-Catalyst, exactly the one grouping "
+         "exchange (sorted span collect per resource)", ok, ""))
 
     # otlp_traces_in: the traces walk is one Arrow stage over the
     # Catalyst-assembled bodies — decode parallelizes per input split
