@@ -1516,6 +1516,35 @@ def q_ctr_text_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flb_utils_write_str JSON string rendering (src/flb_utils.c:
+    768-1040): the escape table's named + \\u00xx control escapes,
+    BMP codepoints as lowercase \\uxxxx (the reference never passes
+    raw UTF-8 through), astral codepoints as UTF-16 surrogate
+    pairs, clean ASCII untouched via the SIMD-fast-path twin (rlike
+    gate).  Each event composes three chars from a 10-char palette
+    covering every branch; verified byte-exact against the
+    reference's own pack fixtures in tests/test_jsonesc.py."""
+    from fluent_bit_spark.functions.jsonesc import flb_json_escape
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    chars = ["A", '"', "\\", "\n", "\x1b", "\x7f",
+             "©", "☺", "魚", "\U0001f514"]
+    arr = F.array(*[F.lit(c) for c in chars])
+    s = F.concat(
+        F.lit("log-"),
+        F.element_at(arr, (e % 10 + 1).cast("int")),
+        F.element_at(arr, ((e / 10).cast("long") % 10 + 1).cast("int")),
+        F.element_at(arr, ((e / 100).cast("long") % 10 + 1).cast("int")),
+        F.lit("-"), (e % 7).cast("string"),
+    )
+    return ev.select(
+        e.alias("event_id"),
+        flb_json_escape(s).alias("escaped"),
+    )
+
+
 def q_forward_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fluent Forward protocol round-trip (plugins/out_forward/
     forward.c:1175,1268; in_forward/fw_prot.c dispatcher): per event
@@ -4572,6 +4601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cloudwatch_emf_encode": q_cloudwatch_emf_encode,
         "cmt_text_encode": q_cmt_text_encode,
         "ctr_text_encode": q_ctr_text_encode,
+        "json_escape": q_json_escape,
         "incremental_dedup_stream": q_incremental_dedup_stream,
         "decontam_bloom": q_decontam_bloom,
         "text_normalize": q_text_normalize,
@@ -6122,6 +6152,39 @@ def oracle_sql() -> dict[str, str]:
                    || ' }, sum=' || v_ssum
                    || ', count=' || (e % 6) || ' }'
             FROM r
+        """,
+        "json_escape": """
+            WITH base AS (SELECT event_id AS e FROM events),
+            d AS (
+                SELECT e, e % 10 AS d1, (e // 10) % 10 AS d2,
+                       (e // 100) % 10 AS d3
+                FROM base
+            ), m AS (
+                SELECT e,
+                    CASE d1 WHEN 0 THEN 'A' WHEN 1 THEN '\\"'
+                        WHEN 2 THEN '\\\\' WHEN 3 THEN '\\n'
+                        WHEN 4 THEN '\\u001b' WHEN 5 THEN '\\u007f'
+                        WHEN 6 THEN '\\u00a9' WHEN 7 THEN '\\u263a'
+                        WHEN 8 THEN '\\u9b5a'
+                        ELSE '\\ud83d\\udd14' END AS e1,
+                    CASE d2 WHEN 0 THEN 'A' WHEN 1 THEN '\\"'
+                        WHEN 2 THEN '\\\\' WHEN 3 THEN '\\n'
+                        WHEN 4 THEN '\\u001b' WHEN 5 THEN '\\u007f'
+                        WHEN 6 THEN '\\u00a9' WHEN 7 THEN '\\u263a'
+                        WHEN 8 THEN '\\u9b5a'
+                        ELSE '\\ud83d\\udd14' END AS e2,
+                    CASE d3 WHEN 0 THEN 'A' WHEN 1 THEN '\\"'
+                        WHEN 2 THEN '\\\\' WHEN 3 THEN '\\n'
+                        WHEN 4 THEN '\\u001b' WHEN 5 THEN '\\u007f'
+                        WHEN 6 THEN '\\u00a9' WHEN 7 THEN '\\u263a'
+                        WHEN 8 THEN '\\u9b5a'
+                        ELSE '\\ud83d\\udd14' END AS e3
+                FROM d
+            )
+            SELECT e AS event_id,
+                   'log-' || e1 || e2 || e3 || '-' || (e % 7)
+                       AS escaped
+            FROM m
         """,
         "ctr_text_encode": """
             WITH base AS (

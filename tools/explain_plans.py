@@ -687,7 +687,8 @@ def main() -> int:
     # half of the round-trip); http_in is one Arrow body-parse stage
     for q in ("kinesis_encode", "bigquery_encode",
               "influx_metrics_encode", "splunk_metrics_encode",
-              "cloudwatch_emf_encode", "cmt_text_encode"):
+              "cloudwatch_emf_encode", "cmt_text_encode",
+              "json_escape"):
         p = plan_of(qs[q](spark, sf_dir))
         ok = ("BatchEvalPython" not in p and "MapInPandas" not in p
               and "ArrowEvalPython" not in p
