@@ -1545,6 +1545,34 @@ def q_json_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_dup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flb_pack_json duplicate-key dedup (src/flb_pack.c, fixture
+    tests/internal/data/pack/dup_keys_*.json): duplicated map keys
+    keep only the LAST occurrence, survivors ordered by last
+    occurrence.  Spark's from_json map physically retains dup keys,
+    so the engine's dedup_map_keys HOF pass is what produces the
+    reference's record shape.  Even events carry a c key between the
+    dup runs to vary the surviving order."""
+    from fluent_bit_spark.functions.packjson import dedup_map_keys
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    raw = F.concat(
+        F.lit('{"a":'), (e % 5).cast("string"),
+        F.lit(',"b":'), (e % 7).cast("string"),
+        F.lit(',"a":'), (e % 3).cast("string"),
+        F.when(e % 2 == 0, F.lit(',"c":9')).otherwise(F.lit("")),
+        F.lit(',"b":'), (e % 11).cast("string"),
+        F.lit("}"),
+    )
+    m = dedup_map_keys(F.from_json(raw, "map<string,string>"))
+    return ev.select(
+        e.alias("event_id"),
+        F.array_join(F.map_keys(m), ",").alias("keys"),
+        F.array_join(F.map_values(m), ",").alias("vals"),
+    )
+
+
 def q_forward_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fluent Forward protocol round-trip (plugins/out_forward/
     forward.c:1175,1268; in_forward/fw_prot.c dispatcher): per event
@@ -4602,6 +4630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cmt_text_encode": q_cmt_text_encode,
         "ctr_text_encode": q_ctr_text_encode,
         "json_escape": q_json_escape,
+        "pack_dup_keys": q_pack_dup_keys,
         "incremental_dedup_stream": q_incremental_dedup_stream,
         "decontam_bloom": q_decontam_bloom,
         "text_normalize": q_text_normalize,
@@ -6152,6 +6181,16 @@ def oracle_sql() -> dict[str, str]:
                    || ' }, sum=' || v_ssum
                    || ', count=' || (e % 6) || ' }'
             FROM r
+        """,
+        "pack_dup_keys": """
+            SELECT event_id,
+                   CASE WHEN event_id % 2 = 0 THEN 'a,c,b'
+                        ELSE 'a,b' END AS keys,
+                   CASE WHEN event_id % 2 = 0
+                        THEN (event_id % 3) || ',9,' || (event_id % 11)
+                        ELSE (event_id % 3) || ',' || (event_id % 11)
+                   END AS vals
+            FROM events
         """,
         "json_escape": """
             WITH base AS (SELECT event_id AS e FROM events),

@@ -688,7 +688,7 @@ def main() -> int:
     for q in ("kinesis_encode", "bigquery_encode",
               "influx_metrics_encode", "splunk_metrics_encode",
               "cloudwatch_emf_encode", "cmt_text_encode",
-              "json_escape"):
+              "json_escape", "pack_dup_keys"):
         p = plan_of(qs[q](spark, sf_dir))
         ok = ("BatchEvalPython" not in p and "MapInPandas" not in p
               and "ArrowEvalPython" not in p
