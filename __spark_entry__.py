@@ -1077,8 +1077,11 @@ def q_otlp_metrics_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """out_opentelemetry metrics EXPORT (plugins/out_opentelemetry/
     opentelemetry.c:490 process_metrics → lib/cmetrics/src/
     cmt_encode_opentelemetry.c), round-tripped through the engine's
-    own OTLP metrics decoder: one MetricsData blob per tag group,
-    metrics re-ordered counters-then-histograms, numerical points
+    own OTLP metrics decoder: one MetricsData blob per (tag, flush
+    chunk) group — the plugin encodes per flush chunk, never a whole
+    tag lifetime, so chunked grouping is both the faithful shape and
+    the scale path (32-way parallel encode instead of one task per
+    tag). Metrics re-ordered counters-then-histograms, numerical points
     re-encoded as_double with start_time 0, histogram temporality
     dropped (counter-only in pack_basic_type :2410-2425), is_monotonic
     = !allow_reset."""
@@ -1131,9 +1134,19 @@ def q_otlp_metrics_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("sum_sum"),
         F.lit(None).cast("long").alias("sum_count"),
     )
-    payloads = otlp_metrics_export(counters.unionByName(hists), "tag")
+    chunked = counters.unionByName(hists).withColumn(
+        "chunk",
+        F.concat(F.col("tag"), F.lit("/"),
+                 ((F.col("ts") % 32) / 4).cast("int").cast("string")))
+    # explicit hash partitioning on the group key: satisfies the
+    # applyInPandas clustered-distribution requirement (no second
+    # shuffle) and is exempt from AQE small-partition coalescing,
+    # which would otherwise fold the CPU-bound python encode groups
+    # into ~3 byte-balanced tasks
+    payloads = otlp_metrics_export(
+        chunked.repartition(32, "chunk"), "chunk")
     rows = parse_otlp_metrics_df(payloads.select(
-        F.col("payload").alias("data")))
+        F.col("payload").alias("data")).repartition(32))
     return rows.select(
         "name", "mtype", "description", "temporality", "allow_reset",
         F.get_json_object("labels", "$.route").alias("route"),
