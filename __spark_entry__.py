@@ -767,6 +767,115 @@ def q_remote_write_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_remote_write_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_prometheus_remote_write EXPORT (plugins/
+    out_prometheus_remote_write/remote_write.c:307-339 format_metrics
+    → lib/cmetrics/src/cmt_encode_prometheus_remote_write.c),
+    round-tripped through the engine's own remote_write decoder.
+    Covers: counter/gauge basic families, histogram _count/_sum/
+    _bucket with RAW per-bucket counts and %.17g le captions
+    (0.98999999999999999-style), summary quantile series, static
+    add_label injection, ns→ms timestamps, and the stale cutoff —
+    basic families ABORT at the first >1h-old metric in walk order
+    (rest of family dropped, earlier series kept) while complex
+    families skip stale metrics individually, including the uint64
+    now-ts underflow that drops FUTURE timestamps."""
+    from fluent_bit_spark.functions.remote_write import (
+        decode_remote_write,
+    )
+    from fluent_bit_spark.functions.remote_write_out import (
+        remote_write_export,
+    )
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    BASE = F.lit(1_700_000_000_000_000_000).cast("long")
+    NOW_NS = 1_700_000_000_000_000_000 + 1_000_000_000
+    null_l = F.lit(None).cast("array<long>")
+    null_d = F.lit(None).cast("array<double>")
+    nd = F.lit(None).cast("double")
+    nl = F.lit(None).cast("long")
+    chunk = F.concat(F.lit("c"), (e % 32).cast("string"))
+
+    def blanks():
+        return [null_l.alias("bucket_counts"),
+                null_d.alias("explicit_bounds"),
+                nd.alias("hist_sum"), nl.alias("hist_count"),
+                null_d.alias("quantiles"),
+                null_d.alias("quantile_values"),
+                nd.alias("sum_sum"), nl.alias("sum_count")]
+
+    counters = ev.select(
+        chunk.alias("chunk"), F.lit("counter").alias("mtype"),
+        F.lit("rw_req").alias("name"),
+        F.concat(F.lit('{"path":"p'), (e % 5).cast("string"),
+                 F.lit('"}')).alias("labels"),
+        # ~0.1% of counters are 2h stale: in (labels, ts) walk order
+        # the first one aborts the rest of the family in its chunk
+        F.when(e % 997 == 13, BASE - F.lit(7_200_000_000_000))
+        .otherwise(BASE + e * 1000).alias("ts"),
+        ((e % 100) / 2.0).alias("value"), *blanks())
+    gauges = ev.select(
+        chunk.alias("chunk"), F.lit("gauge").alias("mtype"),
+        F.lit("rw_mem").alias("name"),
+        F.concat(F.lit('{"host":"h'), (e % 4).cast("string"),
+                 F.lit('"}')).alias("labels"),
+        (BASE + e * 1000).alias("ts"),
+        ((e % 50) * 1.25).alias("value"), *blanks())
+    hists = ev.select(
+        chunk.alias("chunk"), F.lit("histogram").alias("mtype"),
+        F.lit("rw_lat").alias("name"),
+        F.concat(F.lit('{"shard":"s'), (e % 3).cast("string"),
+                 F.lit('"}')).alias("labels"),
+        # complex families drop stale metrics one by one: e%17 rows
+        # are 2h old, e%19==3 rows are 2h in the FUTURE (uint64
+        # now-ts underflow also counts as stale)
+        F.when(e % 17 == 0, BASE - F.lit(7_200_000_000_000))
+        .when(e % 19 == 3, BASE + F.lit(7_200_000_000_000))
+        .otherwise(BASE + e * 1000).alias("ts"),
+        nd.alias("value"),
+        F.array((e % 3).cast("long"), (e % 4).cast("long"),
+                (e % 5).cast("long")).alias("bucket_counts"),
+        F.array(F.lit(0.5), F.lit(2.0)).alias("explicit_bounds"),
+        ((e % 10) * 1.5).alias("hist_sum"),
+        (e % 9).cast("long").alias("hist_count"),
+        null_d.alias("quantiles"), null_d.alias("quantile_values"),
+        nd.alias("sum_sum"), nl.alias("sum_count"))
+    summaries = ev.select(
+        chunk.alias("chunk"), F.lit("summary").alias("mtype"),
+        F.lit("rw_rt").alias("name"),
+        F.concat(F.lit('{"app":"a'), (e % 2).cast("string"),
+                 F.lit('"}')).alias("labels"),
+        (BASE + e * 1000).alias("ts"), nd.alias("value"),
+        null_l.alias("bucket_counts"), null_d.alias("explicit_bounds"),
+        nd.alias("hist_sum"), nl.alias("hist_count"),
+        F.array(F.lit(0.5), F.lit(0.99)).alias("quantiles"),
+        F.array(((e % 9) / 4.0), ((e % 9) / 2.0))
+        .alias("quantile_values"),
+        ((e % 11) * 0.5).alias("sum_sum"),
+        (e % 6).cast("long").alias("sum_count"))
+
+    rows = counters.unionByName(gauges).unionByName(hists) \
+        .unionByName(summaries)
+    bodies = remote_write_export(
+        rows.repartition(32, "chunk"), "chunk",
+        static_labels=[("job", "fb")], now_ns=NOW_NS)
+    out = decode_remote_write(
+        bodies.select(F.col("body").alias("data")).repartition(32))
+    return out.select(
+        "name",
+        F.get_json_object("labels", "$.job").alias("job"),
+        F.get_json_object("labels", "$.path").alias("path"),
+        F.get_json_object("labels", "$.host").alias("host"),
+        F.get_json_object("labels", "$.shard").alias("shard"),
+        F.get_json_object("labels", "$.app").alias("app"),
+        F.get_json_object("labels", "$.le").alias("le"),
+        F.get_json_object("labels", "$.quantile").alias("quantile"),
+        F.round("value", 6).alias("value"),
+        "ts_ms",
+    )
+
+
 def q_prom_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """in_prometheus_scrape exposition-text PARSE (the cmetrics
     cmt_decode_prometheus surface) run as a round-trip: the engine's
@@ -4611,6 +4720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # es_bulk_in/forward_decode/otlp_logs_in/prom_scrape past the
     # window — all four went green in the r4 gate.
     return {
+        # round-5 late addition, never driver-verified yet -> front
+        "remote_write_encode": q_remote_write_encode,
         "embedding_clusters": q_embedding_clusters,
         "hash_embed": q_hash_embed,
         "nats_encode": q_nats_encode,
@@ -5385,6 +5496,90 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "remote_write_encode": """
+            WITH base AS (
+                SELECT event_id AS e FROM events
+            ), cnt AS (
+                SELECT e, e % 32 AS chunk, 'p' || (e % 5) AS path,
+                       CASE WHEN e % 997 = 13 THEN 1 ELSE 0 END
+                           AS stale,
+                       CASE WHEN e % 997 = 13
+                            THEN 1700000000000000000 - 7200000000000
+                            ELSE 1700000000000000000 + e * 1000
+                       END AS ts
+                FROM base
+            ), cntw AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY chunk ORDER BY path, ts, e) AS rn
+                FROM cnt
+            ), cut AS (
+                SELECT chunk,
+                       min(CASE WHEN stale = 1 THEN rn END) AS cutrn
+                FROM cntw GROUP BY chunk
+            ), kept AS (
+                SELECT c.* FROM cntw c JOIN cut USING (chunk)
+                WHERE cut.cutrn IS NULL OR c.rn < cut.cutrn
+            ), hist AS (
+                SELECT e FROM base
+                WHERE e % 17 <> 0 AND e % 19 <> 3
+            ), nn AS (
+                SELECT CAST(NULL AS VARCHAR) AS s
+            )
+            SELECT 'rw_req' AS name, 'fb' AS job, path,
+                   CAST(NULL AS VARCHAR) AS host,
+                   CAST(NULL AS VARCHAR) AS shard,
+                   CAST(NULL AS VARCHAR) AS app,
+                   CAST(NULL AS VARCHAR) AS le,
+                   CAST(NULL AS VARCHAR) AS quantile,
+                   round((e % 100) / 2.0, 6) AS value,
+                   1700000000000 + e // 1000 AS ts_ms
+            FROM kept
+            UNION ALL
+            SELECT 'rw_mem', 'fb', NULL, 'h' || (e % 4), NULL, NULL,
+                   NULL, NULL, round((e % 50) * 1.25, 6),
+                   1700000000000 + e // 1000
+            FROM base
+            UNION ALL
+            SELECT 'rw_lat_count', 'fb', NULL, NULL, 's' || (e % 3),
+                   NULL, NULL, NULL, CAST(e % 9 AS DOUBLE),
+                   1700000000000 + e // 1000
+            FROM hist
+            UNION ALL
+            SELECT 'rw_lat_sum', 'fb', NULL, NULL, 's' || (e % 3),
+                   NULL, NULL, NULL, round((e % 10) * 1.5, 6),
+                   1700000000000 + e // 1000
+            FROM hist
+            UNION ALL
+            SELECT 'rw_lat_bucket', 'fb', NULL, NULL, 's' || (e % 3),
+                   NULL, b.le, NULL, b.v,
+                   1700000000000 + e // 1000
+            FROM hist, LATERAL (
+                SELECT * FROM (VALUES
+                    ('0.5', CAST(e % 3 AS DOUBLE)),
+                    ('2', CAST(e % 4 AS DOUBLE)),
+                    ('+Inf', CAST(e % 5 AS DOUBLE))) AS t(le, v)
+            ) AS b
+            UNION ALL
+            SELECT 'rw_rt_count', 'fb', NULL, NULL, NULL,
+                   'a' || (e % 2), NULL, NULL, CAST(e % 6 AS DOUBLE),
+                   1700000000000 + e // 1000
+            FROM base
+            UNION ALL
+            SELECT 'rw_rt_sum', 'fb', NULL, NULL, NULL,
+                   'a' || (e % 2), NULL, NULL,
+                   round((e % 11) * 0.5, 6),
+                   1700000000000 + e // 1000
+            FROM base
+            UNION ALL
+            SELECT 'rw_rt', 'fb', NULL, NULL, NULL, 'a' || (e % 2),
+                   NULL, q.cap, q.v, 1700000000000 + e // 1000
+            FROM base, LATERAL (
+                SELECT * FROM (VALUES
+                    ('0.5', round((e % 9) / 4.0, 6)),
+                    ('0.98999999999999999',
+                     round((e % 9) / 2.0, 6))) AS t(cap, v)
+            ) AS q
+        """,
         "corpus_prep": f"""
             WITH pages AS (
               SELECT 'https://' || source || '.com/' || cast(doc_id as varchar) AS url,

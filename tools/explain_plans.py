@@ -766,6 +766,20 @@ def main() -> int:
         ("otlp_metrics_encode: one exchange (the tag groupBy) + one "
          "Arrow stage (the decode half)", ok, ""))
 
+    # remote_write_encode: same shape — one explicit hash exchange on
+    # the chunk key feeding the WriteRequest builder, one Arrow decode
+    # stage for the round-trip, everything else narrow Catalyst
+    p = plan_of(qs["remote_write_encode"](spark, sf_dir))
+    ok = ("BatchEvalPython" not in p
+          and "CartesianProduct" not in p
+          and p.count("hashpartitioning(") == 1
+          and len(re.findall(r"^\(\d+\) FlatMapGroupsInPandas", p, re.M))
+          == 1
+          and len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1)
+    checks.append(
+        ("remote_write_encode: one exchange (chunk groupBy) + one "
+         "Arrow stage (the decode half)", ok, ""))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
