@@ -876,6 +876,117 @@ def q_remote_write_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cmt_msgpack_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cmetrics msgpack context codec round-trip (lib/cmetrics/src/
+    cmt_encode_msgpack.c + cmt_decode_msgpack.c) — the wire format
+    fluent-bit uses for METRICS events between instances
+    (in_fluentbit_metrics → out_forward → in_forward) and in buffer
+    chunks. One context blob per flush chunk: counter (with an
+    aggregation_type meta and ~10% label-less STATIC samples whose
+    wire hash is 0, cmt_map.c:183-200), gauge, summary with raw-
+    d64-bit quantile/sum packing (cmt_encode_msgpack.c:224-236), and
+    histogram with stored cumulative bucket cells. The encoder is
+    byte-parity-pinned against a blob produced by COMPILING the
+    reference's own cmetrics (tests/test_cmt_msgpack.py), XXH3
+    metric hashes included (tests/test_xxh3.py)."""
+    from fluent_bit_spark.functions.cmt_msgpack import (
+        cmt_msgpack_export,
+        parse_cmt_msgpack_df,
+    )
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    T = F.lit(1_700_000_000_000_000_000).cast("long")
+    null_l = F.lit(None).cast("array<long>")
+    null_d = F.lit(None).cast("array<double>")
+    nd = F.lit(None).cast("double")
+    nl = F.lit(None).cast("long")
+    chunk = F.concat(F.lit("c"), (e % 32).cast("string"))
+
+    def base(mtype, ns, ss, name, desc, agg, labels):
+        return [chunk.alias("chunk"), F.lit(mtype).alias("mtype"),
+                F.lit(ns).alias("ns"), F.lit(ss).alias("ss"),
+                F.lit(name).alias("name"), F.lit(desc).alias("desc"),
+                F.lit(agg).cast("long").alias("aggregation_type"),
+                labels.alias("labels"), (T + e).alias("ts")]
+
+    counters = ev.select(
+        *base("counter", "fb", "node", "req", "requests", 2,
+              F.when(e % 10 == 0, F.lit("{}")).otherwise(F.concat(
+                  F.lit('{"path":"p'), (e % 5).cast("string"),
+                  F.lit('"}')))),
+        ((e % 100) / 2.0).alias("value"),
+        null_l.alias("bucket_counts"), null_d.alias("explicit_bounds"),
+        nd.alias("hist_sum"), nl.alias("hist_count"),
+        null_d.alias("quantiles"), null_d.alias("quantile_values"),
+        nd.alias("sum_sum"), nl.alias("sum_count"))
+    gauges = ev.select(
+        *base("gauge", "fb", "", "mem", "-", 0,
+              F.concat(F.lit('{"host":"h'), (e % 4).cast("string"),
+                       F.lit('"}'))),
+        ((e % 50) * 1.25).alias("value"),
+        null_l.alias("bucket_counts"), null_d.alias("explicit_bounds"),
+        nd.alias("hist_sum"), nl.alias("hist_count"),
+        null_d.alias("quantiles"), null_d.alias("quantile_values"),
+        nd.alias("sum_sum"), nl.alias("sum_count"))
+    summaries = ev.select(
+        *base("summary", "fb", "node", "rt", "rt sum", 0,
+              F.concat(F.lit('{"app":"a'), (e % 2).cast("string"),
+                       F.lit('"}'))),
+        nd.alias("value"),
+        null_l.alias("bucket_counts"), null_d.alias("explicit_bounds"),
+        nd.alias("hist_sum"), nl.alias("hist_count"),
+        F.array(F.lit(0.5), F.lit(0.99)).alias("quantiles"),
+        F.array(((e % 9) / 4.0), ((e % 9) / 2.0))
+        .alias("quantile_values"),
+        ((e % 11) * 0.5).alias("sum_sum"),
+        (e % 6).cast("long").alias("sum_count"))
+    hists = ev.select(
+        *base("histogram", "fb", "node", "lat", "lat h", 0,
+              F.concat(F.lit('{"shard":"s'), (e % 3).cast("string"),
+                       F.lit('"}'))),
+        nd.alias("value"),
+        F.array((e % 3).cast("long"), (e % 4).cast("long"),
+                (e % 5).cast("long")).alias("bucket_counts"),
+        F.array(F.lit(0.5), F.lit(2.0)).alias("explicit_bounds"),
+        ((e % 10) * 1.5).alias("hist_sum"),
+        (e % 9).cast("long").alias("hist_count"),
+        null_d.alias("quantiles"), null_d.alias("quantile_values"),
+        nd.alias("sum_sum"), nl.alias("sum_count"))
+
+    rows = counters.unionByName(gauges).unionByName(summaries) \
+        .unionByName(hists)
+    blobs = cmt_msgpack_export(
+        rows.repartition(32, "chunk"), "chunk",
+        static_labels=[("job", "fb")])
+    out = parse_cmt_msgpack_df(blobs.repartition(32))
+    return out.select(
+        "mtype", "ns", "ss", "name",
+        F.col("desc").alias("description"),
+        "aggregation_type",
+        F.get_json_object("labels", "$.path").alias("path"),
+        F.get_json_object("labels", "$.host").alias("host"),
+        F.get_json_object("labels", "$.app").alias("app"),
+        F.get_json_object("labels", "$.shard").alias("shard"),
+        "static",
+        (F.col("hash") == "0").alias("hash_zero"),
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.element_at("bucket_counts", 1).alias("b0"),
+        F.element_at("bucket_counts", 2).alias("b1"),
+        F.element_at("bucket_counts", 3).alias("b2"),
+        F.element_at("bucket_bounds", 2).alias("bound1"),
+        F.round("hist_sum", 6).alias("hist_sum"),
+        "hist_count",
+        F.element_at("quantiles", 2).alias("q1"),
+        F.round(F.element_at("quantile_values", 1), 6).alias("qv0"),
+        F.round(F.element_at("quantile_values", 2), 6).alias("qv1"),
+        F.round("sum_sum", 6).alias("sum_sum"),
+        "sum_count",
+        F.get_json_object("static_labels", "$.job").alias("job"),
+    )
+
+
 def q_prom_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """in_prometheus_scrape exposition-text PARSE (the cmetrics
     cmt_decode_prometheus surface) run as a round-trip: the engine's
@@ -4720,8 +4831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # es_bulk_in/forward_decode/otlp_logs_in/prom_scrape past the
     # window — all four went green in the r4 gate.
     return {
-        # round-5 late addition, never driver-verified yet -> front
+        # round-5 late additions, never driver-verified yet -> front
         "remote_write_encode": q_remote_write_encode,
+        "cmt_msgpack_encode": q_cmt_msgpack_encode,
         "embedding_clusters": q_embedding_clusters,
         "hash_embed": q_hash_embed,
         "nats_encode": q_nats_encode,
@@ -5496,6 +5608,60 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "cmt_msgpack_encode": """
+            WITH base AS (
+                SELECT event_id AS e,
+                       1700000000000000000 + event_id AS ts
+                FROM events
+            )
+            SELECT 'counter' AS mtype, 'fb' AS ns, 'node' AS ss,
+                   'req' AS name, 'requests' AS description,
+                   2 AS aggregation_type,
+                   CASE WHEN e % 10 = 0 THEN NULL
+                        ELSE 'p' || (e % 5) END AS path,
+                   CAST(NULL AS VARCHAR) AS host,
+                   CAST(NULL AS VARCHAR) AS app,
+                   CAST(NULL AS VARCHAR) AS shard,
+                   e % 10 = 0 AS static, e % 10 = 0 AS hash_zero,
+                   ts, round((e % 100) / 2.0, 6) AS value,
+                   CAST(NULL AS BIGINT) AS b0,
+                   CAST(NULL AS BIGINT) AS b1,
+                   CAST(NULL AS BIGINT) AS b2,
+                   CAST(NULL AS DOUBLE) AS bound1,
+                   CAST(NULL AS DOUBLE) AS hist_sum,
+                   CAST(NULL AS BIGINT) AS hist_count,
+                   CAST(NULL AS DOUBLE) AS q1,
+                   CAST(NULL AS DOUBLE) AS qv0,
+                   CAST(NULL AS DOUBLE) AS qv1,
+                   CAST(NULL AS DOUBLE) AS sum_sum,
+                   CAST(NULL AS BIGINT) AS sum_count,
+                   'fb' AS job
+            FROM base
+            UNION ALL
+            SELECT 'gauge', 'fb', '', 'mem', '-', NULL,
+                   NULL, 'h' || (e % 4), NULL, NULL,
+                   FALSE, FALSE, ts, round((e % 50) * 1.25, 6),
+                   NULL, NULL, NULL, NULL, NULL, NULL,
+                   NULL, NULL, NULL, NULL, NULL, 'fb'
+            FROM base
+            UNION ALL
+            SELECT 'summary', 'fb', 'node', 'rt', 'rt sum', NULL,
+                   NULL, NULL, 'a' || (e % 2), NULL,
+                   FALSE, FALSE, ts, NULL,
+                   NULL, NULL, NULL, NULL, NULL, NULL,
+                   0.99, round((e % 9) / 4.0, 6),
+                   round((e % 9) / 2.0, 6),
+                   round((e % 11) * 0.5, 6), e % 6, 'fb'
+            FROM base
+            UNION ALL
+            SELECT 'histogram', 'fb', 'node', 'lat', 'lat h', NULL,
+                   NULL, NULL, NULL, 's' || (e % 3),
+                   FALSE, FALSE, ts, NULL,
+                   e % 3, e % 4, e % 5, 2.0,
+                   round((e % 10) * 1.5, 6), e % 9,
+                   NULL, NULL, NULL, NULL, NULL, 'fb'
+            FROM base
+        """,
         "remote_write_encode": """
             WITH base AS (
                 SELECT event_id AS e FROM events

@@ -34,9 +34,11 @@ Semantics replicated from the C encoder:
 - **Histogram series** (pack_complex_metric_sample :884-1020):
   name_count, name_sum, then one name_bucket series per bound with
   le = "%.17g" of the bound plus a final le="+Inf"; bucket sample
-  values are the RAW per-bucket counters (cmt_metric_hist_get_value
-  :170 returns the bucket cell, not a cumulative sum — a genuine
-  deviation from Prometheus text exposition kept bug-compatible).
+  values are the stored bucket cells (cmt_metric_hist_get_value
+  :170), which cmetrics keeps CUMULATIVE — observe increments every
+  bucket whose bound >= the value plus +Inf (cmt_histogram.c:334),
+  so the wire values are Prometheus-style cumulative counts. The
+  engine's bucket_counts column carries those stored cells.
 - **Summary series** (:763-880): name_count, name_sum, then one
   series per configured quantile with quantile = "%.17g" caption.
 - **No metadata**: CMT_ENCODE_PROMETHEUS_REMOTE_WRITE_ADD_METADATA

@@ -107,7 +107,8 @@ def test_histogram_buckets_raw_counts_and_17g_captions():
     out = _series(build_write_request([hist], now_ns=NOW))
     by_le = {lbl.get("le"): s[0][0] for lbl, s in out
              if lbl["__name__"] == "lat_bucket"}
-    # RAW per-bucket counters, not cumulative (hist_get_value :170)
+    # stored bucket cells pass through verbatim (hist_get_value :170;
+    # cmetrics keeps them cumulative at observe time)
     assert by_le == {"0.25": 5.0, "0.98999999999999999": 7.0,
                      "+Inf": 11.0}
     flat = {lbl["__name__"]: s[0][0] for lbl, s in out

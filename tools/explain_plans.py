@@ -780,6 +780,18 @@ def main() -> int:
         ("remote_write_encode: one exchange (chunk groupBy) + one "
          "Arrow stage (the decode half)", ok, ""))
 
+    # cmt_msgpack_encode: same chunked-export shape
+    p = plan_of(qs["cmt_msgpack_encode"](spark, sf_dir))
+    ok = ("BatchEvalPython" not in p
+          and "CartesianProduct" not in p
+          and p.count("hashpartitioning(") == 1
+          and len(re.findall(r"^\(\d+\) FlatMapGroupsInPandas", p, re.M))
+          == 1
+          and len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1)
+    checks.append(
+        ("cmt_msgpack_encode: one exchange (chunk groupBy) + one "
+         "Arrow stage (the decode half)", ok, ""))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
