@@ -987,6 +987,113 @@ def q_cmt_msgpack_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ctr_msgpack_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ctraces msgpack codec round-trip (lib/ctraces/src/
+    ctr_encode_msgpack.c + ctr_decode_msgpack.c) — the wire format
+    for TRACES events between fluent-bit instances and in buffer
+    chunks: camelCase resourceSpans root over snake_case everything
+    else, lowercase-base16 span/trace ids, 16-key span maps without
+    the flags field, nil-able trace_state/status message, variant
+    attributes (string + int64 here). One blob per flush chunk with
+    spans regrouped into resource → scope nesting; the encoder is
+    byte-parity-pinned against blobs from the reference's own
+    COMPILED ctraces (tests/test_ctr_msgpack.py)."""
+    from fluent_bit_spark.functions.ctr_msgpack import (
+        ctr_msgpack_export,
+        parse_ctr_msgpack_df,
+    )
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    T = F.lit(1_700_000_000_000_000_000).cast("long")
+    ns = F.lit(None).cast("string")
+
+    rows = ev.select(
+        F.concat(F.lit("c"), (e % 32).cast("string")).alias("chunk"),
+        F.concat(F.lit('{"host":"h'), (e % 5).cast("string"),
+                 F.lit('"}')).alias("resource_attributes"),
+        F.lit("https://r").alias("resource_schema_url"),
+        (e % 3).cast("long")
+        .alias("resource_dropped_attributes_count"),
+        F.concat(F.lit("svc"), (e % 3).cast("string"))
+        .alias("scope_name"),
+        F.lit("1").alias("scope_version"),
+        F.concat(F.lit('{"team":"t'), (e % 7).cast("string"),
+                 F.lit('"}')).alias("scope_attributes"),
+        F.lit(1).cast("long")
+        .alias("scope_dropped_attributes_count"),
+        F.lit("https://s").alias("scope_schema_url"),
+        F.lower(F.lpad(F.hex(e + 1), 32, "0")).alias("trace_id"),
+        F.lower(F.lpad(F.hex(e * 7 + 1), 16, "0")).alias("span_id"),
+        F.when(e % 5 == 0, ns).otherwise(
+            F.lower(F.lpad(F.hex(e * 3 + 2), 16, "0")))
+        .alias("parent_span_id"),
+        F.concat(F.lit("op"), (e % 7).cast("string")).alias("name"),
+        (e % 6).cast("int").alias("kind"),
+        F.when(e % 4 == 0, ns).otherwise(
+            F.concat(F.lit("st=x"), (e % 4).cast("string")))
+        .alias("trace_state"),
+        F.lit(None).cast("long").alias("flags"),
+        (T + e).alias("start_time_unix_nano"),
+        (T + e + 1000).alias("end_time_unix_nano"),
+        (e % 3).cast("int").alias("status_code"),
+        F.when(e % 3 == 0, ns).otherwise(
+            F.concat(F.lit("m"), (e % 3).cast("string")))
+        .alias("status_message"),
+        (e % 4).cast("long").alias("dropped_attributes_count"),
+        (e % 2).cast("long").alias("dropped_events_count"),
+        (e % 3).cast("long").alias("dropped_links_count"),
+        F.concat(F.lit('{"path":"p'), (e % 5).cast("string"),
+                 F.lit('","n":'), (e % 9).cast("string"),
+                 F.lit("}")).alias("attributes"),
+        F.when(e % 2 == 0, F.concat(
+            F.lit('[{"time_unix_nano":'),
+            (T + e + 5).cast("string"),
+            F.lit(',"name":"ev","attributes":{"i":'),
+            (e % 4).cast("string"),
+            F.lit('},"dropped_attributes_count":'),
+            (e % 3).cast("string"), F.lit("}]"),
+        )).otherwise(F.lit("[]")).alias("events"),
+        F.when(e % 3 == 0, F.concat(
+            F.lit('[{"trace_id":"'),
+            F.lower(F.lpad(F.hex(e + 1), 32, "0")),
+            F.lit('","span_id":"'),
+            F.lower(F.lpad(F.hex(e * 7 + 1), 16, "0")),
+            F.lit('","trace_state":null,"attributes":null,'
+                  '"dropped_attributes_count":'),
+            (e % 2).cast("string"), F.lit("}]"),
+        )).otherwise(F.lit("[]")).alias("links"),
+    )
+    blobs = ctr_msgpack_export(rows.repartition(32, "chunk"), "chunk")
+    out = parse_ctr_msgpack_df(blobs.repartition(32))
+    return out.select(
+        "trace_id", "span_id", "parent_span_id", "name", "kind",
+        "trace_state", "start_time_unix_nano", "end_time_unix_nano",
+        "status_code", "status_message",
+        "dropped_attributes_count", "dropped_events_count",
+        "dropped_links_count",
+        F.get_json_object("attributes", "$.path").alias("path"),
+        F.get_json_object("attributes", "$.n").alias("n"),
+        F.get_json_object("resource_attributes", "$.host")
+        .alias("host"),
+        "resource_schema_url",
+        "resource_dropped_attributes_count",
+        "scope_name",
+        F.get_json_object("scope_attributes", "$.team").alias("team"),
+        "scope_dropped_attributes_count", "scope_schema_url",
+        F.get_json_object("events", "$[0].name").alias("ev_name"),
+        F.get_json_object("events", "$[0].time_unix_nano")
+        .alias("ev_ts"),
+        F.get_json_object("events", "$[0].attributes.i")
+        .alias("ev_i"),
+        F.get_json_object("events", "$[0].dropped_attributes_count")
+        .alias("ev_dac"),
+        F.get_json_object("links", "$[0].span_id").alias("lk_span"),
+        F.get_json_object("links", "$[0].dropped_attributes_count")
+        .alias("lk_dac"),
+    )
+
+
 def q_prom_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """in_prometheus_scrape exposition-text PARSE (the cmetrics
     cmt_decode_prometheus surface) run as a round-trip: the engine's
@@ -4834,6 +4941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 late additions, never driver-verified yet -> front
         "remote_write_encode": q_remote_write_encode,
         "cmt_msgpack_encode": q_cmt_msgpack_encode,
+        "ctr_msgpack_encode": q_ctr_msgpack_encode,
         "embedding_clusters": q_embedding_clusters,
         "hash_embed": q_hash_embed,
         "nats_encode": q_nats_encode,
@@ -5608,6 +5716,52 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "ctr_msgpack_encode": """
+            WITH base AS (
+                SELECT event_id AS e FROM events
+            )
+            SELECT lpad(lower(hex(e + 1)), 32, '0') AS trace_id,
+                   lpad(lower(hex(e * 7 + 1)), 16, '0') AS span_id,
+                   CASE WHEN e % 5 = 0 THEN NULL
+                        ELSE lpad(lower(hex(e * 3 + 2)), 16, '0')
+                   END AS parent_span_id,
+                   'op' || (e % 7) AS name,
+                   CAST(e % 6 AS INT) AS kind,
+                   CASE WHEN e % 4 = 0 THEN NULL
+                        ELSE 'st=x' || (e % 4) END AS trace_state,
+                   1700000000000000000 + e AS start_time_unix_nano,
+                   1700000000000000000 + e + 1000
+                       AS end_time_unix_nano,
+                   CAST(e % 3 AS INT) AS status_code,
+                   CASE WHEN e % 3 = 0 THEN NULL
+                        ELSE 'm' || (e % 3) END AS status_message,
+                   e % 4 AS dropped_attributes_count,
+                   e % 2 AS dropped_events_count,
+                   e % 3 AS dropped_links_count,
+                   'p' || (e % 5) AS path,
+                   CAST(e % 9 AS VARCHAR) AS n,
+                   'h' || (e % 5) AS host,
+                   'https://r' AS resource_schema_url,
+                   e % 3 AS resource_dropped_attributes_count,
+                   'svc' || (e % 3) AS scope_name,
+                   't' || (e % 7) AS team,
+                   1 AS scope_dropped_attributes_count,
+                   'https://s' AS scope_schema_url,
+                   CASE WHEN e % 2 = 0 THEN 'ev' END AS ev_name,
+                   CASE WHEN e % 2 = 0 THEN
+                       CAST(1700000000000000000 + e + 5 AS VARCHAR)
+                   END AS ev_ts,
+                   CASE WHEN e % 2 = 0 THEN CAST(e % 4 AS VARCHAR)
+                   END AS ev_i,
+                   CASE WHEN e % 2 = 0 THEN CAST(e % 3 AS VARCHAR)
+                   END AS ev_dac,
+                   CASE WHEN e % 3 = 0 THEN
+                       lpad(lower(hex(e * 7 + 1)), 16, '0')
+                   END AS lk_span,
+                   CASE WHEN e % 3 = 0 THEN CAST(e % 2 AS VARCHAR)
+                   END AS lk_dac
+            FROM base
+        """,
         "cmt_msgpack_encode": """
             WITH base AS (
                 SELECT event_id AS e,

@@ -792,6 +792,18 @@ def main() -> int:
         ("cmt_msgpack_encode: one exchange (chunk groupBy) + one "
          "Arrow stage (the decode half)", ok, ""))
 
+    # ctr_msgpack_encode: same chunked-export shape
+    p = plan_of(qs["ctr_msgpack_encode"](spark, sf_dir))
+    ok = ("BatchEvalPython" not in p
+          and "CartesianProduct" not in p
+          and p.count("hashpartitioning(") == 1
+          and len(re.findall(r"^\(\d+\) FlatMapGroupsInPandas", p, re.M))
+          == 1
+          and len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1)
+    checks.append(
+        ("ctr_msgpack_encode: one exchange (chunk groupBy) + one "
+         "Arrow stage (the decode half)", ok, ""))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
