@@ -6595,11 +6595,11 @@ def oracle_sql() -> dict[str, str]:
                                       AS VARCHAR) || '.0'
                             ELSE CAST((e % 100) / 2.0 AS VARCHAR)
                        END AS v_counter,
-                       CASE WHEN (e % 10) * 1.5 = floor((e % 10) * 1.5)
-                            THEN CAST(CAST((e % 10) * 1.5 AS BIGINT)
-                                      AS VARCHAR) || '.0'
-                            ELSE CAST((e % 10) * 1.5 AS VARCHAR)
-                       END AS v_hsum,
+                       -- _sum passes through a uint64_t in the C
+                       -- (format_histogram_bucket/_summary_metric),
+                       -- truncating 10.75 -> "10.0"
+                       CAST(CAST(floor((e % 10) * 1.5) AS BIGINT)
+                            AS VARCHAR) || '.0' AS v_hsum,
                        CASE WHEN (e % 9) / 4.0 = floor((e % 9) / 4.0)
                             THEN CAST(CAST((e % 9) / 4.0 AS BIGINT)
                                       AS VARCHAR) || '.0'
@@ -6610,11 +6610,8 @@ def oracle_sql() -> dict[str, str]:
                                       AS VARCHAR) || '.0'
                             ELSE CAST((e % 9) / 2.0 AS VARCHAR)
                        END AS v_q99,
-                       CASE WHEN (e % 11) * 0.5 = floor((e % 11) * 0.5)
-                            THEN CAST(CAST((e % 11) * 0.5 AS BIGINT)
-                                      AS VARCHAR) || '.0'
-                            ELSE CAST((e % 11) * 0.5 AS VARCHAR)
-                       END AS v_ssum,
+                       CAST(CAST(floor((e % 11) * 0.5) AS BIGINT)
+                            AS VARCHAR) || '.0' AS v_ssum,
                        ',"app":"api","shard":"s' || (e % 3)
                        || '","metric_type":"Histogram"}}' AS hl
                 FROM base

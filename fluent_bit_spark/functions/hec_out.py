@@ -273,10 +273,16 @@ def cmt_splunk_hec_events(
             F.lit('"'), labels, F.lit(',"metric_type":"Histogram"'),
         )),
     )
+    # reference bug kept: format_histogram_bucket and
+    # format_summary_metric declare `uint64_t metric_val`, so the
+    # double _sum value TRUNCATES to its integer part before
+    # double_to_string (10.75 -> "10.0", 6.5 -> "6.0"); bucket and
+    # quantile values go through a `double` and render exactly
     hist_out = hist.select(F.concat(
         F.array_join(bucket_events, ""),
         event(F.concat(mkey, F.lit('_sum":'),
-                       _hec_double(F.col("hist_sum")), labels,
+                       _hec_double(F.col("hist_sum").cast("long")),
+                       labels,
                        F.lit(',"metric_type":"Histogram"'))),
         event(F.concat(mkey, F.lit('_count":'),
                        _hec_double(F.col("hist_count")), labels,
@@ -299,7 +305,8 @@ def cmt_splunk_hec_events(
     summ_out = summ.select(F.concat(
         q_events,
         event(F.concat(mkey, F.lit('_sum":'),
-                       _hec_double(F.col("sum_sum")), labels,
+                       _hec_double(F.col("sum_sum").cast("long")),
+                       labels,
                        F.lit(',"metric_type":"Summary"'))),
         event(F.concat(mkey, F.lit('_count":'),
                        _hec_double(F.col("sum_count")), labels,

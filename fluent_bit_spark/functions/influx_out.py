@@ -215,8 +215,9 @@ def cmt_influx_lines(
       timestamp nanoseconds, newline-terminated upstream.
     - histogram (:49-108): fields ``<%g bound>=<count>`` per bucket
       plus ``+Inf=<count>``, then ``sum=<%.17g>,count=<u64>``; the
-      bucket values are the RAW per-bucket counts (not cumulative —
-      the prometheus encoder cumulates, this one does not).
+      bucket values are the stored bucket cells, which cmetrics
+      keeps cumulative at observe time (cmt_histogram.c:334) — every
+      encoder reads the same cells verbatim.
     - summary (:110-152): ``<%g quantile>=<%.17g value>`` pairs then
       sum/count; samples whose quantile set was never written are
       SKIPPED (format_metric :233 sum_quantiles_set check) — here,
