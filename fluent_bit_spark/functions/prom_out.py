@@ -53,11 +53,20 @@ def prometheus_text(
     value_col: str = "value",
     suffix_col: str | None = None,
     ts_ms_col: str | None = None,
+    static_labels: list[tuple[str, str]] | None = None,
+    lead_label: tuple[str, str] | None = None,
 ) -> DataFrame:
     """(ord, line) rows: 2 header lines then one sample per metric
     row. ``suffix_col`` appends a per-row series suffix (histogram
     _bucket/_sum/_count splits); ``ts_ms_col`` appends the optional
-    millisecond timestamp."""
+    millisecond timestamp. Label-group order follows the C
+    (cmt_encode_prometheus.c format_metric): the ``lead_label``
+    (le / quantile, a (name, column) pair — skipped on rows where
+    the column is null) first, then ``static_labels`` (cmt_label_add
+    config constants), then per-row ``label_cols`` — a NULL label
+    column is OMITTED from the group (the static sample prints only
+    the static labels), and the braces disappear entirely when no
+    label of any kind renders."""
     if mtype not in ("counter", "gauge", "histogram", "summary", "untyped"):
         raise ValueError(f"invalid metric type {mtype!r}")
     headers = spark.createDataFrame(
@@ -67,14 +76,24 @@ def prometheus_text(
     series = F.lit(name)
     if suffix_col:
         series = F.concat(series, F.col(suffix_col))
-    if label_cols:
-        pairs = [
-            F.concat(F.lit(f'{c}="'), _esc(F.col(c)), F.lit('"'))
-            for c in label_cols
-        ]
-        labels = F.concat(
-            F.lit("{"), F.concat_ws(",", *pairs), F.lit("}")
-        )
+    pair_exprs = []
+    if lead_label is not None:
+        lk, lc = lead_label
+        col = F.col(lc)
+        pair_exprs.append(F.when(col.isNotNull(), F.concat(
+            F.lit(f'{lk}="'), _esc(col), F.lit('"'))))
+    for k, v in (static_labels or []):
+        pair_exprs.append(F.lit(f'{k}="{v}"'))  # config constants
+    for c in label_cols:
+        col = F.col(c)
+        pair_exprs.append(F.when(col.isNotNull(), F.concat(
+            F.lit(f'{c}="'), _esc(col), F.lit('"'))))
+    if pair_exprs:
+        arr = F.array_compact(F.array(*pair_exprs))
+        labels = F.when(
+            F.size(arr) > 0,
+            F.concat(F.lit("{"), F.array_join(arr, ","), F.lit("}")),
+        ).otherwise(F.lit(""))
     else:
         labels = F.lit("")
     line = F.concat(series, labels, F.lit(" "), _render_value(F.col(value_col)))

@@ -223,3 +223,84 @@ def test_remote_write_matches_reference_bytes():
     mine = build_write_request(rows, static_labels=[("app", "api")],
                                now_ns=base + 1_000_000_000)
     assert mine == golden
+
+
+def _prom_family(spark, name, mtype, help_text, rows, label_col,
+                 static, lead=None, ts=True):
+    from fluent_bit_spark.functions.prom_out import prometheus_text
+
+    lc = label_col or "unused"
+    schema = (f"suffix string, lead string, {lc} string, "
+              "value double, ts_ms long")
+    df = spark.createDataFrame(rows, schema)
+    out = prometheus_text(
+        spark, df, name, mtype, help_text,
+        [label_col] if label_col else [],
+        suffix_col="suffix", ts_ms_col="ts_ms" if ts else None,
+        static_labels=static,
+        lead_label=lead)
+    lines = [r["line"] for r in out.collect()]
+    return sorted(lines)
+
+
+def test_prometheus_text_matches_reference(spark):
+    """cmt_encode_prometheus_create(add_timestamp=TRUE) golden:
+    %.17g values + ms timestamps, static labels after the le/
+    quantile lead label and before family labels, the static sample
+    printing only static labels, and %g+'.0' bucket captions
+    ("2.0")."""
+    ref = _read("cmt_prom_golden.txt").splitlines()
+    blocks: dict[str, list] = {}
+    fam = None
+    for ln in ref:
+        if ln.startswith("# HELP "):
+            fam = ln.split()[2]
+            blocks[fam] = []
+        blocks[fam].append(ln)
+    TS = 1700000000123
+    A = [("app", "api")]
+
+    def fam_rows(*rows):
+        return [tuple(r) + (TS,) for r in rows]
+
+    got = {
+        "fb_node_req_total": _prom_family(
+            spark, "fb_node_req_total", "counter", "Total requests",
+            fam_rows(("", None, None, 4.0), ("", None, "/a", 7.5),
+                     ("", None, "/b", 9.0)),
+            "path", A),
+        "fb_mem": _prom_family(
+            spark, "fb_mem", "gauge", "-",
+            fam_rows(("", None, "h0", 33.25)), "host", A),
+        "fb_node_rt": _prom_family(
+            spark, "fb_node_rt", "summary", "rt sum",
+            fam_rows(("", "0.5", "a1", 1.25), ("", "0.99", "a1", 4.75),
+                     ("_sum", None, "a1", 6.5),
+                     ("_count", None, "a1", 3.0)),
+            "app", A, lead=("quantile", "lead")),
+        "fb_node_lat": _prom_family(
+            spark, "fb_node_lat", "histogram", "lat h",
+            fam_rows(("_bucket", "0.5", "s0", 1.0),
+                     ("_bucket", "2.0", "s0", 2.0),
+                     ("_bucket", "+Inf", "s0", 3.0),
+                     ("_sum", None, "s0", 10.75),
+                     ("_count", None, "s0", 3.0)),
+            "shard", A, lead=("le", "lead")),
+        "raw": _prom_family(
+            spark, "raw", "untyped", "d",
+            fam_rows(("", None, None, 2.5)), None, A),
+    }
+    for famname, lines in blocks.items():
+        assert got[famname] == sorted(lines), famname
+
+
+def test_prometheus_text_no_timestamp_matches_reference(spark):
+    ref = [ln for ln in
+           _read("cmt_prom_nots_golden.txt").splitlines()
+           if ln.startswith("fb_mem")]
+    got = _prom_family(
+        spark, "fb_mem", "gauge", "-",
+        [("", None, "h0", 33.25, 1700000000123)], "host",
+        [("app", "api")], ts=False)
+    got = [ln for ln in got if ln.startswith("fb_mem{")]
+    assert got == ref
