@@ -601,13 +601,19 @@ def _enc_summary_point(
 _TEMPORALITY_ENC = {"delta": 1, "cumulative": 2}
 
 
-def _sample_labels(metric: dict, sample: dict) -> list:
+def _sample_labels(metric: dict, sample: dict,
+                   static_labels: list = ()) -> list:
     # append_sample_to_metric :2343-2372: label_keys walked in order,
-    # zipped against the sample's (possibly shorter) value list.
-    return list(zip(metric["label_keys"], sample["label_values"]))
+    # zipped against the sample's (possibly shorter) value list; the
+    # context STATIC labels (cmt_label_add) lead every point's
+    # attribute list in the C output (observed byte-level against the
+    # compiled reference encoder).
+    return list(static_labels) + list(
+        zip(metric["label_keys"], sample["label_values"]))
 
 
-def _enc_metric(metric: dict, kind: str) -> bytes:
+def _enc_metric(metric: dict, kind: str,
+                static_labels: list = ()) -> bytes:
     body = _ld(1, metric["name"].encode("utf-8"))
     if metric.get("description"):
         body += _ld(2, metric["description"].encode("utf-8"))
@@ -619,7 +625,7 @@ def _enc_metric(metric: dict, kind: str) -> bytes:
     if kind in ("counter", "gauge", "untyped"):
         for s in samples:
             inner_pt = _enc_number_point(
-                s["ts"], s["value"], _sample_labels(metric, s)
+                s["ts"], s["value"], _sample_labels(metric, s, static_labels)
             )
             inner += _ld(1, inner_pt)
         if kind == "counter":
@@ -641,7 +647,7 @@ def _enc_metric(metric: dict, kind: str) -> bytes:
                     s["sum"],
                     quantiles,
                     s["quantile_values"],
-                    _sample_labels(metric, s),
+                    _sample_labels(metric, s, static_labels),
                 ),
             )
         return body + _ld(11, bytes(inner))
@@ -657,7 +663,7 @@ def _enc_metric(metric: dict, kind: str) -> bytes:
                 s["sum"],
                 s["bucket_counts"],
                 bounds,
-                _sample_labels(metric, s),
+                _sample_labels(metric, s, static_labels),
             ),
         )
     return body + _ld(9, bytes(inner))
@@ -668,6 +674,7 @@ def encode_metrics_payload(ctx: dict) -> bytes:
     ScopeMetrics, metrics ordered counters/gauges/untyped/summaries/
     histograms)."""
     metrics = bytearray()
+    static_labels = [tuple(p) for p in ctx.get("static_labels") or []]
     for kind, key in (
         ("counter", "counters"),
         ("gauge", "gauges"),
@@ -679,7 +686,8 @@ def encode_metrics_payload(ctx: dict) -> bytes:
             has_samples = metric.get("static_set") or metric["samples"]
             if not has_samples:  # pack_basic_type :2405-2408
                 continue
-            metrics += _ld(2, _enc_metric(metric, kind))
+            metrics += _ld(2, _enc_metric(metric, kind,
+                                          static_labels))
     scope = ctx.get("scope") or {}
     scope_body = bytearray()
     if scope.get("name"):
@@ -690,7 +698,11 @@ def encode_metrics_payload(ctx: dict) -> bytes:
         scope_body += _ld(3, _encode_keyvalue(k, v))
     if scope.get("dropped"):
         scope_body += _enc_uvarint(4 << 3 | 0) + _enc_uvarint(scope["dropped"])
-    scope_metrics = _ld(1, bytes(scope_body)) + bytes(metrics)
+    # protobuf-c omits empty submessages: no scope/resource field at
+    # all when nothing is set (byte-matched against the compiled
+    # reference encoder)
+    scope_metrics = (_ld(1, bytes(scope_body)) if scope_body else b"") \
+        + bytes(metrics)
     if ctx.get("scope_schema_url"):
         scope_metrics += _ld(3, ctx["scope_schema_url"].encode("utf-8"))
     resource = bytearray()
@@ -700,7 +712,8 @@ def encode_metrics_payload(ctx: dict) -> bytes:
         resource += _enc_uvarint(2 << 3 | 0) + _enc_uvarint(
             ctx["resource_dropped"]
         )
-    rm = _ld(1, bytes(resource)) + _ld(2, scope_metrics)
+    rm = (_ld(1, bytes(resource)) if resource else b"") \
+        + _ld(2, scope_metrics)
     if ctx.get("resource_schema_url"):
         rm += _ld(3, ctx["resource_schema_url"].encode("utf-8"))
     return _ld(1, rm)

@@ -304,3 +304,61 @@ def test_prometheus_text_no_timestamp_matches_reference(spark):
         [("app", "api")], ts=False)
     got = [ln for ln in got if ln.startswith("fb_mem{")]
     assert got == ref
+
+
+def test_otlp_metrics_encode_matches_reference_bytes():
+    """cmt_encode_opentelemetry_create golden: BYTE-identical
+    MetricsData — context static labels lead every data point's
+    attribute list, empty resource/scope submessages are omitted
+    entirely (protobuf-c skips unset members), counter temporality +
+    is_monotonic, summary count as fixed64 with quantile pairs, and
+    histogram bucket cells + bounds as packed arrays."""
+    from fluent_bit_spark.functions.otlp_metrics import (
+        _new_metric,
+        encode_metrics_payload,
+    )
+
+    golden = _read("otlp_metrics_golden.bin", "rb")
+
+    def metric(name, desc, keys, samples, static=None, **extra):
+        m = _new_metric(name, desc)
+        m["label_keys"] = keys
+        m.update(extra)
+        if static is not None:
+            m["static_set"] = True
+            static["label_values"] = []
+            m["static_sample"] = static
+        m["samples"] = samples
+        return m
+
+    T = B
+    ctx = {
+        "static_labels": [("app", "api")],
+        "counters": [metric(
+            "fb_node_req_total", "Total requests", ["path"],
+            [{"ts": T, "value": 7.5, "label_values": ["/a"]},
+             {"ts": T + 1, "value": 9.0, "label_values": ["/b"]}],
+            static={"ts": T + 2, "value": 4.0},
+            temporality="cumulative", allow_reset=False)],
+        "gauges": [metric(
+            "fb_mem", "-", ["host"],
+            [{"ts": T + 3, "value": 33.25, "label_values": ["h0"]}])],
+        "untyped": [metric(
+            "raw", "d", [], [],
+            static={"ts": T + 4, "value": 2.5})],
+        "summaries": [metric(
+            "fb_node_rt", "rt sum", ["app"],
+            [{"ts": T + 5, "quantile_values": [1.25, 4.75],
+              "sum": 6.5, "count": 3, "label_values": ["a1"]}],
+            quantiles=[0.5, 0.99])],
+        "histograms": [metric(
+            "fb_node_lat", "lat h", ["shard"],
+            [{"ts": T + 6, "bucket_counts": [1, 2, 3], "sum": 10.75,
+              "count": 3, "label_values": ["s0"]}],
+            bounds=[0.5, 2.0])],
+        "scope": {"name": None, "version": None, "dropped": 0,
+                  "attrs": {}},
+        "scope_schema_url": None, "resource_attrs": {},
+        "resource_dropped": 0, "resource_schema_url": None,
+    }
+    assert encode_metrics_payload(ctx) == golden
