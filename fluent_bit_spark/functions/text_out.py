@@ -204,10 +204,23 @@ def _span_kind_line(kind: Column) -> Column:
     )
 
 
-def _event_blocks(events: Column) -> Column:
+def _event_blocks(events: Column, with_attrs: bool = False) -> Column:
     """format_event (ctr_encode_text.c:148-177) at span level
-    (min=13): leading newline, name at 17, fields at 21; the span
-    row model carries no per-event attributes (``none``)."""
+    (min=13): leading newline, name at 17, fields at 21; event
+    attributes (when the struct carries an ``attrs`` array) render
+    as a block at 25, otherwise ``none`` (ctr_attributes_count
+    check :166-175)."""
+
+    def attrs_tail(ev):
+        if not with_attrs:
+            return F.lit("\n                     - attributes: none\n")
+        return F.when(
+            F.size(F.coalesce(ev["attrs"], F.array())) > 0,
+            F.concat(F.lit("\n                     - attributes:"),
+                     _attr_lines(ev["attrs"], 21)),
+        ).otherwise(
+            F.lit("\n                     - attributes: none\n"))
+
     return F.array_join(
         F.transform(
             events,
@@ -219,11 +232,44 @@ def _event_blocks(events: Column) -> Column:
                 F.lit("\n                     "
                       "- dropped_attributes_count: "),
                 ev["dropped"].cast("string"),
-                F.lit("\n                     - attributes: none\n"),
+                attrs_tail(ev),
             ),
         ),
         "",
     )
+
+
+def _link_blocks(links: Column) -> Column:
+    """Span link entries (format_span link loop): ``- link:`` at 17,
+    fields at 21 — ids fall back to the F1BI7 defaults, a NULL
+    trace_state prints the glibc ``(null)``, and the dropped counter
+    line is labeled ``dropped_events_count`` while printing the
+    link's dropped_ATTR_count (reference mislabel kept). Link
+    attributes render at 25 or ``none`` when the attr list is
+    NULL."""
+    pad = "                     "  # 21
+
+    def one(lk):
+        attrs = F.when(
+            lk["attrs"].isNotNull(),
+            F.concat(F.lit("\n" + pad + "- attributes           : "),
+                     _attr_lines(lk["attrs"], 21)),
+        ).otherwise(
+            F.lit("\n" + pad + "- attributes           : none\n"))
+        return F.concat(
+            F.lit("                 - link:\n" + pad
+                  + "- trace_id             : "),
+            F.coalesce(lk["trace_id_hex"], F.lit(_TRACE_ID_DEFAULT)),
+            F.lit("\n" + pad + "- span_id              : "),
+            F.coalesce(lk["span_id_hex"], F.lit(_SPAN_ID_DEFAULT)),
+            F.lit("\n" + pad + "- trace_state          : "),
+            F.coalesce(lk["trace_state"], F.lit("(null)")),
+            F.lit("\n" + pad + "- dropped_events_count : "),
+            lk["dropped"].cast("string"),
+            attrs,
+        )
+
+    return F.array_join(F.transform(links, one), "")
 
 
 def ctr_text_blocks(
@@ -233,6 +279,14 @@ def ctr_text_blocks(
     scope_name: Column | str = "",
     scope_version: Column | str = "",
     order_col: str = "span_order",
+    resource_dropped: Column | int = 0,
+    resource_schema_url: Column | str | None = None,
+    scope_dropped: Column | int = 0,
+    scope_attrs: Column | None = None,
+    scope_schema_url: Column | str | None = None,
+    links_col: str | None = None,
+    span_schema_url_col: str | None = None,
+    events_have_attrs: bool = False,
 ) -> DataFrame:
     """ctraces -> debug text (ctr_encode_text_create), the TRACES
     event path of out_stdout: one RESOURCE SPAN block per group with
@@ -275,7 +329,7 @@ def ctr_text_blocks(
     events_part = F.when(
         F.size(F.col("events")) > 0,
         F.concat(F.lit(min_pad + "- events: "),
-                 _event_blocks(F.col("events"))),
+                 _event_blocks(F.col("events"), events_have_attrs)),
     ).otherwise(F.lit(min_pad + "- events: none\n"))
 
     body = F.concat(
@@ -295,35 +349,69 @@ def ctr_text_blocks(
         F.lit("\n" + min_pad + "- dropped_links_count     : "),
         F.col("dropped_links").cast("string"),
         F.lit("\n" + min_pad + "- trace_state             : "),
-        F.col("trace_state"),
+        # glibc printf renders a NULL %s as "(null)" — the C passes
+        # span->trace_state unchecked (format_span :252)
+        F.coalesce(F.col("trace_state"), F.lit("(null)")),
         F.lit("\n"),
+        (F.when(F.col(span_schema_url_col).isNotNull(), F.concat(
+            F.lit(min_pad + "- schema_url              : "),
+            F.col(span_schema_url_col), F.lit("\n"),
+        )).otherwise(F.lit("")) if span_schema_url_col
+         else F.lit("")),
         status,
         attrs_part,
         events_part,
         F.lit(min_pad + "- [links]\n"),
+        (_link_blocks(F.col(links_col)) if links_col
+         else F.lit("")),
     )
     rows = df.withColumn("_ctr_body", body)
 
+    res_dropped = (F.lit(resource_dropped)
+                   if isinstance(resource_dropped, int)
+                   else resource_dropped)
     if resource_attrs is not None:
         res_block = F.concat(
             F.lit("  resource:\n     - attributes:"),
             _attr_lines(resource_attrs, 8),
-            F.lit("     - dropped_attributes_count: 0\n"),
+            F.lit("     - dropped_attributes_count: "),
+            res_dropped.cast("string"), F.lit("\n"),
         )
     else:
         res_block = F.lit("  resource: {}\n")
-    res_block = F.concat(res_block, F.lit('     - schema_url: ""\n'))
+    if resource_schema_url is None:
+        res_url = F.lit('""')
+    elif isinstance(resource_schema_url, str):
+        res_url = F.lit(resource_schema_url)
+    else:
+        res_url = F.coalesce(resource_schema_url, F.lit('""'))
+    res_block = F.concat(res_block, F.lit("     - schema_url: "),
+                         res_url, F.lit("\n"))
     sname = F.lit(scope_name) if isinstance(scope_name, str) \
         else scope_name
     sver = F.lit(scope_version) if isinstance(scope_version, str) \
         else scope_version
+    sdrop = (F.lit(scope_dropped) if isinstance(scope_dropped, int)
+             else scope_dropped)
+    if scope_attrs is not None:
+        sattrs = F.concat(F.lit("        - attributes:"),
+                          _attr_lines(scope_attrs, 8))
+    else:
+        sattrs = F.lit("        - attributes: undefined\n")
+    if scope_schema_url is None:
+        surl = F.lit('""')
+    elif isinstance(scope_schema_url, str):
+        surl = F.lit(scope_schema_url)
+    else:
+        surl = F.coalesce(scope_schema_url, F.lit('""'))
     scope_block = F.concat(
         F.lit("  [scope_span]\n    instrumentation scope:\n"
               "        - name                    : "), sname,
         F.lit("\n        - version                 : "), sver,
-        F.lit("\n        - dropped_attributes_count: 0\n"
-              "        - attributes: undefined\n"
-              '    schema_url: ""\n    [spans]\n'),
+        F.lit("\n        - dropped_attributes_count: "),
+        sdrop.cast("string"), F.lit("\n"),
+        sattrs,
+        F.lit("    schema_url: "), surl, F.lit("\n    [spans]\n"),
     )
     rows = rows.withColumn("_ctr_res", res_block) \
                .withColumn("_ctr_scope", scope_block)

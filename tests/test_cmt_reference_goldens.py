@@ -362,3 +362,88 @@ def test_otlp_metrics_encode_matches_reference_bytes():
         "resource_dropped": 0, "resource_schema_url": None,
     }
     assert encode_metrics_payload(ctx) == golden
+
+
+def test_ctr_text_matches_reference(spark):
+    """ctr_encode_text_create golden from the compiled reference:
+    full resource/scope blocks with attributes + dropped counts +
+    schema urls, link entries with the F1BI7 default-id constants
+    and the dropped_events_count label that actually prints the
+    link's dropped_attr_count, event attribute blocks, the glibc
+    "(null)" for a NULL trace_state, and kind names."""
+    from fluent_bit_spark.functions.text_out import ctr_text_blocks
+
+    ref = _read("ctr_text_golden.txt")
+    A = lambda k, s=None, i=None, d=None, b=None: {
+        "key": k, "s": s, "i": i, "d": d, "b": b}
+    TID = "000102030405060708090a0b0c0d0eff"
+    SID = "aabbccddeeff0011"
+    spans = [
+        {"grp": "g", "span_order": 0, "name": "GET /x",
+         "trace_id_hex": TID, "span_id_hex": SID,
+         "parent_span_id_hex": None, "kind": 2,
+         "start_nanos": 1700000000000000100,
+         "end_nanos": 1700000000000000900,
+         "dropped_attr": 2, "dropped_events": 0, "dropped_links": 0,
+         "trace_state": "k=v", "status_code": 2,
+         "status_message": "boom", "schema_url": None,
+         "attrs": [A("http.method", s="GET"), A("dur", d=0.75),
+                   A("code", i=200), A("ok", b=True)],
+         "events": [{"name": "retry", "ts": 1700000000000000500,
+                     "dropped": 4,
+                     "attrs": [A("why", s="timeout")]}],
+         "links": [{"trace_id_hex": TID, "span_id_hex": SID,
+                    "trace_state": "w=z", "dropped": 5,
+                    "attrs": None}]},
+        {"grp": "g", "span_order": 1, "name": "sub",
+         "trace_id_hex": None, "span_id_hex": None,
+         "parent_span_id_hex": SID, "kind": 1,
+         "start_nanos": 1700000000000001000,
+         "end_nanos": 1700000000000001100,
+         "dropped_attr": 0, "dropped_events": 0, "dropped_links": 0,
+         "trace_state": None, "status_code": 0,
+         "status_message": None, "schema_url": None,
+         "attrs": [], "events": [], "links": []},
+    ]
+    attr_t = "struct<key:string,s:string,i:long,d:double,b:boolean>"
+    schema = (
+        "grp string, span_order int, name string, trace_id_hex "
+        "string, span_id_hex string, parent_span_id_hex string, "
+        "kind int, start_nanos long, end_nanos long, dropped_attr "
+        "long, dropped_events long, dropped_links long, trace_state "
+        "string, status_code int, status_message string, schema_url "
+        f"string, attrs array<{attr_t}>, events array<struct<"
+        f"name:string,ts:long,dropped:long,attrs:array<{attr_t}>>>, "
+        "links array<struct<trace_id_hex:string,span_id_hex:string,"
+        f"trace_state:string,dropped:long,attrs:array<{attr_t}>>>"
+    )
+    df = spark.createDataFrame(spans, schema)
+    out = ctr_text_blocks(
+        df, ["grp"],
+        resource_attrs=F.array(
+            F.struct(F.lit("host.name").alias("key"),
+                     F.lit("web-1").alias("s"),
+                     F.lit(None).cast("long").alias("i"),
+                     F.lit(None).cast("double").alias("d"),
+                     F.lit(None).cast("boolean").alias("b")),
+            F.struct(F.lit("pid").alias("key"),
+                     F.lit(None).cast("string").alias("s"),
+                     F.lit(4242).cast("long").alias("i"),
+                     F.lit(None).cast("double").alias("d"),
+                     F.lit(None).cast("boolean").alias("b"))),
+        scope_name="svc", scope_version="1.2",
+        resource_dropped=1,
+        resource_schema_url="https://schema/r1",
+        scope_dropped=3,
+        scope_attrs=F.array(
+            F.struct(F.lit("inst").alias("key"),
+                     F.lit(None).cast("string").alias("s"),
+                     F.lit(None).cast("long").alias("i"),
+                     F.lit(None).cast("double").alias("d"),
+                     F.lit(True).alias("b"))),
+        scope_schema_url="https://schema/s1",
+        links_col="links", span_schema_url_col="schema_url",
+        events_have_attrs=True,
+    )
+    [row] = out.collect()
+    assert row["text"] == ref
