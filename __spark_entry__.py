@@ -2113,6 +2113,127 @@ def q_http_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s3_key_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """out_s3 object-key template rendered IN-PLAN per row
+    (src/aws/flb_aws_util.c:814-1010 flb_get_s3_key via
+    sinks.s3_key_col): $TAG[n] split on any delimiter char, a
+    missing-part token degrading to '<tag>[n]' via the no-boundary
+    whole-$TAG pass, $TAG, $INDEX, injected $UUID
+    (deterministic md5 prefix), strftime over the template segments
+    (UTC gmtime) — the partitioned object layout a 10^12-row delivery
+    computes with zero driver involvement."""
+    from fluent_bit_spark.sinks import s3_key_col
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    tag = F.concat(F.lit("app."), F.col("event_type"),
+                   F.lit("-node"), (e % 7).cast("string"))
+    key = s3_key_col(
+        "/logs/$TAG[0]/$TAG[1]/%Y/%m/%d/%H/$TAG-$INDEX-$UUID-$TAG[5].gz",
+        F.col("ts"), tag, tag_delimiter=".-",
+        seq_index_col=e % 100,
+        uuid_col=F.substring(F.md5(e.cast("string")), 1, 8),
+    )
+    return ev.select("event_id", key.alias("key"))
+
+
+def q_host_cpu_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_cpu percent math, fleet-columnar (plugins/in_cpu/cpu.c:
+    250-307; cpu.h:95 CPU_METRIC_SYS_AVERAGE for the aggregate
+    'cpu ' line, :113 CPU_METRIC_USAGE per-core, equal-counters ->
+    exactly 0.0): snapshot pairs synthesized per event, ~9% of rows
+    exercising the short-circuit, all whole-stage codegen."""
+    from fluent_bit_spark.sources.hostmetrics import cpu_percent_df
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    base = ev.select(
+        e.alias("event_id"),
+        F.concat(F.lit("h"), (e % 16).cast("string")).alias("host"),
+        (e % 5).alias("cpu_idx"),
+        F.lit(4).cast("long").alias("n_cores"),
+        ((e % 1000) * 7).alias("pu"),
+        (e % 97).alias("pn"),
+        ((e % 211) * 3).alias("ps"),
+    )
+    snaps = base.select(
+        "*",
+        F.when(e % 11 == 0, F.col("pu"))
+        .otherwise(F.col("pu") + (e % 13) * 5).alias("nu"),
+        F.when(e % 11 == 0, F.col("pn"))
+        .otherwise(F.col("pn") + (e % 3)).alias("nn"),
+        F.when(e % 11 == 0, F.col("ps"))
+        .otherwise(F.col("ps") + (e % 17) * 2).alias("ns"),
+    )
+    out = cpu_percent_df(snaps)
+    return out.select(
+        "event_id", "host", "cpu_idx",
+        F.round("p_cpu", 6).alias("p_cpu"),
+        F.round("p_user", 6).alias("p_user"),
+        F.round("p_system", 6).alias("p_system"),
+    )
+
+
+def q_socket_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_tcp/in_udp/in_unix_socket format-none framing
+    (plugins/in_tcp/tcp_conn.c:36-250 via socket_in.parse_separated):
+    separator-terminated chunks become records (EMPTY chunks kept —
+    a bare separator is a legal empty message), the unterminated
+    tail is transport buffering and is dropped; a chunk ending clean
+    drops nothing. Pure split/slice/explode — no UDF."""
+    from fluent_bit_spark.sources.socket_in import parse_separated
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    data = F.concat(
+        F.lit("r"), e.cast("string"), F.lit("a\n"),
+        F.when(e % 4 == 0, F.lit("\n")).otherwise(F.lit("")),
+        F.lit("r"), e.cast("string"), F.lit("b\n"),
+        # every 7th capture ends on a record boundary (no tail)
+        F.when(e % 7 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("tail"), e.cast("string"))),
+    )
+    framed = parse_separated(
+        ev.select("event_id", data.alias("data")), "data", "\n", "log")
+    return framed.select("event_id", "log")
+
+
+def q_hec_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_splunk HEC JSON endpoint parse (plugins/in_splunk/
+    splunk_prot.c:293-435 process_hec_payload via api_in.
+    parse_hec_json): a map body is one event, an array body emits
+    each map element, concatenated maps are appended verbatim, and
+    tag_key routes per record only when the value is a STRING (a
+    numeric tag falls back to the connection tag)."""
+    from fluent_bit_spark.sources.api_in import parse_hec_json
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    es = e.cast("string")
+    body = (
+        F.when(e % 3 == 0, F.concat(
+            F.lit('{"a":'), es, F.lit(',"t":"tg'),
+            (e % 4).cast("string"), F.lit('"}')))
+        .when(e % 3 == 1, F.concat(
+            F.lit('[{"x":'), es, F.lit('},{"t":5,"x":'), es,
+            F.lit("}]")))
+        .otherwise(F.concat(
+            F.lit('{"p":'), es, F.lit('} {"q":'), es, F.lit("}")))
+    )
+    src = ev.select(
+        body.alias("body"),
+        F.concat(F.lit("hec."), F.col("event_type")).alias("tag0"),
+    )
+    out = parse_hec_json(src, "body", tag_col="tag0", tag_key="t")
+    return out.select(
+        "tag",
+        F.get_json_object("record", "$.a").cast("long").alias("a"),
+        F.get_json_object("record", "$.x").cast("long").alias("x"),
+        F.get_json_object("record", "$.p").cast("long").alias("p"),
+        F.get_json_object("record", "$.q").cast("long").alias("q"),
+    )
+
+
 def q_azure_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """out_azure Log Analytics body records (plugins/out_azure/
     azure.c:55-160): @timestamp prepended as epoch double, or ISO8601
@@ -4962,6 +5083,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kusto_encode": q_kusto_encode,
         "websocket_encode": q_websocket_encode,
         "semdedup": q_semdedup,
+        # round-5 in-round additions (never driver-verified -> front)
+        "s3_key_format": q_s3_key_format,
+        "host_cpu_percent": q_host_cpu_percent,
+        "socket_framing": q_socket_framing,
+        "hec_json_parse": q_hec_json_parse,
         # bpe_tokenize is rows-only by design (the BPE merge walk is not
         # SQL-expressible) so it can never earn a hash row — it stays in
         # the never-hash-verified front block per test_registry.py
@@ -6993,6 +7119,84 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'logs_' || event_type, CAST(NULL AS VARCHAR), event_id
             FROM events
+        """,
+        "s3_key_format": """
+            SELECT event_id,
+                   '/logs/app/' || event_type || '/'
+                   || strftime(ts, '%Y/%m/%d/%H') || '/app.'
+                   || event_type || '-node' || (event_id % 7)
+                   || '-' || (event_id % 100) || '-'
+                   || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                   -- missing $TAG[5]: the whole-$TAG pass rewrites
+                   -- the token's prefix (no-boundary C replace)
+                   || '-app.' || event_type || '-node' || (event_id % 7)
+                   || '[5].gz' AS key
+            FROM events
+        """,
+        "host_cpu_percent": """
+            WITH s AS (
+              SELECT event_id AS e,
+                     'h' || (event_id % 16) AS host,
+                     event_id % 5 AS cpu_idx, 4 AS n_cores,
+                     (event_id % 1000) * 7 AS pu,
+                     event_id % 97 AS pn,
+                     (event_id % 211) * 3 AS ps
+              FROM events),
+            s2 AS (
+              SELECT *,
+                CASE WHEN e % 11 = 0 THEN pu
+                     ELSE pu + (e % 13) * 5 END AS nu,
+                CASE WHEN e % 11 = 0 THEN pn
+                     ELSE pn + (e % 3) END AS nn,
+                CASE WHEN e % 11 = 0 THEN ps
+                     ELSE ps + (e % 17) * 2 END AS ns
+              FROM s)
+            SELECT e AS event_id, host, cpu_idx,
+              round(CASE
+                WHEN (pu+pn+ps) = (nu+nn+ns) THEN 0.0
+                WHEN cpu_idx = 0 THEN
+                  ((abs((nu+nn+ns)-(pu+pn+ps)) / 100.0 * 100)
+                   / n_cores) / 1.0
+                ELSE (abs((nu+nn+ns)-(pu+pn+ps)) * 100 / 100.0) / 1.0
+              END, 6) AS p_cpu,
+              round(CASE
+                WHEN (pu+pn) = (nu+nn) THEN 0.0
+                WHEN cpu_idx = 0 THEN
+                  ((abs((nu+nn)-(pu+pn)) / 100.0 * 100) / n_cores) / 1.0
+                ELSE (abs((nu+nn)-(pu+pn)) * 100 / 100.0) / 1.0
+              END, 6) AS p_user,
+              round(CASE
+                WHEN ps = ns THEN 0.0
+                WHEN cpu_idx = 0 THEN
+                  ((abs(ns-ps) / 100.0 * 100) / n_cores) / 1.0
+                ELSE (abs(ns-ps) * 100 / 100.0) / 1.0
+              END, 6) AS p_system
+            FROM s2
+        """,
+        "socket_framing": """
+            SELECT event_id, 'r' || event_id || 'a' AS log FROM events
+            UNION ALL
+            SELECT event_id, '' FROM events WHERE event_id % 4 = 0
+            UNION ALL
+            SELECT event_id, 'r' || event_id || 'b' FROM events
+        """,
+        "hec_json_parse": """
+            SELECT 'tg' || (event_id % 4) AS tag, event_id AS a,
+                   CAST(NULL AS BIGINT) AS x, CAST(NULL AS BIGINT) AS p,
+                   CAST(NULL AS BIGINT) AS q
+            FROM events WHERE event_id % 3 = 0
+            UNION ALL
+            SELECT 'hec.' || event_type, NULL, event_id, NULL, NULL
+            FROM events WHERE event_id % 3 = 1
+            UNION ALL
+            SELECT 'hec.' || event_type, NULL, event_id, NULL, NULL
+            FROM events WHERE event_id % 3 = 1
+            UNION ALL
+            SELECT 'hec.' || event_type, NULL, NULL, event_id, NULL
+            FROM events WHERE event_id % 3 = 2
+            UNION ALL
+            SELECT 'hec.' || event_type, NULL, NULL, NULL, event_id
+            FROM events WHERE event_id % 3 = 2
         """,
         "azure_encode": """
             SELECT event_id,

@@ -234,3 +234,94 @@ def s3_key(
         rnd = uuid8 if uuid8 is not None else _uuid.uuid4().hex[:8]
         key = key.replace("$UUID", rnd)
     return _time.strftime(key, _time.gmtime(time_epoch))
+
+
+# strftime -> Spark date_format token map for the subset out_s3 key
+# layouts use in practice (the reference hands the whole key to
+# strftime(3); tokens outside this map are kept literal, matching
+# glibc's pass-through of unknown conversions)
+_STRFTIME_JAVA = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd",
+    "H": "HH", "M": "mm", "S": "ss", "j": "DDD",
+}
+
+
+def s3_key_col(
+    format: str,
+    ts_col: Column,
+    tag_col: Column,
+    tag_delimiter: str = ".",
+    seq_index_col: Column | None = None,
+    uuid_col: Column | None = None,
+) -> Column:
+    """Columnar ``s3_key`` — renders the out_s3 object-key template
+    (/root/reference/src/aws/flb_aws_util.c:814-1010 flb_get_s3_key)
+    per ROW so the partitioned object layout for a 10^12-row delivery
+    is computed in-plan (whole-stage codegen, no driver loop):
+    ``$TAG[0..9]`` from the tag split on any delimiter char (a token
+    whose part doesn't exist stays literal, like the reference's
+    replace-if-present), ``$TAG``, ``$INDEX`` from ``seq_index_col``,
+    ``$UUID`` from ``uuid_col`` (injectable -> deterministic layouts),
+    then the strftime pass over the template's literal segments
+    (UTC, like the reference's gmtime).
+
+    Deviation vs the driver-side twin: substituted VALUES are not
+    re-scanned for tokens or strftime conversions (single-pass over
+    the template; a tag containing ``%`` or ``$INDEX`` is kept
+    verbatim) — the template itself drives the layout, as in every
+    layout the reference ships."""
+    parts = F.split(tag_col, "[" + re.escape(tag_delimiter) + "]")
+    # the reference drops empty split parts before indexing
+    parts = F.filter(parts, lambda x: x != "")
+
+    def render_literal(seg: str) -> list[Column]:
+        out: list[Column] = []
+        lit_buf = []
+        i = 0
+        while i < len(seg):
+            if seg[i] == "%" and i + 1 < len(seg):
+                conv = seg[i + 1]
+                if conv == "%":
+                    lit_buf.append("%")
+                    i += 2
+                    continue
+                java = _STRFTIME_JAVA.get(conv)
+                if java is not None:
+                    if lit_buf:
+                        out.append(F.lit("".join(lit_buf)))
+                        lit_buf = []
+                    out.append(F.date_format(ts_col, java))
+                    i += 2
+                    continue
+            lit_buf.append(seg[i])
+            i += 1
+        if lit_buf:
+            out.append(F.lit("".join(lit_buf)))
+        return out
+
+    pieces: list[Column] = []
+    for token in re.split(r"(\$TAG\[[0-9]\]|\$TAG|\$INDEX|\$UUID)", format):
+        if not token:
+            continue
+        m = re.fullmatch(r"\$TAG\[([0-9])\]", token)
+        if m:
+            idx = int(m.group(1))
+            # try_element_at: NULL (not an ANSI error) past the end.
+            # A missing part leaves the token in place, and the later
+            # whole-$TAG replacement then rewrites its PREFIX (the C
+            # token replace has no word boundary) -> '<tag>[i]'
+            pieces.append(F.coalesce(
+                F.try_element_at(parts, F.lit(idx + 1)),
+                F.concat(tag_col, F.lit(f"[{idx}]"))))
+        elif token == "$TAG":
+            pieces.append(tag_col)
+        elif token == "$INDEX":
+            pieces.append(
+                seq_index_col.cast("string") if seq_index_col is not None
+                else F.lit("$INDEX"))
+        elif token == "$UUID":
+            pieces.append(
+                uuid_col if uuid_col is not None else F.lit("$UUID"))
+        else:
+            pieces.extend(render_literal(token))
+    return F.concat(*pieces) if pieces else F.lit("")

@@ -98,6 +98,46 @@ def cpu_percent_record(
     return rec
 
 
+def cpu_percent_df(
+    df,
+    idx_col: str = "cpu_idx",
+    pre_cols: tuple[str, str, str] = ("pu", "pn", "ps"),
+    now_cols: tuple[str, str, str] = ("nu", "nn", "ns"),
+    n_cores_col: str = "n_cores",
+    interval_sec: float = 1.0,
+    cpu_ticks: int = 100,
+):
+    """Columnar in_cpu percent math: one row per /proc/stat cpu line
+    PAIR (previous + current snapshot), fleet-scale — the driver-side
+    ``cpu_percent_record`` samples ONE host; this evaluates the same
+    macros (cpu.h:95 CPU_METRIC_SYS_AVERAGE for the aggregate line
+    ``idx_col == 0``, :113 CPU_METRIC_USAGE for per-core lines, both
+    with the equal-counters -> exactly 0.0 short-circuit) over a
+    DataFrame of snapshot pairs collected from any number of hosts.
+    Adds p_cpu / p_user / p_system; all whole-stage-codegen
+    arithmetic, no UDF."""
+    from pyspark.sql import functions as F
+
+    pu, pn, ps = (F.col(c) for c in pre_cols)
+    nu, nn, ns = (F.col(c) for c in now_cols)
+    agg = F.col(idx_col) == 0
+    ticks = F.lit(float(cpu_ticks))
+    ivl = F.lit(float(interval_sec))
+
+    def pct(p, n):
+        sys_avg = (F.abs(n - p) / ticks * 100
+                   / F.col(n_cores_col)) / ivl
+        usage = (F.abs(n - p) * 100 / ticks) / ivl
+        return F.when(p == n, F.lit(0.0)).otherwise(
+            F.when(agg, sys_avg).otherwise(usage))
+
+    return (
+        df.withColumn("p_cpu", pct(pu + pn + ps, nu + nn + ns))
+        .withColumn("p_user", pct(pu + pn, nu + nn))
+        .withColumn("p_system", pct(ps, ns))
+    )
+
+
 def cpu_record(
     interval_sec: float = 1.0, read_proc=None
 ) -> dict[str, float]:

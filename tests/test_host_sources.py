@@ -368,3 +368,33 @@ def test_node_loadavg_metrics():
     assert m == {"node_load1": 0.91, "node_load5": 1.12,
                  "node_load15": 1.30}
     assert node_loadavg_metrics("bad") is None
+
+
+def test_cpu_percent_df_matches_record(spark):
+    """The fleet-columnar cpu math must agree with the driver-side
+    two-snapshot record on the same counters (cpu.h:95,:113)."""
+    from fluent_bit_spark.sources.hostmetrics import cpu_percent_df
+
+    rec = cpu_percent_record(STAT_PRE, STAT_NOW, interval_sec=1.0,
+                             cpu_ticks=100)
+    pre = [(0, 100, 10, 50), (1, 60, 5, 30), (2, 40, 5, 20)]
+    now = [(0, 180, 20, 90), (1, 100, 10, 50), (2, 80, 10, 40)]
+    rows = [
+        (idx, pu, pn, ps, nu, nn, ns, 2)
+        for (idx, pu, pn, ps), (_, nu, nn, ns) in zip(pre, now)
+    ]
+    df = spark.createDataFrame(
+        rows, "cpu_idx int, pu long, pn long, ps long, "
+              "nu long, nn long, ns long, n_cores long")
+    out = {r["cpu_idx"]: r for r in cpu_percent_df(df).collect()}
+    assert out[0]["p_cpu"] == rec["cpu_p"]
+    assert out[0]["p_user"] == rec["user_p"]
+    assert out[0]["p_system"] == rec["system_p"]
+    assert out[1]["p_cpu"] == rec["cpu0.p_cpu"]
+    assert out[2]["p_system"] == rec["cpu1.p_system"]
+    # equal counters -> exactly 0.0 (not an epsilon)
+    same = spark.createDataFrame(
+        [(1, 5, 5, 5, 5, 5, 5, 2)],
+        "cpu_idx int, pu long, pn long, ps long, "
+        "nu long, nn long, ns long, n_cores long")
+    assert cpu_percent_df(same).first()["p_cpu"] == 0.0

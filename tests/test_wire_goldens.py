@@ -150,3 +150,36 @@ def test_s3_key_template():
     # multiple delimiter chars split on ANY of them
     key = s3_key("$TAG[2]", 0, "a.b-c", tag_delimiter=".-")
     assert key == "c"
+
+
+def test_s3_key_col_matches_python(spark):
+    """Columnar s3_key_col vs the driver-side s3_key twin across the
+    token/strftime/missing-part matrix (flb_aws_util.c:814-1010)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_spark.sinks import s3_key, s3_key_col
+
+    fmt = "logs/$TAG[0]/$TAG[1]/%Y/%m/%d/%H-%M/$TAG-$INDEX-$UUID-$TAG[5].gz"
+    cases = [
+        ("app.web.prod", 1_700_000_000, 42, "abcd1234"),
+        ("a.b-c", 0, 0, "zzzz0000"),
+        ("solo", 86400, 7, "ffff1111"),
+    ]
+    df = spark.createDataFrame(
+        [(t, dt.datetime.fromtimestamp(ep, dt.timezone.utc), ix, u)
+         for t, ep, ix, u in cases],
+        "tag string, ts timestamp, ix long, uuid string")
+    got = [r["key"] for r in df.select(s3_key_col(
+        fmt, F.col("ts"), F.col("tag"), tag_delimiter=".-",
+        seq_index_col=F.col("ix"), uuid_col=F.col("uuid"),
+    ).alias("key")).collect()]
+    want = [s3_key(fmt, ep, t, tag_delimiter=".-", seq_index=ix, uuid8=u)
+            for t, ep, ix, u in cases]
+    assert got == want
+    # %% literal and unknown conversions pass through
+    df1 = df.limit(1)
+    assert df1.select(s3_key_col(
+        "a%%b%Q/$TAG", F.col("ts"), F.col("tag")).alias("k")
+    ).first()["k"] == "a%b%Q/app.web.prod"
