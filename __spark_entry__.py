@@ -2234,6 +2234,70 @@ def q_hec_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_node_meminfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_node_exporter_metrics meminfo collector, fleet-columnar
+    (plugins/in_node_exporter_metrics/ne_meminfo_linux.c:20-130,
+    260-280 via hostmetrics.node_meminfo_df): node_memory_<Name>
+    naming, (anon) rewrite, kB -> _bytes * 1024, malformed and
+    extra-token lines dropped — one meminfo text per host row."""
+    from fluent_bit_spark.sources.hostmetrics import node_meminfo_df
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    text = F.concat(
+        F.lit("MemTotal:       "),
+        ((e % 4096) * 16 + 1024).cast("string"), F.lit(" kB\n"),
+        F.lit("MemFree: "), (e % 1000).cast("string"), F.lit(" kB\n"),
+        F.lit("HugePages_Total:   "), (e % 5).cast("string"),
+        F.lit("\n"),
+        F.lit("Active(anon): "), ((e % 333) * 4).cast("string"),
+        F.lit(" kB\n"),
+        F.lit("bad line junk\n"),
+        F.lit("Committed_AS: 1 kB extra\n"),
+    )
+    out = node_meminfo_df(
+        ev.select("event_id", text.alias("meminfo")), "meminfo")
+    return out.select("event_id", "metric", "value")
+
+
+def q_journal_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_systemd over the public journal EXPORT format (sd-journal
+    API reader in plugins/in_systemd/systemd.c; field shaping
+    :130-247 — duplicate keys collapse to arrays with the first dup
+    converting string->[old,new], lowercase :164, ONE leading
+    underscore stripped :390) via sources/journal.py: blank-line
+    entry boundaries, FIELD=value lines, final entry flushed at
+    EOF."""
+    from fluent_bit_spark.sources.journal import parse_journal_export
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    data = F.concat(
+        F.lit("__REALTIME_TIMESTAMP="),
+        (F.lit(1_700_000_000_000_000).cast("long") + e).cast("string"),
+        F.lit("\nMESSAGE=msg "), e.cast("string"),
+        F.lit("\nPRIORITY="), (e % 8).cast("string"),
+        F.lit("\n_PID="), (e % 500).cast("string"),
+        F.lit("\nTAG=a\nTAG=b"), (e % 3).cast("string"),
+        F.lit("\n\nMESSAGE=second "), e.cast("string"),
+        F.lit("\nPRIORITY=3\n"),
+    )
+    out = parse_journal_export(
+        ev.select("event_id", data.alias("data")), "data",
+        lowercase=True, strip_underscores=True,
+        keep_cols=[("event_id", "long")])
+    return out.select(
+        "event_id", "seq",
+        F.get_json_object("record", "$.message").alias("message"),
+        F.get_json_object("record", "$.priority").cast("long")
+        .alias("priority"),
+        F.get_json_object("record", "$.pid").cast("long").alias("pid"),
+        F.get_json_object("record", "$.tag").alias("tag"),
+        F.get_json_object("record", "$._realtime_timestamp")
+        .cast("long").alias("rt"),
+    )
+
+
 def q_azure_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """out_azure Log Analytics body records (plugins/out_azure/
     azure.c:55-160): @timestamp prepended as epoch double, or ISO8601
@@ -5088,6 +5152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cpu_percent": q_host_cpu_percent,
         "socket_framing": q_socket_framing,
         "hec_json_parse": q_hec_json_parse,
+        "node_meminfo": q_node_meminfo,
+        "journal_export": q_journal_export,
         # bpe_tokenize is rows-only by design (the BPE merge walk is not
         # SQL-expressible) so it can never earn a hash row — it stays in
         # the never-hash-verified front block per test_registry.py
@@ -7179,6 +7245,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, '' FROM events WHERE event_id % 4 = 0
             UNION ALL
             SELECT event_id, 'r' || event_id || 'b' FROM events
+        """,
+        "node_meminfo": """
+            SELECT event_id, 'node_memory_MemTotal_bytes' AS metric,
+                   CAST((event_id % 4096) * 16 + 1024 AS DOUBLE) * 1024
+                     AS value
+            FROM events
+            UNION ALL
+            SELECT event_id, 'node_memory_MemFree_bytes',
+                   CAST(event_id % 1000 AS DOUBLE) * 1024
+            FROM events
+            UNION ALL
+            SELECT event_id, 'node_memory_HugePages_Total',
+                   CAST(event_id % 5 AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT event_id, 'node_memory_Active_anon_bytes',
+                   CAST((event_id % 333) * 4 AS DOUBLE) * 1024
+            FROM events
+        """,
+        "journal_export": """
+            SELECT event_id, 0 AS seq,
+                   'msg ' || event_id AS message,
+                   event_id % 8 AS priority,
+                   event_id % 500 AS pid,
+                   '["a","b' || (event_id % 3) || '"]' AS tag,
+                   1700000000000000 + event_id AS rt
+            FROM events
+            UNION ALL
+            SELECT event_id, 1, 'second ' || event_id, 3,
+                   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT)
+            FROM events
         """,
         "hec_json_parse": """
             SELECT 'tg' || (event_id % 4) AS tag, event_id AS a,

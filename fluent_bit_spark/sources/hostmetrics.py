@@ -337,6 +337,48 @@ def node_meminfo_metrics(text: str) -> dict[str, float]:
     return out
 
 
+def node_meminfo_df(df, text_col: str = "meminfo"):
+    """Fleet-columnar meminfo collector: one /proc/meminfo TEXT per
+    row (any number of hosts) -> long (metric, value) rows under the
+    node-exporter naming rules of ``node_meminfo_metrics``
+    (ne_meminfo_linux.c:20-130,260-280): ``node_memory_<Name>`` with
+    ``(anon)``/``(file)`` -> ``_anon``/``_file``, a trailing kB unit
+    appending ``_bytes`` and scaling by 1024, malformed lines
+    dropped. Pure split/explode/when — whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    lines = df.withColumn("_line", F.explode(
+        F.split(F.col(text_col), "\n"))).drop(text_col)
+    parts = F.split(F.trim(F.col("_line")), r"\s+")
+    name_raw = F.try_element_at(parts, F.lit(1))
+    val = F.try_to_number(
+        F.try_element_at(parts, F.lit(2)), F.lit("999999999999999"))
+    name = F.regexp_replace(
+        F.regexp_replace(
+            F.substring(name_raw, 1, F.length(name_raw) - 1),
+            r"\(anon\)", "_anon"),
+        r"\(file\)", "_file")
+    out = (
+        lines.where(name_raw.endswith(":") & val.isNotNull())
+        .select(
+            "*",
+            F.when(F.size(parts) == 3,
+                   F.concat(F.lit("node_memory_"), name,
+                            F.lit("_bytes")))
+            .when(F.size(parts) == 2,
+                  F.concat(F.lit("node_memory_"), name))
+            .alias("metric"),
+            F.when(F.size(parts) == 3,
+                   val.cast("double") * 1024)
+            .when(F.size(parts) == 2, val.cast("double"))
+            .alias("value"),
+        )
+        .where(F.col("metric").isNotNull())
+        .drop("_line")
+    )
+    return out
+
+
 def node_loadavg_metrics(text: str) -> dict[str, float] | None:
     """node_load1/5/15 gauges from /proc/loadavg
     (ne_loadavg_linux.c:35-60)."""

@@ -398,3 +398,25 @@ def test_cpu_percent_df_matches_record(spark):
         "cpu_idx int, pu long, pn long, ps long, "
         "nu long, nn long, ns long, n_cores long")
     assert cpu_percent_df(same).first()["p_cpu"] == 0.0
+
+
+def test_node_meminfo_df_matches_driver(spark):
+    """Fleet-columnar meminfo vs the driver-side twin on the same
+    text (ne_meminfo_linux.c naming + kB rules)."""
+    from fluent_bit_spark.sources.hostmetrics import (
+        node_meminfo_df,
+        node_meminfo_metrics,
+    )
+
+    text = ("MemTotal:       16314912 kB\n"
+            "MemFree:         3243612 kB\n"
+            "HugePages_Total:       0\n"
+            "Active(anon):    5871524 kB\n"
+            "Inactive(file):  1234 kB\n"
+            "garbage line without colon\n"
+            "Weird: 5 kB extra\n")
+    want = node_meminfo_metrics(text)
+    df = spark.createDataFrame([("h1", text)], "host string, m string")
+    got = {r["metric"]: r["value"]
+           for r in node_meminfo_df(df, "m").collect()}
+    assert got == want
