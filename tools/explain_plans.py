@@ -804,6 +804,25 @@ def main() -> int:
         ("ctr_msgpack_encode: one exchange (chunk groupBy) + one "
          "Arrow stage (the decode half)", ok, ""))
 
+    # in-round-5 gates: s3 key layout / fleet cpu math / meminfo /
+    # socket framing are pure-Catalyst map-side plans (no Python, no
+    # exchange — they parallelize per input split at any scale);
+    # hec_json_parse / journal_export are each ONE Arrow parse stage
+    for q in ("s3_key_format", "host_cpu_percent", "node_meminfo",
+              "socket_framing"):
+        p = plan_of(qs[q](spark, sf_dir))
+        ok = ("BatchEvalPython" not in p and "MapInPandas" not in p
+              and "ArrowEvalPython" not in p
+              and "hashpartitioning(" not in p)
+        checks.append((f"{q}: shuffle-free all-Catalyst map plan", ok, ""))
+    for q in ("hec_json_parse", "journal_export"):
+        p = plan_of(qs[q](spark, sf_dir))
+        ok = ("BatchEvalPython" not in p
+              and "hashpartitioning(" not in p
+              and len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1)
+        checks.append(
+            (f"{q}: single Arrow parse stage, shuffle-free", ok, ""))
+
     out = ["# PLANS — physical-plan evidence (generated by tools/explain_plans.py)\n"]
     out.append("## Automated checks\n")
     for name, ok, detail in checks:
