@@ -2260,6 +2260,30 @@ def q_node_meminfo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "metric", "value")
 
 
+def q_nginx_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """in_nginx_exporter_metrics stub_status parse, fleet-columnar
+    (plugins/in_nginx_exporter_metrics/nginx.c:36-90 via
+    hostmetrics.nginx_status_df): one status page per target row,
+    malformed pages dropped like the reference's errored scrape."""
+    from fluent_bit_spark.sources.hostmetrics import nginx_status_df
+
+    ev = _ep(_t(spark, sf_dir, "events"))
+    e = F.col("event_id")
+    page = F.when(e % 13 == 0, F.lit("<html>busted</html>")).otherwise(
+        F.concat(
+            F.lit("Active connections: "), (e % 512).cast("string"),
+            F.lit(" \nserver accepts handled requests\n "),
+            (e * 3).cast("string"), F.lit(" "),
+            (e * 3 - e % 7).cast("string"), F.lit(" "),
+            (e * 11).cast("string"),
+            F.lit(" \nReading: "), (e % 9).cast("string"),
+            F.lit(" Writing: "), (e % 17).cast("string"),
+            F.lit(" Waiting: "), (e % 33).cast("string"), F.lit(" \n"),
+        ))
+    return nginx_status_df(
+        ev.select("event_id", page.alias("status")), "status")
+
+
 def q_journal_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """in_systemd over the public journal EXPORT format (sd-journal
     API reader in plugins/in_systemd/systemd.c; field shaping
@@ -5153,6 +5177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "socket_framing": q_socket_framing,
         "hec_json_parse": q_hec_json_parse,
         "node_meminfo": q_node_meminfo,
+        "nginx_status": q_nginx_status,
         "journal_export": q_journal_export,
         # bpe_tokenize is rows-only by design (the BPE merge walk is not
         # SQL-expressible) so it can never earn a hash row — it stays in
@@ -7245,6 +7270,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, '' FROM events WHERE event_id % 4 = 0
             UNION ALL
             SELECT event_id, 'r' || event_id || 'b' FROM events
+        """,
+        "nginx_status": """
+            SELECT event_id,
+                   event_id % 512 AS active,
+                   event_id * 3 AS accepts,
+                   event_id * 3 - event_id % 7 AS handled,
+                   event_id * 11 AS requests,
+                   event_id % 9 AS reading,
+                   event_id % 17 AS writing,
+                   event_id % 33 AS waiting
+            FROM events WHERE event_id % 13 <> 0
         """,
         "node_meminfo": """
             SELECT event_id, 'node_memory_MemTotal_bytes' AS metric,

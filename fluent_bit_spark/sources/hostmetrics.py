@@ -337,6 +337,47 @@ def node_meminfo_metrics(text: str) -> dict[str, float]:
     return out
 
 
+def nginx_status_df(df, text_col: str = "status"):
+    """Fleet-columnar stub_status parse: one nginx status PAGE per
+    row -> active/accepts/handled/requests/reading/writing/waiting
+    columns under ``nginx_stub_status_record``'s rules
+    (plugins/in_nginx_exporter_metrics/nginx.c:36-90): line 0 the
+    Active-connections count, line 2 the accepts/handled/requests
+    triple, line 3 Reading/Writing/Waiting; a malformed page is
+    DROPPED (the reference errors that scrape). Pure split/regexp —
+    whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    lines = F.split(F.col(text_col), "\n")
+
+    def num(line_idx: int, pattern: str, group: int):
+        return F.try_to_number(
+            F.nullif(
+                F.regexp_extract(
+                    F.coalesce(F.try_element_at(lines, F.lit(line_idx)),
+                               F.lit("")),
+                    pattern, group),
+                F.lit("")),
+            F.lit("999999999999999"))
+
+    triple = r"^\s*(\d+)\s+(\d+)\s+(\d+)"
+    rww = r"Reading:\s+(\d+)\s+Writing:\s+(\d+)\s+Waiting:\s+(\d+)"
+    out = df.select(
+        "*",
+        num(1, r"^Active connections:\s+(\d+)", 1).alias("active"),
+        num(3, triple, 1).alias("accepts"),
+        num(3, triple, 2).alias("handled"),
+        num(3, triple, 3).alias("requests"),
+        num(4, rww, 1).alias("reading"),
+        num(4, rww, 2).alias("writing"),
+        num(4, rww, 3).alias("waiting"),
+    )
+    return out.where(
+        F.col("active").isNotNull() & F.col("accepts").isNotNull()
+        & F.col("reading").isNotNull()
+    ).drop(text_col)
+
+
 def node_meminfo_df(df, text_col: str = "meminfo"):
     """Fleet-columnar meminfo collector: one /proc/meminfo TEXT per
     row (any number of hosts) -> long (metric, value) rows under the

@@ -420,3 +420,27 @@ def test_node_meminfo_df_matches_driver(spark):
     got = {r["metric"]: r["value"]
            for r in node_meminfo_df(df, "m").collect()}
     assert got == want
+
+
+def test_nginx_status_df_matches_driver(spark):
+    """Fleet-columnar stub_status vs the driver-side twin, incl. the
+    malformed-page drop (nginx.c:36-90)."""
+    from fluent_bit_spark.sources.hostmetrics import (
+        nginx_status_df,
+        nginx_stub_status_record,
+    )
+
+    good = ("Active connections: 291 \n"
+            "server accepts handled requests\n"
+            " 16630948 16630948 31070465 \n"
+            "Reading: 6 Writing: 179 Waiting: 106 \n")
+    bad = "<html>not a status page</html>"
+    short = "Active connections: 3 \n"
+    df = spark.createDataFrame(
+        [(1, good), (2, bad), (3, short)], "i long, s string")
+    rows = {r["i"]: r.asDict() for r in nginx_status_df(df, "s").collect()}
+    want = nginx_stub_status_record(good)
+    assert set(rows) == {1}
+    got = {k: v for k, v in rows[1].items() if k != "i"}
+    assert got == want
+    assert nginx_stub_status_record(bad) is None

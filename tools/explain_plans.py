@@ -809,7 +809,7 @@ def main() -> int:
     # exchange — they parallelize per input split at any scale);
     # hec_json_parse / journal_export are each ONE Arrow parse stage
     for q in ("s3_key_format", "host_cpu_percent", "node_meminfo",
-              "socket_framing"):
+              "socket_framing", "nginx_status"):
         p = plan_of(qs[q](spark, sf_dir))
         ok = ("BatchEvalPython" not in p and "MapInPandas" not in p
               and "ArrowEvalPython" not in p
