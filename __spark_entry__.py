@@ -5135,23 +5135,19 @@ def q_websocket_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-row CORRECTNESS gate (the driver
-    # records only the first 50 entries per round). Round-5 rotation:
-    # positions 1-2 are the two r4 reds, both now fixed —
-    # embedding_clusters (the oracle's uncast sum(BIGINT) returned
-    # HUGEINT, which the driver's pandas canonicalization degrades to
-    # float64 "5e+15"-style strings; the assignment math was already
-    # identical) and hash_embed (array column crashed the driver's
-    # pandas sort; now posexploded to scalars). Positions 3-13 are the
-    # round-5 additions: the eleven misc/out encoder gates that had
-    # only pytest coverage through r4 (nats/logdna/slack/td/nrlogs/
-    # skywalking/plot/kafka_rest/pgsql/kusto/websocket). The remaining
-    # window re-verifies the round-4 wire codecs plus the heavy
-    # dedup/ANN family. Every oracle-paired entry at 51+ already has a
-    # driver-green row from r1-r4. Late round-5 additions
-    # (otlp_logs_encode, kinesis_encode, bigquery_encode, http_in)
-    # join the never-verified prefix (positions 16-19), displacing
-    # es_bulk_in/forward_decode/otlp_logs_in/prom_scrape past the
-    # window — all four went green in the r4 gate.
+    # records only the first 50 entries per round). The front block is
+    # every entry with no driver-green row yet, in arrival order: the
+    # two r4 reds (both fixed — embedding_clusters' oracle returned
+    # HUGEINT sums the driver's pandas canonicalization degraded to
+    # float64 strings; hash_embed's array column crashed its pandas
+    # sort, now posexploded to scalars), the round-5-session encoder/
+    # codec gates (misc sinks, OTLP/cmetrics/ctraces wire, remote-
+    # write), and the seven in-round-5 additions (s3_key_format,
+    # host_cpu_percent, socket_framing, hec_json_parse, node_meminfo,
+    # nginx_status, journal_export). The tail of the window re-
+    # verifies r4 greens (grok_conf_parse..kubernetes_meta). INVARIANT
+    # (tools + test_registry): every oracle-paired entry at position
+    # 51+ already has a driver-green row from r1-r4.
     return {
         # round-5 late additions, never driver-verified yet -> front
         "remote_write_encode": q_remote_write_encode,
