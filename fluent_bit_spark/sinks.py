@@ -236,13 +236,17 @@ def s3_key(
     return _time.strftime(key, _time.gmtime(time_epoch))
 
 
-# strftime -> Spark date_format token map for the subset out_s3 key
-# layouts use in practice (the reference hands the whole key to
-# strftime(3); tokens outside this map are kept literal, matching
-# glibc's pass-through of unknown conversions)
+# strftime -> Spark date_format token map covering the conversions S3
+# key layouts use (the reference hands the whole key to strftime(3);
+# tokens outside this map are kept literal — glibc's behavior for
+# genuinely unknown conversions. %s is handled separately: epoch
+# seconds have no date_format pattern)
 _STRFTIME_JAVA = {
     "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd",
     "H": "HH", "M": "mm", "S": "ss", "j": "DDD",
+    "F": "yyyy-MM-dd", "T": "HH:mm:ss", "R": "HH:mm",
+    "D": "MM/dd/yy", "b": "MMM", "a": "EEE", "B": "MMMM", "A": "EEEE",
+    "p": "a",
 }
 
 
@@ -265,14 +269,19 @@ def s3_key_col(
     then the strftime pass over the template's literal segments
     (UTC, like the reference's gmtime).
 
-    Deviation vs the driver-side twin: substituted VALUES are not
+    Deviations vs the driver-side twin: substituted VALUES are not
     re-scanned for tokens or strftime conversions (single-pass over
     the template; a tag containing ``%`` or ``$INDEX`` is kept
     verbatim) — the template itself drives the layout, as in every
-    layout the reference ships."""
+    layout the reference ships; and a NULL tag/seq_index/uuid value
+    nulls that row's key (concat semantics — filter dirty rows
+    upstream; the driver twin raises on None instead)."""
     parts = F.split(tag_col, "[" + re.escape(tag_delimiter) + "]")
     # the reference drops empty split parts before indexing
     parts = F.filter(parts, lambda x: x != "")
+    # render in UTC like the twin's gmtime, REGARDLESS of the
+    # session timezone (date_format alone follows the session tz)
+    ts_utc = F.convert_timezone(None, F.lit("UTC"), ts_col)
 
     def render_literal(seg: str) -> list[Column]:
         out: list[Column] = []
@@ -285,12 +294,20 @@ def s3_key_col(
                     lit_buf.append("%")
                     i += 2
                     continue
+                if conv == "s":  # epoch seconds (no pattern letter)
+                    if lit_buf:
+                        out.append(F.lit("".join(lit_buf)))
+                        lit_buf = []
+                    out.append(
+                        ts_col.cast("long").cast("string"))
+                    i += 2
+                    continue
                 java = _STRFTIME_JAVA.get(conv)
                 if java is not None:
                     if lit_buf:
                         out.append(F.lit("".join(lit_buf)))
                         lit_buf = []
-                    out.append(F.date_format(ts_col, java))
+                    out.append(F.date_format(ts_utc, java))
                     i += 2
                     continue
             lit_buf.append(seg[i])

@@ -361,7 +361,9 @@ def nginx_status_df(df, text_col: str = "status"):
             F.lit("999999999999999"))
 
     triple = r"^\s*(\d+)\s+(\d+)\s+(\d+)"
-    rww = r"Reading:\s+(\d+)\s+Writing:\s+(\d+)\s+Waiting:\s+(\d+)"
+    # anchored like the twin's re.match — a line merely CONTAINING
+    # 'Reading:' mid-text is a malformed page, not a match
+    rww = r"^Reading:\s+(\d+)\s+Writing:\s+(\d+)\s+Waiting:\s+(\d+)"
     out = df.select(
         "*",
         num(1, r"^Active connections:\s+(\d+)", 1).alias("active"),
@@ -392,8 +394,9 @@ def node_meminfo_df(df, text_col: str = "meminfo"):
         F.split(F.col(text_col), "\n"))).drop(text_col)
     parts = F.split(F.trim(F.col("_line")), r"\s+")
     name_raw = F.try_element_at(parts, F.lit(1))
-    val = F.try_to_number(
-        F.try_element_at(parts, F.lit(2)), F.lit("999999999999999"))
+    # try_cast double == the twin's float(): accepts '1.5'/'1e3'
+    # (never seen in a real meminfo, but the twins must agree)
+    val = F.try_element_at(parts, F.lit(2)).try_cast("double")
     name = F.regexp_replace(
         F.regexp_replace(
             F.substring(name_raw, 1, F.length(name_raw) - 1),

@@ -60,9 +60,13 @@ def journal_export_records(
             # binary field: name line, LE uint64 size, raw, newline
             key_b = line
             if pos + 8 > n:
-                break  # truncated capture
+                rec = {}  # entry truncated mid-field: drop it whole
+                break
             (size,) = struct.unpack("<Q", data[pos:pos + 8])
             pos += 8
+            if pos + size > n:
+                rec = {}  # blob cut short: a half-transferred entry
+                break     # sd-journal would never emit
             val_b = data[pos:pos + size]
             pos += size + 1  # trailing newline after the blob
         key = key_b.decode("utf-8", "replace")

@@ -413,6 +413,7 @@ def test_node_meminfo_df_matches_driver(spark):
             "HugePages_Total:       0\n"
             "Active(anon):    5871524 kB\n"
             "Inactive(file):  1234 kB\n"
+            "Floaty:          1.5 kB\n"
             "garbage line without colon\n"
             "Weird: 5 kB extra\n")
     want = node_meminfo_metrics(text)
@@ -436,8 +437,13 @@ def test_nginx_status_df_matches_driver(spark):
             "Reading: 6 Writing: 179 Waiting: 106 \n")
     bad = "<html>not a status page</html>"
     short = "Active connections: 3 \n"
+    # line 3 only CONTAINS 'Reading:' mid-text -> malformed (re.match)
+    embedded = good.replace("Reading:", "NotReading:", 1).replace(
+        "NotReading:", "Not Reading:", 1).replace(
+        "Not Reading:", "prefix Reading:", 1)
     df = spark.createDataFrame(
-        [(1, good), (2, bad), (3, short)], "i long, s string")
+        [(1, good), (2, bad), (3, short), (4, embedded)],
+        "i long, s string")
     rows = {r["i"]: r.asDict() for r in nginx_status_df(df, "s").collect()}
     want = nginx_stub_status_record(good)
     assert set(rows) == {1}

@@ -57,6 +57,14 @@ def test_lowercase_and_strip_one_underscore():
 def test_truncated_binary_capture_drops_cleanly():
     data = b"MESSAGE\n" + struct.pack("<Q", 100)[:4]  # cut mid-size
     assert journal_export_records(data) == []
+    # a half-transferred entry is dropped WHOLE, not flushed partial;
+    # complete preceding entries survive
+    data = (b"MESSAGE=ok\n\n"
+            b"PRIORITY=3\nMESSAGE\n" + struct.pack("<Q", 100)[:4])
+    assert journal_export_records(data) == [{"MESSAGE": "ok"}]
+    # blob longer than the remaining capture: same whole-entry drop
+    data = b"PRIORITY=3\nMESSAGE\n" + struct.pack("<Q", 100) + b"xy"
+    assert journal_export_records(data) == []
 
 
 def test_parse_journal_export_df(spark):

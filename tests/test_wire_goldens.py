@@ -161,7 +161,8 @@ def test_s3_key_col_matches_python(spark):
 
     from fluent_bit_spark.sinks import s3_key, s3_key_col
 
-    fmt = "logs/$TAG[0]/$TAG[1]/%Y/%m/%d/%H-%M/$TAG-$INDEX-$UUID-$TAG[5].gz"
+    fmt = ("logs/$TAG[0]/$TAG[1]/%Y/%m/%d/%H-%M/%F_%T/"
+           "$TAG-$INDEX-$UUID-$TAG[5].gz")
     cases = [
         ("app.web.prod", 1_700_000_000, 42, "abcd1234"),
         ("a.b-c", 0, 0, "zzzz0000"),
