@@ -124,6 +124,11 @@ spark = (
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.executor.memory", "{mem_mb}m")
+    # shuffle/spill local dirs on tmpfs for the same reason bench.py
+    # documents: this sandbox's single shared virtio disk stalls
+    # intermittently and hits the 32-busy-core level hardest (on a
+    # real cluster every executor has its own local disk)
+    .config("spark.local.dir", "/dev/shm/fbs_scaling_local")
     .config("spark.executorEnv.PYTHONPATH", {repo!r})
     # per-executor JVM sized to ITS cores, as on a real cluster: an
     # 8-core executor must not spawn 32 GC/JIT/netty threads just
